@@ -1,0 +1,150 @@
+"""Hierarchical global cell index — the engine's spatial join key.
+
+H3/S2-style but hand-rolled on a lat/lon quad hierarchy so that the whole
+index is closed-form integer math: pure Spark SQL (codegen'd JVM-side,
+foldable, pushdown-friendly) and byte-for-byte reproducible in the DuckDB
+oracle. No UDFs anywhere in this module.
+
+Scheme: at level ``L`` the cell size is ``180/2**L`` degrees; the world is
+``2·2**L × 2**L`` cells. A cell id packs ``(level, iy, ix)`` into an
+int64: ``(L << 56) | (iy << 28) | ix`` (valid for L ≤ 26).
+
+Scale notes (100 TB / 10^12 tiles):
+- the id is the shuffle/partition key for every spatial join; parent/child
+  arithmetic gives a free two-level coarse/fine scheme for skew splitting;
+- tiles *register* into every cell their footprint bbox covers
+  (``cells_for_bbox`` — `sequence`+`transform`+`flatten`, exploded), so a
+  point↔tile join is a pure equi-join on ``cell_id`` plus a residual bbox
+  refinement — the idiomatic Spark reduction of a spatial theta-join;
+- hot cells (the fixture injects 20% of tiles into one footprint per
+  FIXTURES.md) are handled by ``salted``: the big side takes
+  ``pmod(hash(id), S)``, the small side explodes all S salts. AQE
+  skew-join splitting is ALSO enabled in session.py; salting covers the
+  pathological single-key case AQE can't split below task granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rasters_spark.grid import _col
+
+LEVEL_SHIFT = 56
+IY_SHIFT = 28
+
+
+def cell_size_deg(level: int) -> float:
+    return 180.0 / (1 << level)
+
+
+def cell_ix(lon, level: int) -> Column:
+    """lon → x cell index, clamped to [0, 2·2^L − 1]."""
+    size = cell_size_deg(level)
+    nx = 2 * (1 << level)
+    ix = F.floor((_col(lon) + 180.0) / size).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(nx - 1), ix))
+
+
+def cell_iy(lat, level: int) -> Column:
+    """lat → y cell index (north→south, like raster rows), clamped."""
+    size = cell_size_deg(level)
+    ny = 1 << level
+    iy = F.floor((90.0 - _col(lat)) / size).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(ny - 1), iy))
+
+
+def pack(level: int, iy: Column, ix: Column) -> Column:
+    return (
+        F.lit(level).cast("long") * (1 << LEVEL_SHIFT)
+        + iy * (1 << IY_SHIFT)
+        + ix
+    )
+
+
+def cell_id(lon, lat, level: int) -> Column:
+    """(lon, lat) → int64 cell id at ``level``. Pure SQL."""
+    return pack(level, cell_iy(lat, level), cell_ix(lon, level))
+
+
+def cell_id_sql(lon_expr: str, lat_expr: str, level: int) -> str:
+    """The same cell id as an ANSI-SQL string (for DuckDB oracles)."""
+    size = repr(cell_size_deg(level))
+    nx, ny = 2 * (1 << level), 1 << level
+    ix = f"greatest(0, least({nx - 1}, cast(floor((({lon_expr}) + 180.0) / {size}) as bigint)))"
+    iy = f"greatest(0, least({ny - 1}, cast(floor((90.0 - ({lat_expr})) / {size}) as bigint)))"
+    return f"({level} * {1 << LEVEL_SHIFT} + ({iy}) * {1 << IY_SHIFT} + ({ix}))"
+
+
+def unpack_ix(cid: Column) -> Column:
+    # pure integer ops — ids exceed 2^53, double division would lose bits
+    return F.pmod(_col(cid), F.lit(1 << IY_SHIFT))
+
+
+def unpack_iy(cid: Column) -> Column:
+    return F.pmod(F.shiftright(_col(cid), IY_SHIFT), F.lit(1 << (LEVEL_SHIFT - IY_SHIFT)))
+
+
+def parent(cid, level: int, parent_level: int) -> Column:
+    """Coarser ancestor — two-level partitioning for skew splitting."""
+    shift = level - parent_level
+    ix = F.shiftright(unpack_ix(cid), shift)
+    iy = F.shiftright(unpack_iy(cid), shift)
+    return pack(parent_level, iy, ix)
+
+
+def cells_for_bbox(bbox: Column, level: int) -> Column:
+    """All cell ids whose footprint intersects bbox → array<long>.
+
+    Pure higher-order-function SQL (sequence → transform → flatten):
+    no UDF, no explode yet — caller explodes. Cost is O(cells covered);
+    choose ``level`` so typical footprints cover O(1..10) cells.
+    """
+    ix0, ix1 = cell_ix(bbox["xmin"], level), cell_ix(bbox["xmax"], level)
+    # y axis is north→south: ymax → smaller iy
+    iy0, iy1 = cell_iy(bbox["ymax"], level), cell_iy(bbox["ymin"], level)
+    return F.flatten(
+        F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.transform(F.sequence(ix0, ix1), lambda ix: pack(level, iy, ix)),
+        )
+    )
+
+
+def ring_cells(cid, level: int, ring: int) -> Column:
+    """Chebyshev-ring neighborhood of a cell (incl. itself) → array<long>.
+
+    Longitude wraps (pmod); latitude clamps then dedups via array_distinct.
+    Drives kNN candidate generation (cell-ring expansion, SURVEY §2.3).
+    """
+    nx, ny = 2 * (1 << level), 1 << level
+    ix, iy = unpack_ix(cid), unpack_iy(cid)
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(-ring), F.lit(ring)),
+                lambda dy: F.transform(
+                    F.sequence(F.lit(-ring), F.lit(ring)),
+                    lambda dx: pack(
+                        level,
+                        F.greatest(F.lit(0), F.least(F.lit(ny - 1), iy + dy)),
+                        F.pmod(ix + dx, F.lit(nx)),
+                    ),
+                ),
+            )
+        )
+    )
+
+
+def salted(cid, n_salts: int) -> Column:
+    """Composite skew key: cell_id scaled + deterministic per-row salt.
+
+    Big side: ``salted(cell_id, S)`` with salt from a row-unique column;
+    small side: explode ``sequence(0, S-1)`` and add. Keeps the join an
+    equi-join while spreading one hot cell over S reducers.
+    """
+    return _col(cid) * n_salts
+
+
+def salt_of(unique_col, n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(_col(unique_col)), F.lit(n_salts))

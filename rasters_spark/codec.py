@@ -1,0 +1,96 @@
+"""Pixel codecs + Arrow-batch decode helpers.
+
+The tile table stores pixels as an opaque ``bytes: binary`` column with
+``(w, h, fmt)`` metadata (BASELINE.json ``input_hint``). The sandbox has
+no rasterio/PIL, so formats are self-decodable pure-numpy codecs:
+
+- ``raw``  — little-endian float32, C-order ``(h, w)``. Lossless.
+- ``q8``   — 8-byte header ``(vmin: f4, vmax: f4)`` + ``h·w`` uint8;
+  255 reserved for NaN, values quantized over 0..254. Lossy; worst-case
+  PSNR ≈ 20·log10(254·√12) ≈ 59 dB ≥ the 40 dB gate.
+
+Numpy here runs ONLY inside Arrow-batched kernels (pandas_udf /
+mapInPandas) — one Python iteration per *tile*, zero per-pixel Python.
+phash is the reference-style integrity fingerprint (FIXTURES.md §1):
+sign bits of an 8×8 block-mean downsample vs. its mean.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HEADER_Q8 = 8  # vmin f4 + vmax f4
+
+
+def encode_tile(arr: np.ndarray, fmt: str = "raw") -> bytes:
+    a = np.asarray(arr, dtype=np.float32)
+    if fmt == "raw":
+        return a.astype("<f4", copy=False).tobytes(order="C")
+    if fmt == "q8":
+        valid = np.isfinite(a)
+        if valid.any():
+            vmin = float(np.nanmin(a))
+            vmax = float(np.nanmax(a))
+        else:
+            vmin, vmax = 0.0, 0.0
+        span = (vmax - vmin) or 1.0
+        q = np.full(a.shape, 255, dtype=np.uint8)
+        q[valid] = np.clip(np.rint((a[valid] - vmin) / span * 254.0), 0, 254).astype(np.uint8)
+        header = np.array([vmin, vmax], dtype="<f4").tobytes()
+        return header + q.tobytes(order="C")
+    raise ValueError(f"unknown fmt: {fmt}")
+
+
+def decode_tile(data: bytes, w: int, h: int, fmt: str = "raw") -> np.ndarray:
+    """bytes → float32 (h, w) array, NaN = nodata."""
+    if fmt == "raw":
+        return np.frombuffer(data, dtype="<f4", count=h * w).reshape(h, w).copy()
+    if fmt == "q8":
+        vmin, vmax = np.frombuffer(data, dtype="<f4", count=2)
+        q = np.frombuffer(data, dtype=np.uint8, offset=HEADER_Q8, count=h * w).reshape(h, w)
+        span = (vmax - vmin) or np.float32(1.0)
+        out = vmin + q.astype(np.float32) / np.float32(254.0) * span
+        out[q == 255] = np.nan
+        return out
+    raise ValueError(f"unknown fmt: {fmt}")
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Stable 64-bit perceptual hash: 8×8 block-mean downsample, sign bits.
+
+    NaNs contribute 0 to block means (nan_to_num) so the hash is total.
+    Returned as a SIGNED int64 (parquet/Spark LongType friendly).
+    """
+    a = np.nan_to_num(np.asarray(arr, dtype=np.float64), nan=0.0)
+    h, w = a.shape
+    ry = np.linspace(0, h, 9).astype(int)
+    rx = np.linspace(0, w, 9).astype(int)
+    blocks = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            blk = a[ry[i]:max(ry[i + 1], ry[i] + 1), rx[j]:max(rx[j + 1], rx[j] + 1)]
+            blocks[i, j] = blk.mean() if blk.size else 0.0
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def psnr(ref: np.ndarray, test: np.ndarray) -> float:
+    """PSNR in dB over jointly-finite pixels; inf when identical."""
+    m = np.isfinite(ref) & np.isfinite(test)
+    if not m.any():
+        return float("inf")
+    err = ref[m] - test[m]
+    mse = float(np.mean(err * err))
+    if mse == 0.0:
+        return float("inf")
+    rng = float(ref[m].max() - ref[m].min()) or 1.0
+    return 20.0 * np.log10(rng) - 10.0 * np.log10(mse)
+
+
+def decode_batch(bytes_s, w_s, h_s, fmt_s):
+    """Iterate decoded arrays for a pandas batch of tiles (kernel helper)."""
+    for data, w, h, fmt in zip(bytes_s, w_s, h_s, fmt_s):
+        yield decode_tile(data, int(w), int(h), fmt)

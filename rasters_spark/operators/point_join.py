@@ -1,0 +1,56 @@
+"""Point-in-tile spatial join — the engine's flagship stage.
+
+Spark shape (SURVEY §3 EP1): a spatial theta-join reduced to an
+equi-join on ``cell_id`` + a residual in-bounds refinement, all
+closed-form SQL. The point side is usually small → broadcast; at
+10^12-tile scale the tile side stays shuffle-free when the table is
+bucketed by cell (its scan is already hash-distributed on the join
+key), and AQE skew-join + optional salting absorb hot cells.
+
+Containment semantics transcribed from the reference: a point belongs
+to a tile iff its banker's-rounded center-affine index lands inside
+``[0, rows) × [0, cols)`` (raster_grid.py:717-735 + the out-of-bounds
+→ NaN rule of raster.py:1303-1304). Points outside every tile drop
+(inner join) — the relational form of "return NaN".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from rasters_spark import cells, fixtures, grid
+
+
+def point_in_tile_join(
+    points: DataFrame,
+    tiles_cells: DataFrame,
+    level: int = fixtures.CELL_LEVEL,
+    broadcast_points: bool = True,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """points(point_id,x,y) ⋈ tiles_cells(cell_id, grid, …) → matched pairs
+    with per-point pixel indices (prow, pcol).
+
+    ``n_salts``: spread hot cells over N composite keys — the big (tile)
+    side gets a deterministic per-row salt, the small (point) side
+    explodes all N salts. Leave None to rely on AQE skew splitting.
+    """
+    pts = points.withColumn("cell_id", cells.cell_id(F.col("x"), F.col("y"), level))
+    if n_salts:
+        tiles_cells = tiles_cells.withColumn(
+            "join_key", cells.salted(F.col("cell_id"), n_salts) + cells.salt_of(F.col("image_id"), n_salts)
+        )
+        pts = pts.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))).withColumn(
+            "join_key", cells.salted(F.col("cell_id"), n_salts) + F.col("_salt")
+        ).drop("_salt")
+        key = "join_key"
+    else:
+        key = "cell_id"
+    p = F.broadcast(pts) if broadcast_points else pts
+    j = tiles_cells.join(p.drop("crs"), key)
+    g = F.col("grid")
+    j = j.withColumn("prow", grid.point_row(g, F.col("y"))).withColumn(
+        "pcol", grid.point_col(g, F.col("x"))
+    )
+    return j.filter(grid.in_bounds(g, F.col("prow"), F.col("pcol")))

@@ -1,0 +1,49 @@
+"""Tile/point/polygon table loaders — fixture parquet → engine DataFrames.
+
+Engine-wide conventions:
+- a tile row = one raster: pixel block in ``bytes`` + grid descriptor
+  struct ``grid`` (grid.rows = h, grid.cols = w — ~1°×1° footprints);
+- nodata crosses the relational boundary as SQL ``NULL`` (Spark-native
+  null discipline ≙ the reference's NaN propagation, raster.py:97-104);
+  NaN exists only inside Arrow pixel kernels;
+- spatial join key = ``cell_id`` (cells.py); tiles register into every
+  covered cell via ``explode(cells_for_bbox)`` — at 10^12 rows this is
+  the partition key the table would be written bucketed/z-ordered by,
+  giving Iceberg/Parquet min-max pruning on cell ranges for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rasters_spark import cells, fixtures, grid
+
+
+def load_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    df = spark.read.parquet(str(fdir / "tiles.parquet"))
+    g = grid.grid_struct("x_origin", "y_origin", "cell_width", "cell_height", F.col("h"), F.col("w"), "crs")
+    df = df.withColumn("grid", g)
+    return df.withColumn("bbox", grid.grid_bbox(F.col("grid")))
+
+
+def tiles_with_cells(tiles: DataFrame, level: int = fixtures.CELL_LEVEL) -> DataFrame:
+    """Register each tile into every cell its footprint covers."""
+    return tiles.withColumn("cell_id", F.explode(cells.cells_for_bbox(F.col("bbox"), level)))
+
+
+def load_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    return spark.read.parquet(str(fdir / "points.parquet"))
+
+
+def load_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    return spark.read.parquet(str(fdir / "polygons.parquet"))
+
+
+def load_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independently materialized decoded pixels (oracle-parity table)."""
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    return spark.read.parquet(str(fdir / "pixels.parquet"))

@@ -1,0 +1,100 @@
+"""Flagship point-in-tile join + nearest/IDW sampling vs DuckDB oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_spark import fixtures, npref, codec
+from rasters_spark.operators import point_join, sample
+from rasters_spark.tiles import load_points, load_tiles, tiles_with_cells
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fdir():
+    return fixtures.ensure_fixtures(SF)
+
+
+def _spark_result(spark, n_salts=None):
+    tiles = tiles_with_cells(load_tiles(spark, SF))
+    pts = load_points(spark, SF)
+    j = point_join.point_in_tile_join(pts, tiles, n_salts=n_salts)
+    out = sample.sample_nearest(j).select("point_id", "image_id", "prow", "pcol", "value", "caption")
+    return out.toPandas().sort_values(["point_id", "image_id"]).reset_index(drop=True)
+
+
+def _oracle_result(fdir):
+    con = duckdb.connect()
+    q = f"""
+    with t as (select * from read_parquet('{fdir}/tiles.parquet')),
+         p as (select * from read_parquet('{fdir}/points.parquet')),
+         j as (
+            select p.point_id, t.image_id,
+                   cast(round_even((p.y - t.y_origin)/t.cell_height - 0.5, 0) as bigint) as prow,
+                   cast(round_even((p.x - t.x_origin)/t.cell_width - 0.5, 0) as bigint) as pcol,
+                   t.caption
+            from p cross join t
+            where cast(round_even((p.y - t.y_origin)/t.cell_height - 0.5, 0) as bigint) between 0 and t.h - 1
+              and cast(round_even((p.x - t.x_origin)/t.cell_width - 0.5, 0) as bigint) between 0 and t.w - 1
+         )
+    select j.point_id, j.image_id, j.prow, j.pcol,
+           case when isnan(px.value) then NULL else cast(px.value as double) end as value,
+           j.caption
+    from j join read_parquet('{fdir}/pixels.parquet') px
+      on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
+    order by j.point_id, j.image_id
+    """
+    return con.sql(q).df().reset_index(drop=True)
+
+
+def test_flagship_join_matches_oracle(spark, fdir):
+    got = _spark_result(spark)
+    exp = _oracle_result(fdir)
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"prow": "int64", "pcol": "int64"}),
+        exp.astype({"prow": "int64", "pcol": "int64"}),
+        check_exact=True,
+    )
+    # captions round-trip byte-identical (BASELINE.json per-row invariant)
+    assert (got["caption"] == exp["caption"]).all()
+
+
+def test_flagship_salted_same_result(spark, fdir):
+    got = _spark_result(spark)
+    salted = _spark_result(spark, n_salts=8)
+    pd.testing.assert_frame_equal(got, salted, check_exact=True)
+
+
+def test_idw_matches_numpy_reference(spark, fdir):
+    tiles = tiles_with_cells(load_tiles(spark, SF))
+    pts = load_points(spark, SF).limit(200)
+    j = point_join.point_in_tile_join(pts, tiles)
+    got = (
+        sample.sample_idw(j)
+        .select("point_id", "image_id", "x", "y", "value",
+                F.col("grid.x_origin").alias("x0"), F.col("grid.y_origin").alias("y0"),
+                F.col("grid.cell_width").alias("cw"), F.col("grid.cell_height").alias("ch"),
+                "bytes", "w", "h", "fmt")
+        .toPandas()
+    )
+    assert len(got) > 0
+    for _, r in got.head(50).iterrows():
+        arr = codec.decode_tile(r["bytes"], int(r["w"]), int(r["h"]), r["fmt"])
+        hh, ww = arr.shape
+        px, py = np.meshgrid(r["x0"] + r["cw"] * (np.arange(ww) + 0.5),
+                             r["y0"] + r["ch"] * (np.arange(hh) + 0.5))
+        expected = npref.idw(arr, px, py, r["x"], r["y"])
+        if np.isnan(expected):
+            assert r["value"] is None or np.isnan(r["value"])
+        else:
+            assert r["value"] == pytest.approx(expected, rel=1e-9)
+
+
+def test_out_of_extent_points_drop(spark, fdir):
+    got = _spark_result(spark)
+    # fixture points 6 & 7 are north of 80° / south of −80° → outside all tiles
+    assert not set(got["point_id"]).intersection({6, 7})
