@@ -1,38 +1,217 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the rasters_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship point-in-tile spatial join + nearest sampling
+                 at sf0.001 (SURVEY §7.1).
+``queries``    — one callable per implemented operator (SURVEY §2).
+``oracle_sql`` — DuckDB-equivalent SQL. Spatial queries run on the
+                 deterministic fixture parquet under
+                 /root/repo/.fixtures/<sf>/ (FIXTURES.md; generated at
+                 import so the oracle can run in any order); queries on
+                 the driver's own tables use the pre-registered views.
+
+Cross-engine parity rules (see SURVEY §7.3):
+- banker's rounding: Spark ``bround`` ↔ DuckDB ``round_even`` (= numpy);
+- NaN pixels cross the relational boundary as SQL NULL on both sides;
+- fixture pixels are exact quarter-integers → sums/avgs are exact in
+  double, so aggregates hash identically regardless of order (lossy q8
+  tiles are excluded from pixel-sum oracles and pinned by PSNR tests).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rasters_spark import cells, fixtures, grid
+from rasters_spark.operators import point_join, sample, stats
+from rasters_spark.tiles import load_points, load_polygons, load_tiles, tiles_with_cells
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+# oracle SQL strings are static → pin the sf0.01 fixture dir (driver runs t2 there)
+FD = str(fixtures.ensure_fixtures(SF01))
+fixtures.ensure_fixtures(SF001)
+
+LEVEL = fixtures.CELL_LEVEL  # 7 → 1.40625° cells
+CSZ = repr(cells.cell_size_deg(LEVEL))
+NX, NY = 2 * (1 << LEVEL), 1 << LEVEL
+PACK = 1 << cells.LEVEL_SHIFT
+IYS = 1 << cells.IY_SHIFT
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_point_sample_join(spark, SF001)
+
+
+# --- spatial queries (fixture tables) -----------------------------------------
+
+def q_point_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir)  # unexploded: skinny index built inside the join
+    p = load_points(spark, sf_dir)
+    j = point_join.point_in_tile_join(p, t)
+    return sample.sample_nearest(j).select(
+        "point_id", "image_id", "prow", "pcol", "value", "caption"
+    )
+
+
+def q_tile_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiles_with_cells(load_tiles(spark, sf_dir)).select("image_id", "cell_id")
+
+
+def q_tile_windows_for_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped read-windows of each tile for each rectangle polygon —
+    the reference's RasterGrid.window (raster_grid.py:770-815) as a join."""
+    t = load_tiles(spark, sf_dir)
+    polys = load_polygons(spark, sf_dir).filter("is_rect").select(
+        "poly_id", grid.bbox_struct("xmin", "ymin", "xmax", "ymax").alias("pbox")
+    )
+    j = t.crossJoin(F.broadcast(polys))
+    w = grid.window_for_bbox(F.col("grid"), F.col("pbox"))
+    return (
+        j.withColumn("win", w)
+        .filter(~F.col("win")["oob"])
+        .select(
+            "image_id", "poly_id",
+            F.col("win")["row_start"].alias("row_start"),
+            F.col("win")["col_start"].alias("col_start"),
+            F.col("win")["row_end"].alias("row_end"),
+            F.col("win")["col_end"].alias("col_end"),
+        )
+    )
+
+
+def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return stats.tile_stats(t)
+
+
+def q_grid_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBox.merge / RasterGrid.merge aggregates (bbox.py:81-108,
+    raster_grid.py:324-348): union extent + finest cell size."""
+    t = load_tiles(spark, sf_dir)
+    bb = F.col("bbox")
+    return t.agg(
+        F.min(bb["xmin"]).alias("xmin"), F.min(bb["ymin"]).alias("ymin"),
+        F.max(bb["xmax"]).alias("xmax"), F.max(bb["ymax"]).alias("ymax"),
+        F.min(F.col("grid")["cell_width"]).alias("min_cell_width"),
+        F.max(F.col("grid")["cell_height"]).alias("max_cell_height"),
+        F.count("*").alias("n_tiles"),
+    )
+
+
+# --- registered-view queries (no fixture dependency) ---------------------------
+
+def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reinterpreted as points (FIXTURES.md §7b): deterministic
+    x/y from value/user_id, counted per level-5 cell."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0 - 180.0
+    y = (F.col("user_id") % 180).cast("double") - 90.0 + 0.5
+    return (
+        ev.withColumn("cell_id", cells.cell_id(x, y, 5))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_events"), F.count_distinct("user_id").alias("n_users"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "point_sample_join": q_point_sample_join,
+        "tile_cell_assignment": q_tile_cell_assignment,
+        "tile_windows_for_polygons": q_tile_windows_for_polygons,
+        "tile_stats": q_tile_stats,
+        "grid_union": q_grid_union,
+        "events_cell_count": q_events_cell_count,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tiles = f"read_parquet('{FD}/tiles.parquet')"
+    points = f"read_parquet('{FD}/points.parquet')"
+    pixels = f"read_parquet('{FD}/pixels.parquet')"
+    polys = f"read_parquet('{FD}/polygons.parquet')"
+
+    def prow(y="p.y"):
+        return f"cast(round_even(({y} - t.y_origin)/t.cell_height - 0.5, 0) as bigint)"
+
+    def pcol(x="p.x"):
+        return f"cast(round_even(({x} - t.x_origin)/t.cell_width - 0.5, 0) as bigint)"
+
+    return {
+        "point_sample_join": f"""
+            with j as (
+              select p.point_id, t.image_id, {prow()} as prow, {pcol()} as pcol, t.caption
+              from {points} p cross join {tiles} t
+              where {prow()} between 0 and t.h - 1 and {pcol()} between 0 and t.w - 1
+            )
+            select j.point_id, j.image_id, j.prow, j.pcol,
+                   case when isnan(px.value) then NULL else cast(px.value as double) end as value,
+                   j.caption
+            from j join {pixels} px
+              on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
+        """,
+        "tile_cell_assignment": f"""
+            with t as (
+              select image_id,
+                greatest(0, least({NX - 1}, cast(floor((x_origin + 180.0) / {CSZ}) as bigint))) as ix0,
+                greatest(0, least({NX - 1}, cast(floor((x_origin + cell_width * w + 180.0) / {CSZ}) as bigint))) as ix1,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - y_origin) / {CSZ}) as bigint))) as iy0,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - (y_origin + cell_height * h)) / {CSZ}) as bigint))) as iy1
+              from {tiles}
+            )
+            select image_id, ({LEVEL} * {PACK} + iy * {IYS} + ix) as cell_id
+            from t, unnest(range(t.iy0, t.iy1 + 1)) as ry(iy), unnest(range(t.ix0, t.ix1 + 1)) as rx(ix)
+        """,
+        "tile_windows_for_polygons": f"""
+            with w as (
+              select t.image_id, p.poly_id, t.h as rows_, t.w as cols_,
+                {prow("p.ymax")} as row_start, {pcol("p.xmin")} as col_start,
+                {prow("p.ymin")} + 1 as row_end, {pcol("p.xmax")} + 1 as col_end
+              from {tiles} t cross join (select * from {polys} where is_rect) p
+            )
+            select image_id, poly_id,
+              greatest(row_start, 0) as row_start, greatest(col_start, 0) as col_start,
+              least(row_end, rows_) as row_end, least(col_end, cols_) as col_end
+            from w
+            where not (row_end < 0 or col_end < 0 or row_start > rows_ or col_start > cols_)
+        """,
+        "tile_stats": f"""
+            select t.image_id,
+                   count(*) as n_pixels,
+                   count(*) filter (not isnan(px.value)) as n_valid,
+                   coalesce(sum(cast(px.value as double)) filter (not isnan(px.value)), 0.0) as vsum,
+                   min(cast(px.value as double)) filter (not isnan(px.value)) as vmin,
+                   max(cast(px.value as double)) filter (not isnan(px.value)) as vmax
+            from {tiles} t join {pixels} px using (image_id)
+            where t.fmt = 'raw'
+            group by t.image_id
+        """,
+        "grid_union": f"""
+            select min(x_origin) as xmin,
+                   min(y_origin + cell_height * h) as ymin,
+                   max(x_origin + cell_width * w) as xmax,
+                   max(y_origin) as ymax,
+                   min(cell_width) as min_cell_width,
+                   max(cell_height) as max_cell_height,
+                   count(*) as n_tiles
+            from {tiles}
+        """,
+        "events_cell_count": f"""
+            with e as (
+              select user_id,
+                     value - floor(value / 360.0) * 360.0 - 180.0 as x,
+                     cast(user_id % 180 as double) - 90.0 + 0.5 as y
+              from events
+            )
+            select {cells.cell_id_sql("x", "y", 5)} as cell_id,
+                   count(*) as n_events, count(distinct user_id) as n_users
+            from e group by 1
+        """,
+    }

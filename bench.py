@@ -1,0 +1,75 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Headline: the flagship spatial-join + tiling pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1 → 20k tiles / 50k
+points fixtures) on local[$SPARK_GRAFT_CPUS]. The primary BASELINE.json
+metric (tiles/sec) is emitted as ``tiles_per_sec``.
+
+Scaling-efficiency evidence (north rule: ≥0.8 between N and 4N) is
+produced by ``tools/bench_scaling.py`` (two fresh JVMs at local[8] /
+local[32]) and recorded in BENCH.md — not here, to keep the per-round
+driver run cheap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    """Fully materialize a DataFrame without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
+    from pyspark.sql import functions as F
+
+    from rasters_spark import fixtures, get_spark
+    from rasters_spark.operators import point_join, sample, stats
+    from rasters_spark.tiles import load_points, load_polygons, load_tiles, tiles_with_cells
+    import __spark_entry__ as e
+
+    fixtures.ensure_fixtures(sf_dir)
+    spark = get_spark(app, master=master)
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    tiles = load_tiles(spark, sf_dir)
+    n_tiles = tiles.count()
+
+    # q1: cell registration (tiling) — explode footprints into cell index
+    timed("tile_cell_assignment", lambda: force(tiles_with_cells(load_tiles(spark, sf_dir)).select("image_id", "cell_id")))
+    # q2: flagship spatial join + nearest sampling
+    timed("point_sample_join", lambda: force(e.q_point_sample_join(spark, sf_dir)))
+    # q3: decode + per-tile stats (Arrow throughput)
+    timed("tile_stats", lambda: force(stats.tile_stats(load_tiles(spark, sf_dir))))
+    # q4: window join vs polygon table
+    timed("tile_windows_for_polygons", lambda: force(e.q_tile_windows_for_polygons(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    sf = fixtures.scale_of(sf_dir)
+    return {
+        "metric": "spatial_join_tiling_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_tiles": n_tiles,
+        "tiles_per_sec": round(n_tiles / timings["point_sample_join"], 1) if timings.get("point_sample_join") else None,
+        "master": spark.sparkContext.master,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    print(json.dumps(run(sf_dir)))

@@ -90,6 +90,26 @@ def psnr(ref: np.ndarray, test: np.ndarray) -> float:
     return 20.0 * np.log10(rng) - 10.0 * np.log10(mse)
 
 
+def pixel_at(data: bytes, w: int, h: int, fmt: str, row: int, col: int) -> float:
+    """Single-pixel fetch WITHOUT decoding the tile — O(1) per lookup.
+
+    The nearest-sampling hot path: a point matched against a large tile
+    stack (skewed cells) reads 4 bytes per pair instead of h·w·4.
+    Semantically identical to decode_tile(...)[row, col].
+    """
+    off = row * w + col
+    if fmt == "raw":
+        return float(np.frombuffer(data, dtype="<f4", count=1, offset=4 * off)[0])
+    if fmt == "q8":
+        vmin, vmax = np.frombuffer(data, dtype="<f4", count=2)
+        q = data[HEADER_Q8 + off]
+        if q == 255:
+            return float("nan")
+        span = float(vmax - vmin) or 1.0
+        return float(np.float32(vmin) + np.float32(q) / np.float32(254.0) * np.float32(span))
+    raise ValueError(f"unknown fmt: {fmt}")
+
+
 def decode_batch(bytes_s, w_s, h_s, fmt_s):
     """Iterate decoded arrays for a pandas batch of tiles (kernel helper)."""
     for data, w, h, fmt in zip(bytes_s, w_s, h_s, fmt_s):

@@ -35,7 +35,11 @@ import pyarrow.parquet as pq
 
 from rasters_spark import codec, npref
 
-FIXTURE_VERSION = "v1"
+FIXTURE_VERSION = "v2"
+# small row groups → Spark gets splittable scan partitions (a single-file
+# single-row-group parquet pins every Arrow kernel stage to ONE task)
+TILE_ROW_GROUP = 512
+PIXEL_ROW_GROUP = 262_144
 FIXTURE_ROOT = Path(os.environ.get("SPARK_GRAFT_FIXTURES", "/root/repo/.fixtures"))
 CELL_LEVEL = 7  # 180/2^7 = 1.40625° cells; ~1° tile footprints cover 1-4 cells
 
@@ -236,10 +240,10 @@ def ensure_fixtures(sf_dir: str) -> Path:
     out.mkdir(parents=True, exist_ok=True)
     sf = scale_of(sf_dir)
     tiles, pixels = make_tiles(n_tiles_for(sf))
-    pq.write_table(tiles, out / "tiles.parquet")
+    pq.write_table(tiles, out / "tiles.parquet", row_group_size=TILE_ROW_GROUP)
     if pixels is not None:
-        pq.write_table(pixels, out / "pixels.parquet")
-    pq.write_table(make_points(n_points_for(sf)), out / "points.parquet")
+        pq.write_table(pixels, out / "pixels.parquet", row_group_size=PIXEL_ROW_GROUP)
+    pq.write_table(make_points(n_points_for(sf)), out / "points.parquet", row_group_size=65_536)
     pq.write_table(make_polygons(), out / "polygons.parquet")
     marker.touch()
     return out

@@ -28,29 +28,57 @@ def point_in_tile_join(
     level: int = fixtures.CELL_LEVEL,
     broadcast_points: bool = True,
     n_salts: int | None = None,
+    payload_cols: tuple[str, ...] = ("bytes", "w", "h", "fmt", "caption", "phash"),
 ) -> DataFrame:
     """points(point_id,x,y) ⋈ tiles_cells(cell_id, grid, …) → matched pairs
     with per-point pixel indices (prow, pcol).
+
+    Index-then-fetch: the cell-explode + join runs on a SKINNY index
+    (image_id, grid, cell_id) so the multi-KB pixel payload is never
+    replicated through the footprint fanout or the skewed hot cells;
+    payload columns are re-attached afterwards by an equi-join on
+    image_id over only the MATCHED pairs. At 10^12 tiles this is the
+    difference between shuffling terabytes of pixels and shuffling a
+    few-byte index.
 
     ``n_salts``: spread hot cells over N composite keys — the big (tile)
     side gets a deterministic per-row salt, the small (point) side
     explodes all N salts. Leave None to rely on AQE skew splitting.
     """
+    payload_cols = tuple(c for c in payload_cols if c in tiles_cells.columns)
+    exploded = "cell_id" in tiles_cells.columns
+    if exploded:
+        index = tiles_cells.drop(*payload_cols)
+        payload_src = tiles_cells.select("image_id", *payload_cols).dropDuplicates(["image_id"]) if payload_cols else None
+    else:
+        from rasters_spark.tiles import tiles_with_cells
+
+        index = tiles_with_cells(tiles_cells.drop(*payload_cols), level)
+        payload_src = tiles_cells.select("image_id", *payload_cols) if payload_cols else None
     pts = points.withColumn("cell_id", cells.cell_id(F.col("x"), F.col("y"), level))
     if n_salts:
-        tiles_cells = tiles_cells.withColumn(
+        index = index.withColumn(
             "join_key", cells.salted(F.col("cell_id"), n_salts) + cells.salt_of(F.col("image_id"), n_salts)
         )
         pts = pts.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))).withColumn(
             "join_key", cells.salted(F.col("cell_id"), n_salts) + F.col("_salt")
-        ).drop("_salt")
+        ).drop("_salt", "cell_id")
         key = "join_key"
     else:
         key = "cell_id"
     p = F.broadcast(pts) if broadcast_points else pts
-    j = tiles_cells.join(p.drop("crs"), key)
+    j = index.join(p.drop("crs"), key)
     g = F.col("grid")
     j = j.withColumn("prow", grid.point_row(g, F.col("y"))).withColumn(
         "pcol", grid.point_col(g, F.col("x"))
     )
-    return j.filter(grid.in_bounds(g, F.col("prow"), F.col("pcol")))
+    j = j.filter(grid.in_bounds(g, F.col("prow"), F.col("pcol")))
+    if payload_src is not None:
+        # matched pairs are bounded by |points|·fanout when the point side
+        # was broadcast-able → broadcast them and STREAM the payload scan
+        # (no shuffle of pixel bytes). With a huge point side, fall back to
+        # an AQE-planned equi-join on image_id.
+        matched = F.broadcast(j) if broadcast_points else j
+        cols = [c for c in j.columns] + list(payload_cols)
+        j = payload_src.join(matched, "image_id").select(*cols)
+    return j

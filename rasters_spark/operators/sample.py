@@ -26,14 +26,9 @@ from rasters_spark import codec
 def _nearest_kernel(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
                     prow: pd.Series, pcol: pd.Series) -> pd.Series:
     out = np.empty(len(data), dtype=np.float64)
-    cache: dict[int, np.ndarray] = {}
     for i, (b, wi, hi, f, r, c) in enumerate(zip(data, w, h, fmt, prow, pcol)):
-        key = id(b)
-        arr = cache.get(key)
-        if arr is None:
-            arr = codec.decode_tile(b, int(wi), int(hi), f)
-            cache[key] = arr
-        out[i] = arr[int(r), int(c)]
+        # O(1) offset read per pair — no whole-tile decode on the hot path
+        out[i] = codec.pixel_at(b, int(wi), int(hi), f, int(r), int(c))
     # Arrow's pandas→arrow conversion maps NaN→null: NaN pixels surface as SQL NULL
     return pd.Series(out)
 

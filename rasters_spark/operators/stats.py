@@ -1,0 +1,67 @@
+"""Tile statistics — Arrow decode + per-tile partial aggregation.
+
+The reference's whole-raster reductions (range raster.py:1109-1113,
+empty :1871-1876, nanmean via the __getattr__ escape raster.py:971-978)
+become two-level aggregation here: per-tile partials computed inside ONE
+Arrow pass over the decoded pixels (the map-side combine), then plain
+SQL finals across tiles. At 10^12 tiles the Arrow stage is
+embarrassingly parallel and the final agg moves only 4 doubles/tile.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rasters_spark import codec
+
+TILE_STATS_SCHEMA = (
+    "image_id string, n_pixels long, n_valid long, vsum double, vmin double, vmax double"
+)
+
+
+def _stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n = len(pdf)
+        out = {
+            "image_id": pdf["image_id"].to_numpy(),
+            "n_pixels": np.empty(n, np.int64),
+            "n_valid": np.empty(n, np.int64),
+            "vsum": np.empty(n, np.float64),
+            "vmin": np.empty(n, np.float64),
+            "vmax": np.empty(n, np.float64),
+        }
+        for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+            valid = np.isfinite(arr)
+            nv = int(valid.sum())
+            out["n_pixels"][i] = arr.size
+            out["n_valid"][i] = nv
+            # float32→float64 BEFORE summing: exact for quarter-integer fixtures
+            v = arr[valid].astype(np.float64)
+            out["vsum"][i] = v.sum() if nv else 0.0
+            out["vmin"][i] = v.min() if nv else np.nan
+            out["vmax"][i] = v.max() if nv else np.nan
+        yield pd.DataFrame(out)
+
+
+def tile_stats(tiles: DataFrame) -> DataFrame:
+    """Per-tile (n_pixels, n_valid, vsum, vmin, vmax) from the binary
+    pixel column. NaN partials surface as NULL (all-nodata tiles,
+    reference `empty` raster.py:1871-1876 ≙ n_valid = 0)."""
+    cols = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    return cols.mapInPandas(_stats_batches, schema=TILE_STATS_SCHEMA)
+
+
+def global_range(tiles: DataFrame) -> DataFrame:
+    """nanmin/nanmax across all tiles (raster.py:1109-1113) — partial
+    per-tile then scalar final agg."""
+    return tile_stats(tiles).agg(
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("n_valid").alias("n_valid"),
+        F.sum("n_pixels").alias("n_pixels"),
+    )
