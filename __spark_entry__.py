@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rasters_spark import cells, fixtures, grid
-from rasters_spark.operators import point_join, sample, stats
+from rasters_spark.operators import joins, knn, point_join, sample, stats
 from rasters_spark.tiles import load_points, load_polygons, load_tiles, tiles_with_cells
 
 SF001 = "/root/testdata/sf0.001"
@@ -106,6 +106,43 @@ def q_grid_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RASTERIZE_TARGET = dict(
+    x_origin=-180.0, y_origin=90.0, cell_width=0.25, cell_height=-0.25,
+    rows=720, cols=1440, crs="EPSG:4326",
+)
+
+
+def q_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PIP join (ray-cast kernel); rect subset so the DuckDB oracle
+    can assert the identical half-open bbox semantics. Convex/concave
+    rings are pinned by tests/test_joins.py instead."""
+    pts = load_points(spark, sf_dir)
+    polys = load_polygons(spark, sf_dir).filter("is_rect")
+    return joins.points_in_polygons(pts, polys).select("point_id", "poly_id", "x", "y", "burn_value")
+
+
+def q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = load_polygons(spark, sf_dir).filter("is_rect")
+    return joins.rasterize(polys, RASTERIZE_TARGET, merge_alg="add")
+
+
+def q_rasterize_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = load_polygons(spark, sf_dir).filter("is_rect")
+    return joins.rasterize(polys, RASTERIZE_TARGET, merge_alg="replace")
+
+
+def q_tiles_in_polygons_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir)
+    p = load_polygons(spark, sf_dir)
+    return joins.tiles_intersecting_polygons(t, p, semi=True).select("image_id")
+
+
+def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir)
+    p = load_points(spark, sf_dir)
+    return knn.knn_tiles(p, t, k=3, ring=2)
+
+
 # --- registered-view queries (no fixture dependency) ---------------------------
 
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,6 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_stats": q_tile_stats,
         "grid_union": q_grid_union,
         "events_cell_count": q_events_cell_count,
+        "points_in_polygons": q_points_in_polygons,
+        "rasterize_add": q_rasterize_add,
+        "rasterize_replace": q_rasterize_replace,
+        "tiles_in_polygons_semi": q_tiles_in_polygons_semi,
+        "knn_tiles": q_knn_tiles,
     }
 
 
@@ -202,6 +244,101 @@ def oracle_sql() -> dict[str, str]:
                    max(cell_height) as max_cell_height,
                    count(*) as n_tiles
             from {tiles}
+        """,
+        "points_in_polygons": f"""
+            select p.point_id, g.poly_id, p.x, p.y, g.burn_value
+            from {points} p cross join (select * from {polys} where is_rect) g
+            where p.x >= g.xmin and p.x < g.xmax and p.y >= g.ymin and p.y < g.ymax
+        """,
+        "rasterize_add": f"""
+            with win as (
+              select poly_id, burn_value, xmin, ymin, xmax, ymax,
+                greatest(cast(round_even((ymax - 90.0)/(-0.25) - 0.5, 0) as bigint), 0) as rs,
+                greatest(cast(round_even((xmin + 180.0)/0.25 - 0.5, 0) as bigint), 0) as cs,
+                least(cast(round_even((ymin - 90.0)/(-0.25) - 0.5, 0) as bigint) + 1, 720) as re,
+                least(cast(round_even((xmax + 180.0)/0.25 - 0.5, 0) as bigint) + 1, 1440) as ce
+              from {polys} where is_rect
+            ),
+            burned as (
+              select w.poly_id, w.burn_value, r.row_, c.col_
+              from win w,
+                   unnest(range(w.rs, w.re)) as r(row_),
+                   unnest(range(w.cs, w.ce)) as c(col_)
+              where (-180.0 + 0.25 * (c.col_ + 0.5)) >= w.xmin and (-180.0 + 0.25 * (c.col_ + 0.5)) < w.xmax
+                and (90.0 + (-0.25) * (r.row_ + 0.5)) >= w.ymin and (90.0 + (-0.25) * (r.row_ + 0.5)) < w.ymax
+            )
+            select row_ as row, col_ as col, sum(burn_value) as value
+            from burned group by 1, 2
+        """,
+        "rasterize_replace": f"""
+            with win as (
+              select poly_id, burn_value, xmin, ymin, xmax, ymax,
+                greatest(cast(round_even((ymax - 90.0)/(-0.25) - 0.5, 0) as bigint), 0) as rs,
+                greatest(cast(round_even((xmin + 180.0)/0.25 - 0.5, 0) as bigint), 0) as cs,
+                least(cast(round_even((ymin - 90.0)/(-0.25) - 0.5, 0) as bigint) + 1, 720) as re,
+                least(cast(round_even((xmax + 180.0)/0.25 - 0.5, 0) as bigint) + 1, 1440) as ce
+              from {polys} where is_rect
+            ),
+            burned as (
+              select w.poly_id, w.burn_value, r.row_, c.col_
+              from win w,
+                   unnest(range(w.rs, w.re)) as r(row_),
+                   unnest(range(w.cs, w.ce)) as c(col_)
+              where (-180.0 + 0.25 * (c.col_ + 0.5)) >= w.xmin and (-180.0 + 0.25 * (c.col_ + 0.5)) < w.xmax
+                and (90.0 + (-0.25) * (r.row_ + 0.5)) >= w.ymin and (90.0 + (-0.25) * (r.row_ + 0.5)) < w.ymax
+            )
+            select row_ as row, col_ as col, arg_max(burn_value, poly_id) as value
+            from burned group by 1, 2
+        """,
+        "tiles_in_polygons_semi": f"""
+            select t.image_id from {tiles} t
+            where exists (
+              select 1 from {polys} g
+              where t.x_origin < g.xmax and (t.x_origin + t.cell_width * t.w) > g.xmin
+                and (t.y_origin + t.cell_height * t.h) < g.ymax and t.y_origin > g.ymin
+            )
+        """,
+        "knn_tiles": f"""
+            with tc as (
+              select image_id,
+                x_origin + cell_width * w / 2.0 as cx,
+                y_origin + cell_height * h / 2.0 as cy,
+                greatest(0, least({NX - 1}, cast(floor((x_origin + 180.0) / {CSZ}) as bigint))) as ix0,
+                greatest(0, least({NX - 1}, cast(floor((x_origin + cell_width * w + 180.0) / {CSZ}) as bigint))) as ix1,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - y_origin) / {CSZ}) as bigint))) as iy0,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - (y_origin + cell_height * h)) / {CSZ}) as bigint))) as iy1
+              from {tiles}
+            ),
+            tcell as (
+              select image_id, cx, cy, (iy * {IYS} + ix) as cyx
+              from tc, unnest(range(tc.iy0, tc.iy1 + 1)) as ry(iy), unnest(range(tc.ix0, tc.ix1 + 1)) as rx(ix)
+            ),
+            pc as (
+              select point_id, x, y,
+                greatest(0, least({NX - 1}, cast(floor((x + 180.0) / {CSZ}) as bigint))) as ix,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - y) / {CSZ}) as bigint))) as iy
+              from {points}
+            ),
+            pcell as (
+              select distinct point_id, x, y,
+                (greatest(0, least({NY - 1}, iy + d0.dy)) * {IYS}
+                 + ((ix + d1.dx) % {NX} + {NX}) % {NX}) as cyx
+              from pc, unnest(range(-2, 3)) as d0(dy), unnest(range(-2, 3)) as d1(dx)
+            ),
+            cand as (
+              select distinct p.point_id, p.x, p.y, t.image_id, t.cx, t.cy
+              from pcell p join tcell t using (cyx)
+            ),
+            ranked as (
+              select point_id, image_id,
+                sqrt((cx - x) * (cx - x) + (cy - y) * (cy - y)) as dist,
+                row_number() over (
+                  partition by point_id
+                  order by sqrt((cx - x) * (cx - x) + (cy - y) * (cy - y)) asc, image_id asc
+                ) as rank
+              from cand
+            )
+            select point_id, image_id, rank, dist from ranked where rank <= 3
         """,
         "events_cell_count": f"""
             with e as (

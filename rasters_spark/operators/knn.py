@@ -1,0 +1,74 @@
+"""kNN tile lookup via cell-ring expansion (north-rule operator).
+
+Reference analogue: ``KDTree`` k-neighbour search (kdtree.py:52-202,
+``neighbours`` param :76) and ``RasterGeolocation.index_point``
+(raster_geolocation.py:130-143). The reference builds an in-memory
+cKDTree; here candidate generation is a bounded ring expansion around
+the query's cell — an equi-join — followed by a per-query top-k window.
+
+Contract (mirrors the radius-of-influence semantics kdtree.py:168-179):
+candidates are all tiles registered in any cell within Chebyshev ring
+``R`` of the query point's cell. With cell size ``s`` this guarantees
+every tile whose footprint comes within ``R·s`` of the point is
+considered; tiles farther than the ring bound may be missed — exactly
+the reference's "beyond radius → fill/miss" behavior, with
+radius = R·s playing the role of 2.0 × max(cell_size) (kdtree.py:27).
+
+Distance = Euclidean degrees between the query point and the tile
+centroid. Ties broken deterministically by image_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rasters_spark import cells, fixtures, grid
+
+
+def knn_tiles(
+    points: DataFrame,
+    tiles: DataFrame,
+    k: int = 3,
+    ring: int = 2,
+    level: int = fixtures.CELL_LEVEL,
+) -> DataFrame:
+    """→ (point_id, image_id, rank, dist): k nearest tiles per point.
+
+    Scale notes: the ring explode multiplies the (small) point side by
+    (2R+1)², the tile side is its skinny cell index — the join stays an
+    equi-join on cell_id with the same salting/AQE story as the
+    flagship. Points with fewer than k candidates return what exists
+    (reference: fill_value for misses, kdtree.py:300-310).
+    """
+    payload_free = tiles.select("image_id", "grid", "bbox")
+    if "cell_id" not in tiles.columns:
+        from rasters_spark.tiles import tiles_with_cells
+
+        index = tiles_with_cells(payload_free, level)
+    else:
+        index = tiles.select("image_id", "grid", "bbox", "cell_id")
+
+    pts = points.select(
+        "point_id", "x", "y",
+        F.explode(cells.ring_cells(cells.cell_id(F.col("x"), F.col("y"), level), level, ring)).alias("cell_id"),
+    )
+    g = F.col("grid")
+    cx = g["x_origin"] + g["cell_width"] * g["cols"].cast("double") / 2.0
+    cy = g["y_origin"] + g["cell_height"] * g["rows"].cast("double") / 2.0
+    dx = cx - F.col("x")
+    dy = cy - F.col("y")
+    j = (
+        index.join(F.broadcast(pts), "cell_id")
+        # a tile may appear in several ring cells of the same point — dedup
+        .dropDuplicates(["point_id", "image_id"])
+        # dx*dx, not pow(dx,2): plain multiplication is bit-identical across
+        # engines (numpy / DuckDB oracle), libm pow is not guaranteed to be
+        .withColumn("dist", F.sqrt(dx * dx + dy * dy))
+    )
+    w = Window.partitionBy("point_id").orderBy(F.col("dist").asc(), F.col("image_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("point_id", "image_id", "rank", "dist")
+    )
