@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rasters_spark import cells, fixtures, grid
-from rasters_spark.operators import joins, knn, point_join, sample, stats
+from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
+from rasters_spark.operators import rastermath as rm
 from rasters_spark.tiles import load_points, load_polygons, load_tiles, tiles_with_cells
 
 SF001 = "/root/testdata/sf0.001"
@@ -143,6 +144,49 @@ def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_tiles(p, t, k=3, ring=2)
 
 
+COARSE_TARGET = dict(
+    x_origin=-180.0, y_origin=90.0, cell_width=1.0, cell_height=-1.0,
+    rows=180, cols=360, crs="EPSG:4326",
+)
+
+
+def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused element-wise chain (×2, +10, clip, threshold-mask) in ONE
+    Arrow pass, then per-tile stats — SURVEY §3 EP3 as a single stage."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    kernel = rm.compose(rm.mul(2.0), rm.add(10.0), rm.clip(0.0, 1500.0), rm.mask(rm.lt(1400.0)))
+    return stats.tile_stats(rm.elementwise(t, kernel))
+
+
+def q_trim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir)
+    return rm.trim(t).select("image_id", "w", "h", "x_origin", "y_origin")
+
+
+def q_merge_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return resample.merge_mean(t, RASTERIZE_TARGET)
+
+
+def q_mosaic_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir)
+    return resample.mosaic_first(t, RASTERIZE_TARGET)
+
+
+def q_to_grid_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return resample.to_grid_average(t, RASTERIZE_TARGET)
+
+
+def q_bias_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bias_correct pipeline over two rasterized layers (fine 0.25°,
+    coarse 1°) — avg-upsample, bias, nearest-downsample, all SQL."""
+    polys = load_polygons(spark, sf_dir).filter("is_rect")
+    fine = joins.rasterize(polys, RASTERIZE_TARGET, merge_alg="add")
+    coarse = joins.rasterize(polys, COARSE_TARGET, merge_alg="add")
+    return resample.bias_correct(coarse, fine, COARSE_TARGET, RASTERIZE_TARGET)
+
+
 # --- registered-view queries (no fixture dependency) ---------------------------
 
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +215,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_replace": q_rasterize_replace,
         "tiles_in_polygons_semi": q_tiles_in_polygons_semi,
         "knn_tiles": q_knn_tiles,
+        "raster_algebra": q_raster_algebra,
+        "trim_grid": q_trim_grid,
+        "merge_mean": q_merge_mean,
+        "mosaic_first": q_mosaic_first,
+        "to_grid_average": q_to_grid_average,
+        "bias_correct": q_bias_correct,
     }
+
+
+def _rasterize_sql(polys: str, csz: float, rows: int, cols: int, agg: str) -> str:
+    """DuckDB replication of joins.rasterize on rect polygons for a
+    global grid with cell size ``csz``: window via round_even, candidate
+    range explode, half-open center test, sum / arg_max composite."""
+    val = "sum(burn_value)" if agg == "sum" else "arg_max(burn_value, poly_id)"
+    return f"""
+        with win_r as (
+          select poly_id, burn_value, xmin, ymin, xmax, ymax,
+            greatest(cast(round_even((ymax - 90.0)/(-{csz}) - 0.5, 0) as bigint), 0) as rs,
+            greatest(cast(round_even((xmin + 180.0)/{csz} - 0.5, 0) as bigint), 0) as cs,
+            least(cast(round_even((ymin - 90.0)/(-{csz}) - 0.5, 0) as bigint) + 1, {rows}) as re,
+            least(cast(round_even((xmax + 180.0)/{csz} - 0.5, 0) as bigint) + 1, {cols}) as ce
+          from {polys} where is_rect
+        ),
+        burned_r as (
+          select w.poly_id, w.burn_value, r.row_, c.col_
+          from win_r w,
+               unnest(range(w.rs, w.re)) as r(row_),
+               unnest(range(w.cs, w.ce)) as c(col_)
+          where (-180.0 + {csz} * (c.col_ + 0.5)) >= w.xmin and (-180.0 + {csz} * (c.col_ + 0.5)) < w.xmax
+            and (90.0 + (-{csz}) * (r.row_ + 0.5)) >= w.ymin and (90.0 + (-{csz}) * (r.row_ + 0.5)) < w.ymax
+        )
+        select row_ as row, col_ as col, {val} as value
+        from burned_r group by 1, 2
+    """
+
+
+def _resample_cte(tiles: str, pixels: str, fmt_filter: str) -> str:
+    """Shared CTE chain: tiles → 0.25° target-cell candidates → nearest
+    source-pixel sample (mirrors resample.target_candidates exactly)."""
+    return f"""
+        with t as (select * from {tiles} {fmt_filter}),
+        win as (
+          select image_id, x_origin, y_origin, cell_width, cell_height, w, h,
+            greatest(cast(round_even((y_origin - 90.0)/(-0.25) - 0.5, 0) as bigint), 0) as rs,
+            greatest(cast(round_even((x_origin + 180.0)/0.25 - 0.5, 0) as bigint), 0) as cs,
+            least(cast(round_even(((y_origin + cell_height * h) - 90.0)/(-0.25) - 0.5, 0) as bigint) + 1, 720) as re,
+            least(cast(round_even(((x_origin + cell_width * w) + 180.0)/0.25 - 0.5, 0) as bigint) + 1, 1440) as ce
+          from t
+        ),
+        cand as (
+          select w_.image_id, w_.x_origin, w_.y_origin, w_.cell_width, w_.cell_height, w_.w, w_.h,
+                 r.trow, c.tcol
+          from win w_,
+               unnest(range(w_.rs, w_.re)) as r(trow),
+               unnest(range(w_.cs, w_.ce)) as c(tcol)
+        ),
+        idx as (
+          select image_id, trow, tcol, h, w,
+            cast(round_even(((90.0 + (-0.25) * (trow + 0.5)) - y_origin)/cell_height - 0.5, 0) as bigint) as prow,
+            cast(round_even(((-180.0 + 0.25 * (tcol + 0.5)) - x_origin)/cell_width - 0.5, 0) as bigint) as pcol
+          from cand
+        ),
+        sampled as (
+          select i.image_id, i.trow, i.tcol, px.value
+          from idx i join {pixels} px
+            on px.image_id = i.image_id and px.prow = i.prow and px.pcol = i.pcol
+          where i.prow between 0 and i.h - 1 and i.pcol between 0 and i.w - 1
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -339,6 +451,75 @@ def oracle_sql() -> dict[str, str]:
               from cand
             )
             select point_id, image_id, rank, dist from ranked where rank <= 3
+        """,
+        "raster_algebra": f"""
+            with v as (
+              select px.image_id, px.value,
+                     least(greatest(cast(px.value as double) * 2.0 + 10.0, 0.0), 1500.0) as v2
+              from {tiles} t join {pixels} px using (image_id)
+              where t.fmt = 'raw'
+            )
+            select image_id,
+                   count(*) as n_pixels,
+                   count(*) filter (not isnan(value) and v2 < 1400.0) as n_valid,
+                   coalesce(sum(v2) filter (not isnan(value) and v2 < 1400.0), 0.0) as vsum,
+                   min(v2) filter (not isnan(value) and v2 < 1400.0) as vmin,
+                   max(v2) filter (not isnan(value) and v2 < 1400.0) as vmax
+            from v group by image_id
+        """,
+        "trim_grid": f"""
+            select t.image_id,
+                   cast(max(px.pcol) - min(px.pcol) + 1 as int) as w,
+                   cast(max(px.prow) - min(px.prow) + 1 as int) as h,
+                   t.x_origin + min(px.pcol) * t.cell_width as x_origin,
+                   t.y_origin + min(px.prow) * t.cell_height as y_origin
+            from {tiles} t join {pixels} px using (image_id)
+            where not isnan(px.value)
+            group by t.image_id, t.x_origin, t.y_origin, t.cell_width, t.cell_height
+        """,
+        "merge_mean": f"""
+            {_resample_cte(tiles, pixels, fmt_filter="where fmt = 'raw'")}
+            select trow, tcol,
+                   sum(cast(value as double)) / count(*) as value,
+                   count(*) as n
+            from sampled where not isnan(value)
+            group by trow, tcol
+        """,
+        "mosaic_first": f"""
+            {_resample_cte(tiles, pixels, fmt_filter="")}
+            select trow, tcol, arg_min(cast(value as double), image_id) as value
+            from sampled where not isnan(value)
+            group by trow, tcol
+        """,
+        "to_grid_average": f"""
+            with p as (
+              select px.image_id, cast(px.value as double) as value,
+                cast(round_even(((t.x_origin + t.cell_width * (px.pcol + 0.5)) - (-180.0)) / 0.25 - 0.5, 0) as bigint) as tcol,
+                cast(round_even(((t.y_origin + t.cell_height * (px.prow + 0.5)) - 90.0) / (-0.25) - 0.5, 0) as bigint) as trow
+              from {tiles} t join {pixels} px using (image_id)
+              where t.fmt = 'raw' and not isnan(px.value)
+            )
+            select image_id, trow, tcol, sum(value) / count(*) as value, count(*) as n
+            from p
+            where trow between 0 and 719 and tcol between 0 and 1439
+            group by image_id, trow, tcol
+        """,
+        "bias_correct": f"""
+            with fine as ({_rasterize_sql(polys, 0.25, 720, 1440, "sum")}),
+                 coarse as ({_rasterize_sql(polys, 1.0, 180, 360, "sum")}),
+                 f as (
+                   select row, col, value,
+                     cast(round_even(((90.0 + (-0.25) * (row + 0.5)) - 90.0) / (-1.0) - 0.5, 0) as bigint) as crow,
+                     cast(round_even(((-180.0 + 0.25 * (col + 0.5)) + 180.0) / 1.0 - 0.5, 0) as bigint) as ccol
+                   from fine
+                 ),
+                 up as (select crow, ccol, sum(value) / count(value) as up from f group by 1, 2),
+                 bias as (
+                   select up.crow, up.ccol, up.up - c.value as bias
+                   from up join coarse c on c.row = up.crow and c.col = up.ccol
+                 )
+            select f.row, f.col, f.value - b.bias as value
+            from f join bias b using (crow, ccol)
         """,
         "events_cell_count": f"""
             with e as (

@@ -1,0 +1,89 @@
+"""Fused element-wise kernels + trim vs direct numpy on decoded fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_spark import codec, fixtures
+from rasters_spark.operators import rastermath as rm
+from rasters_spark.tiles import load_tiles
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fixtures():
+    fixtures.ensure_fixtures(SF)
+
+
+def _decode_all(df):
+    out = {}
+    for r in df.collect():
+        out[r.image_id] = codec.decode_tile(r.bytes, r.w, r.h, r.fmt)
+    return out
+
+
+def test_fused_chain_matches_numpy(spark):
+    tiles = load_tiles(spark, SF).limit(20)
+    kernel = rm.compose(rm.mul(2.0), rm.add(10.0), rm.clip(0.0, 1500.0), rm.mask(rm.lt(1400.0)))
+    got = _decode_all(rm.elementwise(tiles, kernel))
+    src = _decode_all(tiles)
+    assert got.keys() == src.keys()
+    for iid, a in src.items():
+        with np.errstate(invalid="ignore"):
+            exp = np.clip(a * 2.0 + 10.0, 0.0, 1500.0)
+            exp = np.where(exp < 1400.0, exp, np.nan).astype(np.float32)
+        np.testing.assert_array_equal(got[iid], exp)
+
+
+def test_where_fill_validmask(spark):
+    tiles = load_tiles(spark, SF).limit(10)
+    src = _decode_all(tiles)
+    got = _decode_all(rm.elementwise(tiles, rm.fill(-1.0)))
+    for iid, a in src.items():
+        np.testing.assert_array_equal(got[iid], np.where(np.isnan(a), -1.0, a).astype(np.float32))
+    gotm = _decode_all(rm.elementwise(tiles, rm.valid_mask()))
+    for iid, a in src.items():
+        np.testing.assert_array_equal(gotm[iid], np.isfinite(a).astype(np.float32))
+    gotw = _decode_all(rm.elementwise(tiles, rm.where(rm.gt(500.0), 1.0, 0.0)))
+    for iid, a in src.items():
+        with np.errstate(invalid="ignore"):
+            np.testing.assert_array_equal(gotw[iid], np.where(a > 500.0, 1.0, 0.0).astype(np.float32))
+
+
+def test_stretch(spark):
+    tiles = load_tiles(spark, SF).limit(5)
+    src = _decode_all(tiles)
+    got = _decode_all(rm.elementwise(tiles, rm.minmaxstretch()))
+    for iid, a in src.items():
+        lo, hi = np.nanmin(a), np.nanmax(a)
+        np.testing.assert_allclose(got[iid], ((a - lo) / (hi - lo)).astype(np.float32), rtol=1e-6)
+
+
+def test_tile_binary(spark):
+    tiles = load_tiles(spark, SF).limit(10)
+    doubled = rm.elementwise(tiles, rm.mul(2.0))
+    diff = rm.tile_binary(doubled, tiles, lambda a, b: a - b)
+    got = _decode_all(diff)
+    src = _decode_all(tiles)
+    for iid, a in src.items():
+        np.testing.assert_allclose(got[iid], a, rtol=1e-6)
+
+
+def test_trim_matches_numpy(spark):
+    tiles = load_tiles(spark, SF).limit(30)
+    src = {r.image_id: (codec.decode_tile(r.bytes, r.w, r.h, r.fmt), r) for r in tiles.collect()}
+    got = {r.image_id: r for r in rm.trim(tiles).collect()}
+    for iid, (a, meta) in src.items():
+        valid = np.isfinite(a)
+        if not valid.any():
+            assert iid not in got
+            continue
+        rr = np.flatnonzero(valid.any(axis=1))
+        cc = np.flatnonzero(valid.any(axis=0))
+        g = got[iid]
+        assert (g.h, g.w) == (rr[-1] - rr[0] + 1, cc[-1] - cc[0] + 1)
+        assert g.x_origin == pytest.approx(meta.x_origin + cc[0] * meta.cell_width)
+        assert g.y_origin == pytest.approx(meta.y_origin + rr[0] * meta.cell_height)
+        sub = codec.decode_tile(g.bytes, g.w, g.h, g.fmt)
+        np.testing.assert_array_equal(sub, a[rr[0]:rr[-1] + 1, cc[0]:cc[-1] + 1])
