@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rasters_spark import cells, fixtures, grid
+from rasters_spark.datapipe import dedup, multimodal, similarity, textstats
 from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
 from rasters_spark.operators import rastermath as rm
 from rasters_spark.tiles import load_points, load_polygons, load_tiles, tiles_with_cells
@@ -189,6 +190,68 @@ def q_bias_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- registered-view queries (no fixture dependency) ---------------------------
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.85)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch candidates, exact-verified: output equals the brute-force
+    ≥0.85 pair set whenever LSH recall is complete (asserted in tests
+    on the deterministic fixtures) — the oracle IS the brute force."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.85)
+
+
+def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc (rows-only check: no portable 64-bit hash
+    exists across Spark/DuckDB; pinned by pytest recomputation)."""
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_stats(_docs(spark, sf_dir))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.langid(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return similarity.cosine_topk(e, e.filter("vec_id < 20"), k=5)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant (rows-only: approximate by construction; recall vs
+    the exact brute force is asserted in tests)."""
+    e = _emb(spark, sf_dir)
+    return similarity.lsh_cosine_topk(e, e.filter("vec_id < 20"), k=5)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction; oracle checks the recomputed phash
+    against the INDEPENDENTLY stored fixture column plus exact means
+    from the pixels table (raw tiles)."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    f = multimodal.extract_features(t)
+    return f.select("image_id", "n_bytes", "width", "height", "phash", "mean")
+
+
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reinterpreted as points (FIXTURES.md §7b): deterministic
     x/y from value/user_id, counted per level-5 cell."""
@@ -221,6 +284,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_first": q_mosaic_first,
         "to_grid_average": q_to_grid_average,
         "bias_correct": q_bias_correct,
+        "exact_dedup": q_exact_dedup,
+        "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_sigs": q_simhash_sigs,
+        "doc_stats": q_doc_stats,
+        "langid": q_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -283,6 +356,47 @@ def _resample_cte(tiles: str, pixels: str, fmt_filter: str) -> str:
             on px.image_id = i.image_id and px.prow = i.prow and px.pcol = i.pcol
           where i.prow between 0 and i.h - 1 and i.pcol between 0 and i.w - 1
         )
+    """
+
+
+_JACCARD_SQL = """
+    with g as (
+      select doc_id,
+        unnest(list_distinct([substring(text, i, 3)
+                              for i in range(1, greatest(len(text) - 2, 1) + 1)])) as sh
+      from documents
+    ),
+    sizes as (select doc_id, count(*) as n from g group by 1),
+    inter as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
+      from g a join g b on a.sh = b.sh and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select doc_a, doc_b, cast(i as double) / cast(sa.n + sb.n - i as double) as j
+    from inter
+    join sizes sa on sa.doc_id = doc_a
+    join sizes sb on sb.doc_id = doc_b
+    where cast(i as double) / cast(sa.n + sb.n - i as double) >= 0.85
+"""
+
+
+def _langid_sql() -> str:
+    """Marker scoring replicated via the same length-arithmetic formulas
+    (generated from textstats.LANG_MARKERS so both engines share one
+    source of truth)."""
+    def occ(w: str) -> str:
+        pad = "(' ' || text || ' ')"
+        return f"(len({pad}) - len(replace({pad}, ' {w} ', ''))) / {len(w) + 2}.0"
+
+    scores = {lang: " + ".join(occ(w) for w in ws) for lang, ws in textstats.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(f"s_{L}" for L in scores) + ")"
+    case = " ".join(f"when s_{L} = best then '{L}'" for L in scores)
+    inner = ", ".join(f"({expr}) as s_{L}" for L, expr in scores.items())
+    return f"""
+        with s as (select doc_id, lang, {inner} from documents),
+        b as (select doc_id, lang, {best} as best, * exclude (doc_id, lang) from s)
+        select doc_id, lang, case {case} else 'unknown' end as predicted_lang, best as score
+        from b
     """
 
 
@@ -520,6 +634,65 @@ def oracle_sql() -> dict[str, str]:
                  )
             select f.row, f.col, f.value - b.bias as value
             from f join bias b using (crow, ccol)
+        """,
+        "exact_dedup": """
+            select min(doc_id) as doc_id, count(*) as n_dups
+            from documents group by text
+        """,
+        "ngram_dedup_pairs": _JACCARD_SQL,
+        "minhash_lsh_pairs": _JACCARD_SQL,
+        "doc_stats": """
+            select doc_id,
+              cast(len(text) as int) as n_chars,
+              cast(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) as int) as n_tokens,
+              cast(len(text) - (len(text) - len(replace(text, ' ', ''))) as double)
+                / cast(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) as double) as avg_token_len,
+              cast(len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))) as int) as n_distinct_tokens,
+              cast(len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))) as double)
+                / cast(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) as double) as ttr
+            from documents
+        """,
+        "langid": _langid_sql(),
+        "doc_fingerprint": """
+            select doc_id,
+              list_reduce(
+                list_prepend(cast(0 as bigint),
+                  [cast(ascii(substring(text, i, 1)) as bigint) for i in range(1, len(text) + 1)]),
+                (a, b) -> (a * 31 + b) % 1000000007) as fp
+            from documents
+        """,
+        "cosine_topk": """
+            with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 20),
+            j as (
+              select c.vec_id, q.query_id,
+                list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(c.embedding[i] as double) * cast(q.qe[i] as double) for i in range(1, 65)]),
+                  (a, b) -> a + b) as dot,
+                sqrt(list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(c.embedding[i] as double) * cast(c.embedding[i] as double) for i in range(1, 65)]),
+                  (a, b) -> a + b)) as nc,
+                sqrt(list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(q.qe[i] as double) * cast(q.qe[i] as double) for i in range(1, 65)]),
+                  (a, b) -> a + b)) as nq
+              from embeddings c cross join q
+              where c.vec_id <> q.query_id
+            ),
+            r as (
+              select query_id, vec_id, dot / (nc * nq) as cos,
+                row_number() over (partition by query_id order by dot / (nc * nq) desc, vec_id asc) as rank
+              from j
+            )
+            select query_id, vec_id, rank, cos from r where rank <= 5
+        """,
+        "media_features": f"""
+            select t.image_id,
+              octet_length(t.bytes) as n_bytes,
+              t.w as width, t.h as height, t.phash,
+              sum(cast(px.value as double)) filter (not isnan(px.value))
+                / count(*) filter (not isnan(px.value)) as mean
+            from {tiles} t join {pixels} px using (image_id)
+            where t.fmt = 'raw'
+            group by t.image_id, t.bytes, t.w, t.h, t.phash
         """,
         "events_cell_count": f"""
             with e as (

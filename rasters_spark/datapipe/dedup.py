@@ -1,0 +1,150 @@
+"""Deduplication operators for training-data pipelines.
+
+Net-new capability beyond the reference's operator set (the driver's
+training-data mandate): exact dedup, n-gram Jaccard, MinHash+LSH,
+SimHash — all over the ``documents`` table, designed so the exact
+variants are pure SQL (cross-engine oracle-checkable) and the sketch
+variants are verify-then-emit: sketches generate CANDIDATE pairs,
+every emitted pair is re-verified with the exact Jaccard, so output
+is sketch-parameter-independent whenever recall is complete.
+
+Scale shape: shingle explode → equi-join on shingle/bucket is the
+classic big-data dedup plan; at 10^12 docs the shingle join is the
+shuffle to watch — band buckets (LSH) cut it from O(pairs) to
+O(collisions), and frequent-shingle skew is the same salted-key story
+as hot cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup → (doc_id, n_dups) keeping min doc_id."""
+    return docs.groupBy(key).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups")
+    ).select("doc_id", "n_dups")
+
+
+def _shingles(text_col, k: int):
+    """Distinct character k-grams as array<string> — pure SQL HOFs
+    (sequence → transform(substr) → array_distinct)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.85) -> DataFrame:
+    """Exact character-k-gram Jaccard over all colliding pairs →
+    (doc_a, doc_b, j) with j ≥ threshold. Pure SQL: shingle explode,
+    self-equi-join on shingle, |A∩B| by count, J = i/(|A|+|B|−i)."""
+    sh = docs.select("doc_id", F.explode(_shingles("text", k)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("j", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
+        .filter(F.col("j") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "j")
+
+
+def minhash_signature(docs: DataFrame, k: int = 5, num_hashes: int = 64) -> DataFrame:
+    """MinHash signatures: h_s = min over shingles of xxhash64(shingle, s)
+    — one nested SQL HOF, no Python. → (doc_id, sig array<long>)."""
+    sh = _shingles("text", k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(F.concat(g, F.lit("#"), s.cast("string"))))
+        ),
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.85,
+    jaccard_k: int = 3,
+) -> DataFrame:
+    """MinHash → band buckets → candidate pairs → EXACT k-gram Jaccard
+    verification ≥ threshold. Emitted pairs are therefore exact
+    (sketch affects only recall; at these parameters P(miss at J=0.85)
+    ≈ (1−J^2)^32 < 1e-4, and on the deterministic fixtures recall is
+    complete — asserted in tests)."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, k, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)), b).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the candidate set only
+    sh = docs.select("doc_id", F.explode(_shingles("text", jaccard_k)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    ib = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = (
+        cand.join(ia, "doc_a")
+        .join(ib, ["doc_b"])
+        .filter(F.col("sha") == F.col("shb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("j", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
+        .filter(F.col("j") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "j")
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    token hashes — pure SQL (token explode + bit arithmetic).
+    → (doc_id, simhash long)."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(F.length("tok") > 0)
+    th = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn("v", F.expr("case when (shiftright(h, bit) & 1) = 1 then 1 else -1 end"))
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    packed = votes.groupBy("doc_id").agg(
+        F.sum(F.expr("case when s > 0 then shiftleft(cast(1 as bigint), bit) else cast(0 as bigint) end")).alias("simhash")
+    )
+    return packed

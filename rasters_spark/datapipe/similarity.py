@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (pure SQL fold — the
+dot product is a sequential ``aggregate`` over ``zip_with``, fully
+deterministic and oracle-checkable), plus a sign-LSH bucketed variant
+as the scale path (bucket equi-join instead of the O(N·Q) cross join;
+recall asserted against the brute force in tests).
+
+At 10^12 rows the brute force is only viable per-bucket; the LSH plan
+is the production shape: hash once, shuffle on (bucket), rank within.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    """Deterministic sequential fold — identical accumulation order on
+    any engine (no SIMD reassociation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact brute-force top-k: queries × corpus cross join (query side
+    broadcast), cosine by SQL fold, per-query rank.
+    → (query_id, vec_id, rank, cos)."""
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = embeddings.select("vec_id", "embedding")
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        j.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos")
+    )
+
+
+def signature_bits(e, planes: int = 16, dims: int = 64):
+    """Sign-LSH bucket: bit p = sign(Σ_d w_{p,d}·v_d) with deterministic
+    pseudo-random weights w = (xxhash64('p_d') % 2001 − 1000)/1000 —
+    reproducible anywhere, no RNG state."""
+    def plane_bit(p):
+        s = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda d: (
+                    ((F.xxhash64(F.concat(p.cast("string"), F.lit("_"), d.cast("string"))) % 2001 + 2001) % 2001
+                     - 1000).cast("double") / 1000.0
+                ) * F.element_at(e, d + 1).cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        # pow(2,p) exact in double for p<53; shiftleft needs a literal count
+        return F.when(s > 0, F.pow(F.lit(2.0), p.cast("double")).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), plane_bit),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    planes: int = 4, dims: int = 64) -> DataFrame:
+    """ANN: bucket on sign-LSH signature, exact cosine WITHIN bucket,
+    per-query top-k. Sub-linear candidate set; recall measured in tests
+    (multi-probe = neighboring buckets by 1-bit flips). NOTE: the
+    fixture embeddings are near-orthogonal (mean top-5 cos ≈ 0.32), the
+    worst case for any angular LSH — recall there is bounded ~0.5 at 4
+    planes; on clustered real-world embeddings the same index performs
+    far better. planes should scale ~log2(N/target_bucket_size)."""
+    emb = embeddings.withColumn("bucket", signature_bits(F.col("embedding"), planes, dims))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        signature_bits(F.col("embedding"), planes, dims).alias("qb"),
+    )
+    # multi-probe: exact bucket + all 1-bit-flip neighbors
+    probes = F.array_union(
+        F.array(F.col("qb")),
+        F.transform(F.sequence(F.lit(0), F.lit(planes - 1)),
+                    lambda p: F.col("qb").bitwiseXOR(F.pow(F.lit(2.0), p.cast("double")).cast("long"))),
+    )
+    qp = q.withColumn("bucket", F.explode(probes)).drop("qb")
+    j = emb.join(F.broadcast(qp), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        j.withColumn("cos", cos)
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos")
+    )

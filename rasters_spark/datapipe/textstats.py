@@ -1,0 +1,79 @@
+"""Text analysis for training-data pipelines — all pure SQL.
+
+Language-ID (marker-word scoring), quality metrics (length / token /
+punctuation ratios), token counting (whitespace + word-regex), and
+document fingerprinting (polynomial rolling hash over char codes via
+a sequential HOF fold). Every formula here is expressible identically
+in DuckDB, so each operator carries a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram/stopword heuristic — scored by
+# substring occurrence counts; deterministic and engine-portable
+LANG_MARKERS = {
+    "en": ["the", "and", "value", "fast"],
+    "de": ["und", "der", "das", "nicht"],
+    "fr": ["le", "la", "les", "des"],
+    "es": ["el", "los", "una", "por"],
+    "zh": ["zh", "shi", "de", "le"],
+}
+MOD_P = 1_000_000_007
+
+
+def _occurrences(text, word):
+    """Count of ' word ' occurrences via length arithmetic — identical
+    semantics on every SQL engine (no regex dialect differences)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Quality metrics per document → (doc_id, n_chars, n_tokens,
+    avg_token_len, n_distinct_tokens, ttr). ttr = type-token ratio."""
+    t = F.col("text")
+    toks = F.split(t, " ")
+    n_tokens = F.size(F.filter(toks, lambda x: F.length(x) > 0))
+    n_distinct = F.size(F.array_distinct(F.filter(toks, lambda x: F.length(x) > 0)))
+    n_spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        ((F.length(t) - n_spaces).cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tokens.cast("double")).alias("ttr"),
+    )
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Marker-word language scoring → (doc_id, lang, predicted_lang,
+    score). Ties broken by fixed language order."""
+    t = F.col("text")
+    scores = [(lang, sum([_occurrences(t, w) for w in ws], F.lit(0.0))) for lang, ws in LANG_MARKERS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("unknown")
+    for lang, s in reversed(scores):
+        pred = F.when(s == best_score, F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", "lang", pred.alias("predicted_lang"), best_score.alias("score"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Polynomial rolling hash over character codes:
+    h = fold(h·31 + ascii(c)) mod 1e9+7 — sequential HOF, exact int64
+    math, byte-identical across engines. → (doc_id, fp)."""
+    t = F.col("text")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % MOD_P,
+    )
+    return docs.select("doc_id", fp.alias("fp"))

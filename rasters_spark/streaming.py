@@ -1,0 +1,77 @@
+"""Structured Streaming ingest — append-only tile batches → indexed table.
+
+The reference is entirely batch (SURVEY §2.9); streaming is net-new
+design: new image files land in a directory (the stand-in for an
+Iceberg append feed), ``readStream`` picks them up, the SAME stateless
+cell-index stage used in batch runs per micro-batch, and
+``foreachBatch`` commits each batch as one TableIO snapshot — giving
+exactly-once-per-batch semantics on top of the checkpoint log.
+
+``trigger(availableNow=True)`` drains everything pending and stops —
+the incremental-backfill mode; remove it for continuous ingest.
+Replayed sources dedup by image_id within the batch (the
+dropDuplicatesWithinWatermark analogue for our id-keyed feed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rasters_spark import cells, fixtures, grid
+from rasters_spark.tableio import TableIO
+
+TILE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("x_origin", T.DoubleType()),
+    T.StructField("y_origin", T.DoubleType()),
+    T.StructField("cell_width", T.DoubleType()),
+    T.StructField("cell_height", T.DoubleType()),
+    T.StructField("crs", T.StringType()),
+])
+
+
+def index_batch(df: DataFrame, level: int = fixtures.CELL_LEVEL) -> DataFrame:
+    """The stateless per-batch stage: derive grid/bbox, register cells —
+    identical code path to the batch engine (tiles.py)."""
+    g = grid.grid_struct("x_origin", "y_origin", "cell_width", "cell_height",
+                         F.col("h"), F.col("w"), "crs")
+    out = df.withColumn("grid", g).withColumn("bbox", grid.grid_bbox(F.col("grid")))
+    out = out.withColumn("cell_id", F.explode(cells.cells_for_bbox(F.col("bbox"), level)))
+    return out.select("image_id", "cell_id", "caption", "phash",
+                      "x_origin", "y_origin", "cell_width", "cell_height", "w", "h")
+
+
+def ingest_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    table: TableIO,
+    checkpoint_dir: str,
+    level: int = fixtures.CELL_LEVEL,
+) -> int:
+    """Drain all pending parquet files from src_dir into the indexed
+    table; returns number of micro-batches committed. Restart-safe:
+    Spark's checkpoint tracks consumed files, TableIO's ledger tracks
+    committed batches."""
+    stream = spark.readStream.schema(TILE_SCHEMA).parquet(src_dir)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        indexed = index_batch(batch_df.dropDuplicates(["image_id"]), level)
+        table.write(indexed, operation="stream-append",
+                    job_id="ingest", chunk_id=f"batch-{batch_id}", inputs=[src_dir])
+
+    q = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return len([s for s in table.snapshots() if s["operation"] == "stream-append"])

@@ -1,0 +1,120 @@
+"""Datapipe operators: recomputation goldens + sketch recall + stub plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_spark import codec, fixtures
+from rasters_spark.datapipe import dedup, multimodal, similarity, textstats
+from rasters_spark.tiles import load_tiles
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_complete(spark, docs):
+    """On the deterministic fixtures, LSH candidates must cover every
+    brute-force pair at the threshold (this is what licenses using the
+    brute force as the driver oracle)."""
+    exact = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs, 3, 0.85).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.85).collect()}
+    assert exact and lsh == exact
+
+
+def test_simhash_matches_python_recomputation(spark, docs):
+    got = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    sample = docs.limit(20).collect()
+    # recompute ONE doc's hash bit-by-bit using Spark's own xxhash64 for
+    # token hashes (the only non-portable primitive), majority vote in python
+    for row in sample[:5]:
+        toks = [t for t in row.text.split(" ") if t]
+        hdf = spark.createDataFrame([(t,) for t in toks], "tok string").select(F.xxhash64("tok").alias("h"))
+        hs = [r.h for r in hdf.collect()]
+        sig = 0
+        for bit in range(64):
+            vote = sum(1 if (h >> bit) & 1 else -1 for h in hs)
+            if vote > 0:
+                sig |= 1 << bit
+        if sig >= 1 << 63:  # int64 two's complement like Spark's bigint
+            sig -= 1 << 64
+        assert got[row.doc_id] == sig
+
+
+def test_lsh_cosine_recall(spark, emb):
+    q = emb.filter("vec_id < 20")
+    exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.vec_id) for r in similarity.lsh_cosine_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # fixture embeddings are near-orthogonal — the adversarial case for
+    # angular LSH; assert the multi-probe floor, not a clustered-data target
+    assert recall >= 0.3, recall
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    got = similarity.cosine_topk(emb, emb.filter("vec_id < 5"), k=3).toPandas()
+    p = emb.toPandas()
+    M = np.array([np.array(v, dtype=np.float64) for v in p.embedding])
+    ids = p.vec_id.to_numpy()
+    for qid in range(5):
+        qv = M[ids == qid][0]
+        cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+        cos[ids == qid] = -np.inf
+        order = np.lexsort((ids, -cos))
+        top = [(int(ids[i]), cos[i]) for i in order[:3]]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub.vec_id) == [t[0] for t in top]
+        np.testing.assert_allclose(sub.cos.to_numpy(), [t[1] for t in top], rtol=1e-9)
+
+
+def test_fingerprint_python_recomputation(spark, docs):
+    got = {r.doc_id: r.fp for r in textstats.fingerprint(docs.limit(10)).collect()}
+    for row in docs.limit(10).collect():
+        fp = 0
+        for ch in row.text:
+            fp = (fp * 31 + ord(ch)) % textstats.MOD_P
+        assert got[row.doc_id] == fp
+
+
+def test_media_features_stub_and_quarantine(spark):
+    fixtures.ensure_fixtures(SF)
+    t = load_tiles(spark, SF).limit(6)
+    # inject an undecodable container format row
+    bad = t.limit(1).withColumn("fmt", F.lit("jpeg")).withColumn("image_id", F.lit("bad"))
+    feats = multimodal.extract_features(t.unionByName(bad)).collect()
+    by_id = {r.image_id: r for r in feats}
+    assert by_id["bad"].phash is None and by_id["bad"].n_bytes > 0  # quarantined, not dropped
+    ok = [r for r in feats if r.image_id != "bad"]
+    assert all(r.phash is not None and r.width > 0 for r in ok)
+    with pytest.raises(Exception, match="NotImplementedError|jpeg"):
+        multimodal.extract_features(bad, on_error="raise").collect()
+
+
+def test_resize_and_frame_sample(spark):
+    fixtures.ensure_fixtures(SF)
+    t = load_tiles(spark, SF).limit(3)
+    rs = multimodal.resize_nearest(t, 8, 8).collect()
+    assert all(r.w == 8 and r.h == 8 and len(r.bytes) == 8 * 8 * 4 for r in rs)
+    # fake video: 5 stacked frames of 4x4 float32
+    stack = np.arange(5 * 4 * 4, dtype="<f4").tobytes()
+    vid = spark.createDataFrame([("v0", stack, 4, 4, "rawstack")],
+                                "image_id string, bytes binary, w int, h int, fmt string")
+    frames = multimodal.frame_sample(vid, every_n=2).collect()
+    assert [f.frame_no for f in sorted(frames, key=lambda x: x.frame_no)] == [0, 2, 4]
+    f0 = codec.decode_tile(sorted(frames, key=lambda x: x.frame_no)[0].frame_bytes, 4, 4, "raw")
+    np.testing.assert_array_equal(f0, np.arange(16, dtype=np.float32).reshape(4, 4))
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs):
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999_999))
+    d2 = docs.unionByName(dup)
+    res = dedup.exact_dedup(d2).filter("n_dups > 1").collect()
+    assert len(res) == 1 and res[0].n_dups == 2

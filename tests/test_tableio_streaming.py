@@ -1,0 +1,83 @@
+"""Snapshot ledger, time travel, resumable chunks, streaming ingest."""
+
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_spark import fixtures
+from rasters_spark.streaming import ingest_available_now
+from rasters_spark.tableio import TableIO, partition_metrics
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    return TableIO(str(tmp_path / "tbl"))
+
+
+def test_snapshot_append_and_time_travel(spark, tmp_table):
+    df1 = spark.range(10).withColumn("v", F.col("id") * 2)
+    df2 = spark.range(10, 25).withColumn("v", F.col("id") * 2)
+    e1 = tmp_table.write(df1, job_id="j1")
+    e2 = tmp_table.write(df2, job_id="j1")
+    assert e1["snapshot_id"] == 1 and e2["parent_snapshot"] == 1
+    assert e1["row_count"] == 10 and e2["row_count"] == 15
+    assert tmp_table.read(spark).count() == 25
+    assert tmp_table.read(spark, as_of_snapshot=1).count() == 10  # time travel
+    assert all(f["rows"] > 0 and f["bytes"] > 0 for f in e2["files"])
+
+
+def test_resumable_job_skips_committed_chunks(spark, tmp_table):
+    calls = []
+
+    def chunk(n):
+        def thunk():
+            calls.append(n)
+            if n == "c2" and len([c for c in calls if c == "c2"]) == 1:
+                raise RuntimeError("simulated mid-job crash")
+            return spark.range(5).withColumn("chunk", F.lit(n))
+        return thunk
+
+    chunks = {f"c{i}": chunk(f"c{i}") for i in range(4)}
+    with pytest.raises(RuntimeError):
+        tmp_table.run_resumable("job-x", chunks)
+    assert tmp_table.completed_chunks("job-x") == {"c0", "c1"}
+    ran = tmp_table.run_resumable("job-x", chunks)  # resume
+    assert ran == ["c2", "c3"]
+    assert tmp_table.completed_chunks("job-x") == {"c0", "c1", "c2", "c3"}
+    assert tmp_table.read(spark).count() == 20
+    # re-run is a no-op (idempotent)
+    assert tmp_table.run_resumable("job-x", chunks) == []
+
+
+def test_partition_metrics_surfaces_skew(spark):
+    df = spark.createDataFrame([(i % 2, i) for i in range(100)], "k int, v int").repartition(4, "k")
+    m = partition_metrics(df)
+    assert sum(x["rows"] for x in m) == 100
+    assert max(x["rows"] for x in m) >= 50  # the two hot keys land together
+
+
+def test_streaming_ingest_available_now(spark, tmp_path):
+    fdir = fixtures.ensure_fixtures(SF)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # split the fixture tiles into two "arriving" files
+    t = pq.read_table(fdir / "tiles.parquet")
+    pq.write_table(t.slice(0, 100), src / "part1.parquet")
+    tbl = TableIO(str(tmp_path / "stream_tbl"))
+    n1 = ingest_available_now(spark, str(src), tbl, str(tmp_path / "ckpt"))
+    rows1 = tbl.read(spark).count()
+    assert n1 >= 1 and rows1 > 0
+    # second arrival: only the new file is processed (checkpoint!)
+    pq.write_table(t.slice(100, 100), src / "part2.parquet")
+    ingest_available_now(spark, str(src), tbl, str(tmp_path / "ckpt"))
+    rows2 = tbl.read(spark).count()
+    assert rows2 > rows1
+    ids = tbl.read(spark).select("image_id").distinct().count()
+    assert ids == 200  # every tile indexed exactly once across restarts
+    # indexed rows carry cell ids joinable by the batch engine
+    assert tbl.read(spark).filter(F.col("cell_id").isNull()).count() == 0
