@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 from rasters_spark import cells, fixtures, grid
 from rasters_spark.datapipe import dedup, multimodal, similarity, textstats
+from rasters_spark.functions import crs as crsfn
+from rasters_spark.functions import vector as vecfn
 from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
+from rasters_spark.operators import swath as swathops
 from rasters_spark.operators import rastermath as rm
 from rasters_spark.tiles import load_points, load_polygons, load_tiles, tiles_with_cells
 
@@ -252,6 +255,81 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("image_id", "n_bytes", "width", "height", "phash", "mean")
 
 
+def q_local_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both reference UTM zone formulas side by side (they disagree on
+    purpose — SURVEY §1.3(6)) + AEQD proj4, on events-derived lon/lat."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0 - 180.0
+    y = (F.col("user_id") % 180).cast("double") - 90.0 + 0.5
+    d = ev.select("event_id", x.alias("lon"), y.alias("lat"))
+    return d.select(
+        "event_id",
+        crsfn.local_utm_proj4("lat", "lon").alias("utm_proj4"),
+        crsfn.local_utm_epsg("lat", "lon").alias("utm_epsg"),
+        # %.3f formatting: double→string rendering is engine-specific
+        # (Java scientific notation vs DuckDB decimal) — C-style printf
+        # is portable; the API function (center_aeqd_proj4) keeps the
+        # reference's raw float repr for users
+        F.format_string("+proj=aeqd +lat_0=%.3f +lon_0=%.3f", F.col("lat"), F.col("lon")).alias("aeqd_proj4"),
+    )
+
+
+def q_pixel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector: every valid pixel as a value-attached point.
+    Deterministic 200-tile slice (id-range filter, not limit — limit
+    order is not a contract)."""
+    t = load_tiles(spark, sf_dir).filter("image_id < 'img000000000200'")
+    return vecfn.pixel_centroids(t)
+
+
+def q_bbox_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir)
+    bb = F.col("bbox")
+    return t.select(
+        "image_id",
+        vecfn.bbox_width(bb).alias("width"),
+        vecfn.bbox_height(bb).alias("height"),
+        vecfn.bbox_centroid_x(bb).alias("cx"),
+        vecfn.bbox_centroid_y(bb).alias("cy"),
+        vecfn.bbox_buffer(bb, 0.5)["xmin"].alias("buf_xmin"),
+        vecfn.bbox_round(bb, 1)["ymax"].alias("round_ymax"),
+    )
+
+
+SWATH_TARGET = dict(x_origin=-120.0, y_origin=40.0, cell_width=0.1, cell_height=-0.1,
+                    rows=10, cols=10, crs="EPSG:4326")
+
+
+def _swath(spark: SparkSession) -> DataFrame:
+    """Deterministic 50×50 meshgrid swath (FIXTURES.md §5) — generated
+    by identical closed-form SQL on both engines."""
+    r = spark.range(50).select(F.col("id").alias("row"))
+    c = spark.range(50).select(F.col("id").alias("col"))
+    return r.crossJoin(c).select(
+        F.lit(0).cast("long").alias("swath_id"), "row", "col",
+        (-120.0 + F.col("col") / 49.0).alias("x"),
+        (40.0 - F.col("row") / 49.0).alias("y"),
+        ((F.col("row") * 50 + F.col("col")).cast("double") * 0.25).alias("value"),
+    )
+
+
+_SWATH_SQL = """
+    select cast(0 as bigint) as swath_id, r.row, c.col,
+           -120.0 + c.col / 49.0 as x,
+           40.0 - r.row / 49.0 as y,
+           cast(r.row * 50 + c.col as double) * 0.25 as value
+    from range(50) r(row), range(50) c(col)
+"""
+
+
+def q_swath_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return swathops.swath_window(_swath(spark), -119.7, 39.3, -119.3, 39.7, buffer=2)
+
+
+def q_swath_to_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return swathops.swath_to_grid_nn(_swath(spark), SWATH_TARGET)
+
+
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reinterpreted as points (FIXTURES.md §7b): deterministic
     x/y from value/user_id, counted per level-5 cell."""
@@ -294,6 +372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "media_features": q_media_features,
+        "local_utm": q_local_utm,
+        "pixel_centroids": q_pixel_centroids,
+        "bbox_accessors": q_bbox_accessors,
+        "swath_window": q_swath_window,
+        "swath_to_grid_nn": q_swath_to_grid_nn,
     }
 
 
@@ -693,6 +776,80 @@ def oracle_sql() -> dict[str, str]:
             from {tiles} t join {pixels} px using (image_id)
             where t.fmt = 'raw'
             group by t.image_id, t.bytes, t.w, t.h, t.phash
+        """,
+        "local_utm": """
+            with e as (
+              select event_id,
+                     value - floor(value / 360.0) * 360.0 - 180.0 as lon,
+                     cast(user_id % 180 as double) - 90.0 + 0.5 as lat
+              from events
+            )
+            select event_id,
+              case when lon between -180 and 180 then
+                '+proj=utm +zone=' || cast(greatest(1, least(60, cast(floor((lon + 180.0) / 6.0) as int))) as varchar)
+                || (case when lat < 0 then ' +south' else '' end)
+                || ' +ellps=WGS84 +datum=WGS84 +units=m +no_defs'
+              end as utm_proj4,
+              cast((case when lat >= 0 then 32600 else 32700 end)
+                   + (cast(floor((lon + 180.0) / 6.0) as bigint) % 60 + 1) as int) as utm_epsg,
+              printf('+proj=aeqd +lat_0=%.3f +lon_0=%.3f', lat, lon) as aeqd_proj4
+            from e
+        """,
+        "pixel_centroids": f"""
+            select px.image_id, px.prow, px.pcol,
+                   t.x_origin + t.cell_width * (px.pcol + 0.5) as x,
+                   t.y_origin + t.cell_height * (px.prow + 0.5) as y,
+                   cast(px.value as double) as value
+            from {pixels} px join {tiles} t using (image_id)
+            where px.image_id < 'img000000000200' and not isnan(px.value)
+        """,
+        "bbox_accessors": f"""
+            select image_id,
+              (x_origin + cell_width * w) - x_origin as width,
+              y_origin - (y_origin + cell_height * h) as height,
+              (x_origin + (x_origin + cell_width * w)) / 2.0 as cx,
+              ((y_origin + cell_height * h) + y_origin) / 2.0 as cy,
+              x_origin - 0.5 as buf_xmin,
+              round_even(y_origin, 1) as round_ymax
+            from {tiles}
+        """,
+        "swath_window": f"""
+            with sw as ({_SWATH_SQL}),
+            masked as (
+              select * from sw
+              where x >= -119.7 and x <= -119.3 and y >= 39.3 and y <= 39.7
+            ),
+            ext as (select swath_id, max(row) as max_row, max(col) as max_col from sw group by 1),
+            w as (
+              select swath_id, min(row) as r0, max(row) as r1, min(col) as c0, max(col) as c1
+              from masked group by 1
+            )
+            select w.swath_id,
+                   greatest(w.r0 - 2, 0) as row_start, least(w.r1 + 2, ext.max_row) as row_end,
+                   greatest(w.c0 - 2, 0) as col_start, least(w.c1 + 2, ext.max_col) as col_end
+            from w join ext using (swath_id)
+        """,
+        "swath_to_grid_nn": f"""
+            with sw as ({_SWATH_SQL}),
+            assigned as (
+              select swath_id, row, col, value, x, y,
+                cast(round_even((y - 40.0)/(-0.1) - 0.5, 0) as bigint) as trow,
+                cast(round_even((x - (-120.0))/0.1 - 0.5, 0) as bigint) as tcol
+              from sw
+            ),
+            d as (
+              select *, sqrt((x - (-120.0 + 0.1 * (tcol + 0.5))) * (x - (-120.0 + 0.1 * (tcol + 0.5)))
+                           + (y - (40.0 + (-0.1) * (trow + 0.5))) * (y - (40.0 + (-0.1) * (trow + 0.5)))) as dist
+              from assigned
+              where trow between 0 and 9 and tcol between 0 and 9
+            )
+            select swath_id, trow, tcol, value, dist
+            from (
+              select swath_id, trow, tcol, value, dist,
+                     row_number() over (partition by swath_id, trow, tcol
+                                        order by dist, row, col) as rn
+              from d where dist <= 0.2
+            ) where rn = 1
         """,
         "events_cell_count": f"""
             with e as (

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from rasters_spark import codec, npref
 
-FIXTURE_VERSION = "v2"
+FIXTURE_VERSION = "v3"
 # small row groups → Spark gets splittable scan partitions (a single-file
 # single-row-group parquet pins every Arrow kernel stage to ONE task)
 TILE_ROW_GROUP = 512
@@ -83,9 +83,33 @@ def tile_origin_sql(i_expr: str) -> tuple[str, str]:
     return x0, y0
 
 
+def _tile_payload(i: int, seed: int, lossy_every: int):
+    """One tile's deterministic payload — seeded PER TILE so generation
+    parallelizes without changing any byte."""
+    w, h = W_CYCLE[i % 3], H_CYCLE[(i // 3) % 3]
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    # exact quarter-integers → order-independent exact double sums
+    vals = (rng.integers(0, 4000, size=(h, w)).astype(np.float32)) * np.float32(0.25)
+    vals[rng.random((h, w)) < 0.02] = np.nan
+    fmt = "q8" if (i % lossy_every) == 3 else "raw"
+    blob = codec.encode_tile(vals, fmt)
+    decoded = codec.decode_tile(blob, w, h, fmt)
+    return blob, fmt, codec.phash64(decoded), decoded
+
+
+def _tile_chunk(args):
+    lo, hi, seed, lossy_every, keep_pixels = args
+    out = []
+    for i in range(lo, hi):
+        blob, fmt, ph, decoded = _tile_payload(i, seed, lossy_every)
+        out.append((i, blob, fmt, ph, decoded if keep_pixels else None))
+    return out
+
+
 def make_tiles(n: int, seed: int = 42, lossy_every: int = 17):
-    """Generate the tiles table + exploded pixels as pyarrow tables."""
-    rng = np.random.default_rng(seed)
+    """Generate the tiles table + exploded pixels as pyarrow tables.
+    Parallel across a process pool for large n (deterministic: every
+    tile is seeded independently)."""
     idx = np.arange(n, dtype=np.int64)
     x0s, y0s = tile_origin(idx)
     ws = np.array([W_CYCLE[i % 3] for i in range(n)], dtype=np.int32)
@@ -95,31 +119,36 @@ def make_tiles(n: int, seed: int = 42, lossy_every: int = 17):
     px_img, px_row, px_col, px_val = [], [], [], []
     cws, chs = [], []
     keep_pixels = n <= 5000
-    for i in range(n):
-        w, h = int(ws[i]), int(hs[i])
-        # exact quarter-integers → order-independent exact double sums
-        vals = (rng.integers(0, 4000, size=(h, w)).astype(np.float32)) * np.float32(0.25)
-        nan_mask = rng.random((h, w)) < 0.02
-        vals[nan_mask] = np.nan
-        fmt = "q8" if (i % lossy_every) == 3 else "raw"
-        blob = codec.encode_tile(vals, fmt)
-        decoded = codec.decode_tile(blob, w, h, fmt)
-        cw, ch = 1.0 / w, -1.0 / h  # ~1°×1° footprint
-        cx, cy = x0s[i] + 0.5, y0s[i] - 0.5
-        cell = int(npref.np_cell_id(cx, cy, CELL_LEVEL))
-        ids.append(f"img{i:012d}")
-        blobs.append(blob)
-        fmts.append(fmt)
-        captions.append(f"caption for tile {i} at cell {cell}")
-        phashes.append(codec.phash64(decoded))
-        cws.append(cw)
-        chs.append(ch)
-        if keep_pixels:
-            rr, cc = np.indices((h, w))
-            px_img.extend([ids[-1]] * (h * w))
-            px_row.extend(rr.ravel().tolist())
-            px_col.extend(cc.ravel().tolist())
-            px_val.extend(decoded.ravel().tolist())
+
+    chunk = 10_000
+    tasks = [(lo, min(lo + chunk, n), seed, lossy_every, keep_pixels) for lo in range(0, n, chunk)]
+    if len(tasks) > 1:
+        import multiprocessing as mp
+
+        with mp.Pool(min(16, len(tasks))) as pool:
+            chunks = pool.map(_tile_chunk, tasks)
+    else:
+        chunks = [_tile_chunk(t) for t in tasks]
+
+    for payloads in chunks:
+        for i, blob, fmt, ph, decoded in payloads:
+            w, h = int(ws[i]), int(hs[i])
+            cw, ch = 1.0 / w, -1.0 / h  # ~1°×1° footprint
+            cx, cy = x0s[i] + 0.5, y0s[i] - 0.5
+            cell = int(npref.np_cell_id(cx, cy, CELL_LEVEL))
+            ids.append(f"img{i:012d}")
+            blobs.append(blob)
+            fmts.append(fmt)
+            captions.append(f"caption for tile {i} at cell {cell}")
+            phashes.append(ph)
+            cws.append(cw)
+            chs.append(ch)
+            if keep_pixels:
+                rr, cc = np.indices((h, w))
+                px_img.extend([ids[-1]] * (h * w))
+                px_row.extend(rr.ravel().tolist())
+                px_col.extend(cc.ravel().tolist())
+                px_val.extend(decoded.ravel().tolist())
 
     tiles = pa.table(
         {

@@ -1,0 +1,227 @@
+"""CRS scalar functions — UTM zone math (both reference formulas),
+AEQD/proj4 string builders, coordinate transforms, antimeridian test.
+
+No pyproj in this environment (SURVEY §7.5): the transform kernels are
+hand-written numpy implementations of the public Snyder (USGS PP 1395)
+formulas for the CRS subset the engine supports — geographic
+(EPSG:4326), UTM (transverse Mercator on WGS84), and spherical AEQD.
+Zone-number quirks are transcribed EXACTLY from the reference:
+
+- ``local_UTM_proj4`` uses ``int((lon+180)/6)`` WITHOUT the +1,
+  clamped to [1, 60] (local_UTM_proj4.py:31-32; the reference's own
+  test pins lon −120 → zone 10, tests/test_local_UTM_proj4.py:10-22);
+- ``local_UTM_EPSG`` uses the standard ``(floor((lon+180)/6) % 60)+1``
+  (raster_geometry.py:236). The two intentionally disagree — copy the
+  code, not the math.
+- transform to a geographic CRS clips out-of-range outputs to NaN
+  (transform_xy.py:51-53).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from rasters_spark.grid import _col
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1 / 298.257223563
+_E2 = _F * (2 - _F)
+_K0 = 0.9996
+_EARTH_R = 6371000.0  # spherical AEQD radius
+
+
+def local_utm_zone_proj4(lon) -> Column:
+    """Reference quirk: truncation WITHOUT +1, clamped (NULL if |lon|>180
+    — the relational form of the reference's ValueError)."""
+    lo = _col(lon)
+    zone = F.greatest(F.lit(1), F.least(F.lit(60), F.floor((lo + 180.0) / 6.0).cast("int")))
+    return F.when((lo >= -180) & (lo <= 180), zone)
+
+
+def local_utm_proj4(lat, lon) -> Column:
+    """proj4 string incl. +south for lat<0 (local_UTM_proj4.py:33-44)."""
+    zone = local_utm_zone_proj4(lon)
+    south = F.when(_col(lat) < 0, F.lit(" +south")).otherwise(F.lit(""))
+    return F.when(
+        zone.isNotNull(),
+        F.concat(F.lit("+proj=utm +zone="), zone.cast("string"), south,
+                 F.lit(" +ellps=WGS84 +datum=WGS84 +units=m +no_defs")),
+    )
+
+
+def local_utm_epsg(lat, lon) -> Column:
+    """Standard formula WITH +1 (raster_geometry.py:236)."""
+    zone = (F.floor((_col(lon) + 180.0) / 6.0) % 60 + 1).cast("int")
+    return (F.when(_col(lat) >= 0, F.lit(32600)).otherwise(F.lit(32700)) + zone).cast("int")
+
+
+def center_aeqd_proj4(lat, lon) -> Column:
+    """center_aeqd.py:4-14 — AEQD proj4 centered at a point."""
+    return F.format_string("+proj=aeqd +lat_0=%s +lon_0=%s",
+                           _col(lat).cast("string"), _col(lon).cast("string"))
+
+
+# --- numpy transform kernels (Snyder transverse Mercator + spherical AEQD) -----
+
+def _tm_forward(lon, lat, lon0):
+    """Geographic → transverse Mercator easting/northing (Snyder 8-9..8-13)."""
+    lam = np.radians(lon)
+    phi = np.radians(lat)
+    lam0 = np.radians(lon0)
+    e2 = _E2
+    ep2 = e2 / (1 - e2)
+    N = _A / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    T = np.tan(phi) ** 2
+    C = ep2 * np.cos(phi) ** 2
+    Aa = (lam - lam0) * np.cos(phi)
+    M = _A * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+        - (35 * e2**3 / 3072) * np.sin(6 * phi)
+    )
+    x = _K0 * N * (Aa + (1 - T + C) * Aa**3 / 6
+                   + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * Aa**5 / 120) + 500000.0
+    y = _K0 * (M + N * np.tan(phi) * (Aa**2 / 2 + (5 - T + 9 * C + 4 * C**2) * Aa**4 / 24
+                                      + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * Aa**6 / 720))
+    return x, y
+
+
+def _tm_inverse(x, y, lon0):
+    """Transverse Mercator → geographic (Snyder 8-17..8-25)."""
+    e2 = _E2
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    M = y / _K0
+    mu = M / (_A * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    phi1 = (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+            + (151 * e1**3 / 96) * np.sin(6 * mu)
+            + (1097 * e1**4 / 512) * np.sin(8 * mu))
+    C1 = ep2 * np.cos(phi1) ** 2
+    T1 = np.tan(phi1) ** 2
+    N1 = _A / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
+    R1 = _A * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
+    D = (x - 500000.0) / (N1 * _K0)
+    phi = phi1 - (N1 * np.tan(phi1) / R1) * (
+        D**2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2) * D**6 / 720)
+    lam = (D - (1 + 2 * T1 + C1) * D**3 / 6
+           + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2) * D**5 / 120) / np.cos(phi1)
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+def _aeqd_forward(lon, lat, lon0, lat0):
+    """Spherical azimuthal equidistant (Snyder 25-1..25-4)."""
+    phi, lam = np.radians(lat), np.radians(lon)
+    phi0, lam0 = np.radians(lat0), np.radians(lon0)
+    cosc = np.sin(phi0) * np.sin(phi) + np.cos(phi0) * np.cos(phi) * np.cos(lam - lam0)
+    c = np.arccos(np.clip(cosc, -1, 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k = np.where(c == 0, 1.0, c / np.sin(c))
+    x = _EARTH_R * k * np.cos(phi) * np.sin(lam - lam0)
+    y = _EARTH_R * k * (np.cos(phi0) * np.sin(phi) - np.sin(phi0) * np.cos(phi) * np.cos(lam - lam0))
+    return x, y
+
+
+def _aeqd_inverse(x, y, lon0, lat0):
+    phi0, lam0 = np.radians(lat0), np.radians(lon0)
+    rho = np.hypot(x, y)
+    c = rho / _EARTH_R
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = np.where(rho == 0, phi0,
+                       np.arcsin(np.cos(c) * np.sin(phi0) + y * np.sin(c) * np.cos(phi0) / np.where(rho == 0, 1, rho)))
+        lam = lam0 + np.arctan2(x * np.sin(c),
+                                rho * np.cos(phi0) * np.cos(c) - y * np.sin(phi0) * np.sin(c))
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _parse_crs(crs: str) -> dict:
+    c = crs.strip()
+    if c in ("EPSG:4326", "epsg:4326", "+proj=longlat +datum=WGS84 +no_defs"):
+        return {"kind": "geographic"}
+    if c.upper().startswith("EPSG:32"):
+        code = int(c.split(":")[1])
+        zone = code % 100
+        south = (code // 100) == 327
+        return {"kind": "utm", "lon0": zone * 6 - 183, "south": south}
+    if "+proj=utm" in c:
+        zone = int(c.split("+zone=")[1].split()[0])
+        return {"kind": "utm", "lon0": zone * 6 - 183, "south": "+south" in c}
+    if "+proj=aeqd" in c:
+        lat0 = float(c.split("+lat_0=")[1].split()[0])
+        lon0 = float(c.split("+lon_0=")[1].split()[0])
+        return {"kind": "aeqd", "lat0": lat0, "lon0": lon0}
+    raise ValueError(f"unsupported CRS: {crs!r} (supported: EPSG:4326, UTM, AEQD)")
+
+
+def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
+    """transform_xy.py:5-54 semantics on the supported CRS subset; out-of
+    -range geographic outputs → NaN."""
+    s, d = _parse_crs(src), _parse_crs(dst)
+    # source → geographic
+    if s["kind"] == "geographic":
+        lon, lat = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    elif s["kind"] == "utm":
+        yy = np.asarray(y, np.float64) - (10000000.0 if s["south"] else 0.0)
+        lon, lat = _tm_inverse(np.asarray(x, np.float64), yy, s["lon0"])
+    else:
+        lon, lat = _aeqd_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["lat0"])
+    # geographic → target
+    if d["kind"] == "geographic":
+        xt, yt = lon, lat
+        xt = np.where((xt < -180) | (xt > 180), np.nan, xt)
+        yt = np.where((yt < -90) | (yt > 90), np.nan, yt)
+        return xt, yt
+    if d["kind"] == "utm":
+        xt, yt = _tm_forward(lon, lat, d["lon0"])
+        if d["south"]:
+            yt = yt + 10000000.0
+        return xt, yt
+    return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])
+
+
+@pandas_udf(DoubleType())
+def _transform_x_kernel(x: pd.Series, y: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    out = np.empty(len(x))
+    for (s, d), idx in pd.DataFrame({"s": src, "d": dst}).groupby(["s", "d"]).groups.items():
+        out[idx] = transform_xy_np(x.iloc[idx].to_numpy(), y.iloc[idx].to_numpy(), s, d)[0]
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def _transform_y_kernel(x: pd.Series, y: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    out = np.empty(len(x))
+    for (s, d), idx in pd.DataFrame({"s": src, "d": dst}).groupby(["s", "d"]).groups.items():
+        out[idx] = transform_xy_np(x.iloc[idx].to_numpy(), y.iloc[idx].to_numpy(), s, d)[1]
+    return pd.Series(out)
+
+
+def transform_xy(df, x="x", y="y", src="crs", dst="EPSG:4326", out_x="x_t", out_y="y_t"):
+    """Vectorized CRS transform of coordinate columns (grouped per CRS
+    pair inside the Arrow batch — one numpy call per distinct pair)."""
+    is_crs_literal = isinstance(dst, str) and (":" in dst or "+" in dst)
+    dcol = F.lit(dst) if is_crs_literal else _col(dst)
+    return df.withColumn(out_x, _transform_x_kernel(_col(x), _col(y), _col(src), dcol)).withColumn(
+        out_y, _transform_y_kernel(_col(x), _col(y), _col(src), dcol)
+    )
+
+
+def crosses_antimeridian_ring(ring_col) -> Column:
+    """Antimeridian crossing of a lon/lat ring: any edge whose lon step
+    exceeds 180° wraps the seam. Re-expression of the reference's
+    polar-wedge intersection (raster_geometry.py:566-607) without
+    shapely; agrees on all non-pole-enclosing geometries."""
+    r = _col(ring_col)
+    pairs = F.zip_with(
+        F.slice(r, 1, F.size(r) - 1),
+        F.slice(r, 2, F.size(r) - 1),
+        lambda a, b: (F.abs(a["x"] - b["x"]) > 180.0),
+    )
+    return F.exists(pairs, lambda v: v)

@@ -1,0 +1,150 @@
+"""Vector scalar functions: bbox accessors, point buffer, raster→vector.
+
+All pure SQL except pixel_centroids' decode pass (Arrow). Reference:
+bbox accessors bbox.py:110-248, Point.buffer point.py:184-238,
+pixel_centroids/outlines raster_geometry.py:1111-1144 + value-attached
+frames raster.py:1487-1492.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rasters_spark.grid import _col
+
+
+# --- bbox accessors (bbox.py:110-248) -------------------------------------------
+
+def bbox_width(bbox: Column) -> Column:
+    return bbox["xmax"] - bbox["xmin"]
+
+
+def bbox_height(bbox: Column) -> Column:
+    return bbox["ymax"] - bbox["ymin"]
+
+
+def bbox_centroid_x(bbox: Column) -> Column:
+    return (bbox["xmin"] + bbox["xmax"]) / 2.0
+
+
+def bbox_centroid_y(bbox: Column) -> Column:
+    return (bbox["ymin"] + bbox["ymax"]) / 2.0
+
+
+def bbox_buffer(bbox: Column, d) -> Column:
+    dd = _col(d)
+    return F.struct(
+        (bbox["xmin"] - dd).alias("xmin"), (bbox["ymin"] - dd).alias("ymin"),
+        (bbox["xmax"] + dd).alias("xmax"), (bbox["ymax"] + dd).alias("ymax"),
+    )
+
+
+def bbox_round(bbox: Column, decimals: int = 0) -> Column:
+    """bbox.py:214-231 — round each bound (reference uses np.round =
+    half-even → bround)."""
+    return F.struct(
+        F.bround(bbox["xmin"], decimals).alias("xmin"), F.bround(bbox["ymin"], decimals).alias("ymin"),
+        F.bround(bbox["xmax"], decimals).alias("xmax"), F.bround(bbox["ymax"], decimals).alias("ymax"),
+    )
+
+
+def bbox_polygon_ring(bbox: Column) -> Column:
+    """bbox → closed 5-point exterior ring (bbox.py:233-248)."""
+    def pt(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    return F.array(
+        pt(bbox["xmin"], bbox["ymin"]), pt(bbox["xmax"], bbox["ymin"]),
+        pt(bbox["xmax"], bbox["ymax"]), pt(bbox["xmin"], bbox["ymax"]),
+        pt(bbox["xmin"], bbox["ymin"]),
+    )
+
+
+def ring_bbox(ring: Column) -> Column:
+    """Polygon.bbox (polygon.py:121-141): nan-safe min/max over the ring
+    — an aggregate() HOF fold, no UDF."""
+    r = _col(ring)
+
+    def fold(field, fn, init):
+        return F.aggregate(r, F.lit(init).cast("double"),
+                           lambda acc, v: fn(acc, F.nanvl(v[field], acc)))
+
+    return F.struct(
+        fold("x", F.least, float("inf")).alias("xmin"),
+        fold("y", F.least, float("inf")).alias("ymin"),
+        fold("x", F.greatest, float("-inf")).alias("xmax"),
+        fold("y", F.greatest, float("-inf")).alias("ymax"),
+    )
+
+
+def point_buffer_ring(x, y, radius, segments: int = 16) -> Column:
+    """Circular buffer polygon as an n-gon ring (point.py:184-238,
+    default resolution 16 quarter-segments) — cos/sin by column math."""
+    xx, yy, r = _col(x), _col(y), _col(radius)
+    n = segments
+    two_pi = 2.0 * 3.141592653589793
+    ring = F.transform(
+        F.sequence(F.lit(0), F.lit(n)),
+        lambda k: F.struct(
+            (xx + r * F.cos(k.cast("double") * two_pi / n)).alias("x"),
+            (yy + r * F.sin(k.cast("double") * two_pi / n)).alias("y"),
+        ),
+    )
+    return ring
+
+
+# --- raster → vector (raster_geometry.py:1111-1144) -----------------------------
+
+def pixel_centroids(tiles: DataFrame, drop_nodata: bool = True) -> DataFrame:
+    """Every pixel as a value-attached point — THE raster→vector
+    operator: (image_id, prow, pcol, x, y, value). One Arrow pass per
+    tile; at scale this is the long-form handoff to vector joins."""
+    from rasters_spark import codec
+
+    schema = "image_id string, prow int, pcol int, x double, y double, value double"
+    cols = tiles.select("image_id", "bytes", "w", "h", "fmt",
+                        "x_origin", "y_origin", "cell_width", "cell_height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                hh, ww = arr.shape
+                rr, cc = np.indices((hh, ww))
+                v = arr.ravel().astype(np.float64)
+                keep = np.isfinite(v) if drop_nodata else np.ones(v.size, bool)
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rr.ravel()[keep].astype(np.int32),
+                    "pcol": cc.ravel()[keep].astype(np.int32),
+                    "x": pdf["x_origin"].iloc[i] + pdf["cell_width"].iloc[i] * (cc.ravel()[keep] + 0.5),
+                    "y": pdf["y_origin"].iloc[i] + pdf["cell_height"].iloc[i] * (rr.ravel()[keep] + 0.5),
+                    "value": np.where(np.isfinite(v[keep]), v[keep], np.nan),
+                }))
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {k: [] for k in ["image_id", "prow", "pcol", "x", "y", "value"]})
+
+    return cols.mapInPandas(run, schema=schema)
+
+
+def pixel_outlines(tiles: DataFrame, drop_nodata: bool = True) -> DataFrame:
+    """Every pixel as its square outline corners (flat columns for
+    relational friendliness): (image_id, prow, pcol, x0, y0, x1, y1,
+    value) where (x0,y0)=top-left corner, (x1,y1)=bottom-right."""
+    pc = pixel_centroids(tiles, drop_nodata)
+    # centroid ± half cell — recompute cell size from the tile table
+    sizes = tiles.select("image_id", "cell_width", "cell_height")
+    j = pc.join(F.broadcast(sizes), "image_id")
+    return j.select(
+        "image_id", "prow", "pcol",
+        (F.col("x") - F.col("cell_width") / 2).alias("x0"),
+        (F.col("y") - F.col("cell_height") / 2).alias("y0"),
+        (F.col("x") + F.col("cell_width") / 2).alias("x1"),
+        (F.col("y") + F.col("cell_height") / 2).alias("y1"),
+        "value",
+    )

@@ -59,13 +59,21 @@ def grid_struct(x_origin, y_origin, cell_width, cell_height, rows, cols, crs="EP
 
 # --- cell assignment (raster_grid.py:717-735) --------------------------------
 
+def _rint(c: Column) -> Column:
+    """IEEE round-half-even via Math.rint — identical results to
+    bround(x, 0)/np.round/DuckDB round_even at scale 0, but pure FP:
+    bround constructs a java BigDecimal (through Double.toString!) per
+    row and dominated the join hot path in profiles."""
+    return F.call_function("rint", c)
+
+
 def point_col(grid: Column, x) -> Column:
     """Point x → fractional col via inverse center affine, banker's-rounded."""
-    return F.bround((_col(x) - grid["x_origin"]) / grid["cell_width"] - 0.5, 0).cast("long")
+    return _rint((_col(x) - grid["x_origin"]) / grid["cell_width"] - 0.5).cast("long")
 
 
 def point_row(grid: Column, y) -> Column:
-    return F.bround((_col(y) - grid["y_origin"]) / grid["cell_height"] - 0.5, 0).cast("long")
+    return _rint((_col(y) - grid["y_origin"]) / grid["cell_height"] - 0.5).cast("long")
 
 
 def in_bounds(grid: Column, row, col) -> Column:

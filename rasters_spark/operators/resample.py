@@ -147,6 +147,27 @@ def to_grid_average(tiles: DataFrame, target: dict) -> DataFrame:
     return partials.select("image_id", "trow", "tcol", (F.col("vsum") / F.col("n")).alias("value"), "n")
 
 
+def build_resample_index(tiles: DataFrame, target: dict, table) -> dict:
+    """KDTree.save analogue (kdtree.py:227-255): persist the
+    (image_id, trow, tcol, prow, pcol) nearest-neighbour mapping as a
+    TableIO snapshot. Build once, reuse for every raster on the same
+    geometry pair — the reference's ``kd_tree=`` reuse
+    (raster.py:1220-1226) becomes read + broadcast join."""
+    cand = target_candidates(tiles, target).select("image_id", "trow", "tcol", "prow", "pcol")
+    return table.write(cand, operation="resample-index",
+                       job_id="kdtree", inputs=[str(target)])
+
+
+def resample_with_index(spark, tiles: DataFrame, table) -> DataFrame:
+    """KDTree.resample analogue (kdtree.py:257-325): apply a persisted
+    NN index to (possibly different) pixel payloads on the same source
+    geometry — an equi-join + O(1) pixel fetch per mapping row."""
+    idx = table.read(spark)
+    payload = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    j = idx.join(payload, "image_id")
+    return _with_nearest_value(j).select("image_id", "trow", "tcol", "value")
+
+
 def _coarse_key(fine_grid: dict, coarse_grid: dict):
     """Fine cell center → containing coarse cell indices: pure SQL
     (banker's-rounded inverse center affine, like every cell lookup)."""

