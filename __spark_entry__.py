@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from rasters_spark import cells, fixtures, grid
 from rasters_spark.datapipe import dedup, multimodal, similarity, textstats
 from rasters_spark.functions import crs as crsfn
+from rasters_spark.functions import render as renderfn
 from rasters_spark.functions import vector as vecfn
+from rasters_spark.operators import bands, neighbors
 from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
 from rasters_spark.operators import swath as swathops
 from rasters_spark.operators import rastermath as rm
@@ -330,6 +332,51 @@ def q_swath_to_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swathops.swath_to_grid_nn(_swath(spark), SWATH_TARGET)
 
 
+def q_to_grid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return resample.to_grid_bilinear(t, RASTERIZE_TARGET)
+
+
+def q_neighbour_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighbors.neighbour_distances(_swath(spark).drop("value"))
+
+
+def q_swath_cell_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighbors.swath_cell_size(_swath(spark).drop("value"))
+
+
+def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return bands.band_stats(bands.with_bands(t, 3))
+
+
+def q_boundary_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tiles(spark, sf_dir).filter("image_id < 'img000000000050'")
+    ring = neighbors.boundary_ring(F.col("grid"))
+    return (
+        t.select("image_id", F.posexplode(ring).alias("pos", "pt"))
+        .select("image_id", "pos", F.col("pt.row").alias("row"), F.col("pt.col").alias("col"))
+    )
+
+
+def q_snap_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = load_polygons(spark, sf_dir).filter("is_rect")
+    bb = grid.bbox_struct("xmin", "ymin", "xmax", "ymax")
+    g = grid.geographic_grid_from_bbox(bb, 0.5)
+    return polys.select(
+        "poly_id", g["x_origin"].alias("x_origin"), g["y_origin"].alias("y_origin"),
+        g["rows"].alias("rows"), g["cols"].alias("cols"),
+    )
+
+
+def q_media_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG colormap render (rows-only: binary output pinned by the
+    round-trip decoder in pytest)."""
+    t = load_tiles(spark, sf_dir).filter("image_id < 'img000000000050'")
+    out = renderfn.render_png(t)
+    return out.select("image_id", "w", "h", F.length("png").alias("png_bytes"))
+
+
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reinterpreted as points (FIXTURES.md §7b): deterministic
     x/y from value/user_id, counted per level-5 cell."""
@@ -377,6 +424,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_accessors": q_bbox_accessors,
         "swath_window": q_swath_window,
         "swath_to_grid_nn": q_swath_to_grid_nn,
+        "to_grid_bilinear": q_to_grid_bilinear,
+        "neighbour_distances": q_neighbour_distances,
+        "swath_cell_size": q_swath_cell_size,
+        "band_stats": q_band_stats,
+        "boundary_ring": q_boundary_ring,
+        "snap_grids": q_snap_grids,
+        "media_render": q_media_render,
     }
 
 
@@ -850,6 +904,127 @@ def oracle_sql() -> dict[str, str]:
                                         order by dist, row, col) as rn
               from d where dist <= 0.2
             ) where rn = 1
+        """,
+        "to_grid_bilinear": f"""
+            with t as (select * from {tiles} where fmt = 'raw'),
+            win as (
+              select image_id, x_origin, y_origin, cell_width, cell_height, w, h,
+                greatest(cast(round_even((y_origin - 90.0)/(-0.25) - 0.5, 0) as bigint), 0) as rs,
+                greatest(cast(round_even((x_origin + 180.0)/0.25 - 0.5, 0) as bigint), 0) as cs,
+                least(cast(round_even(((y_origin + cell_height * h) - 90.0)/(-0.25) - 0.5, 0) as bigint) + 1, 720) as re,
+                least(cast(round_even(((x_origin + cell_width * w) + 180.0)/0.25 - 0.5, 0) as bigint) + 1, 1440) as ce
+              from t
+            ),
+            cand as (
+              select w_.*, r.trow, c.tcol,
+                     (-180.0 + 0.25 * (c.tcol + 0.5)) as tx, (90.0 + (-0.25) * (r.trow + 0.5)) as ty
+              from win w_,
+                   unnest(range(w_.rs, w_.re)) as r(trow), unnest(range(w_.cs, w_.ce)) as c(tcol)
+            ),
+            frac as (
+              select image_id, trow, tcol, w, h,
+                (tx - x_origin)/cell_width - 0.5 as fc, (ty - y_origin)/cell_height - 0.5 as fr,
+                cast(round_even((ty - y_origin)/cell_height - 0.5, 0) as bigint) as prow,
+                cast(round_even((tx - x_origin)/cell_width - 0.5, 0) as bigint) as pcol
+              from cand
+            ),
+            nb as (
+              select image_id, trow, tcol, fc, fr,
+                cast(floor(fc) as bigint) as c0, cast(floor(fr) as bigint) as r0,
+                fc - floor(fc) as dc, fr - floor(fr) as dr, w, h
+              from frac
+              where prow between 0 and h - 1 and pcol between 0 and w - 1
+            ),
+            cl as (
+              select image_id, trow, tcol, dc, dr,
+                least(greatest(r0, 0), h - 1) as r0c, least(greatest(r0 + 1, 0), h - 1) as r1c,
+                least(greatest(c0, 0), w - 1) as c0c, least(greatest(c0 + 1, 0), w - 1) as c1c
+              from nb
+            ),
+            v as (
+              select cl.image_id, cl.trow, cl.tcol,
+                (1 - dr) * ((1 - dc) * cast(p00.value as double) + dc * cast(p01.value as double))
+                + dr * ((1 - dc) * cast(p10.value as double) + dc * cast(p11.value as double)) as value
+              from cl
+              join {pixels} p00 on p00.image_id = cl.image_id and p00.prow = cl.r0c and p00.pcol = cl.c0c
+              join {pixels} p01 on p01.image_id = cl.image_id and p01.prow = cl.r0c and p01.pcol = cl.c1c
+              join {pixels} p10 on p10.image_id = cl.image_id and p10.prow = cl.r1c and p10.pcol = cl.c0c
+              join {pixels} p11 on p11.image_id = cl.image_id and p11.prow = cl.r1c and p11.pcol = cl.c1c
+            )
+            select image_id, trow, tcol,
+                   case when isnan(value) then NULL else value end as value
+            from v
+        """,
+        "neighbour_distances": f"""
+            with sw as ({_SWATH_SQL})
+            select swath_id, row, col,
+              sqrt((x - lag(x) over (partition by swath_id, col order by row)) * (x - lag(x) over (partition by swath_id, col order by row))
+                 + (y - lag(y) over (partition by swath_id, col order by row)) * (y - lag(y) over (partition by swath_id, col order by row))) as row_dist,
+              sqrt((x - lag(x) over (partition by swath_id, row order by col)) * (x - lag(x) over (partition by swath_id, row order by col))
+                 + (y - lag(y) over (partition by swath_id, row order by col)) * (y - lag(y) over (partition by swath_id, row order by col))) as col_dist
+            from sw
+        """,
+        "swath_cell_size": f"""
+            with sw as ({_SWATH_SQL}),
+            lagged as (
+              select swath_id,
+                x - lag(x) over (partition by swath_id, col order by row) as rdx,
+                y - lag(y) over (partition by swath_id, col order by row) as rdy,
+                x - lag(x) over (partition by swath_id, row order by col) as cdx,
+                y - lag(y) over (partition by swath_id, row order by col) as cdy
+              from sw
+            ),
+            d as (
+              select swath_id,
+                sqrt(rdx * rdx + rdy * rdy) as row_dist,
+                sqrt(cdx * cdx + cdy * cdy) as col_dist
+              from lagged
+            )
+            select swath_id, least(median(row_dist), median(col_dist)) as cell_size
+            from d group by swath_id
+        """,
+        "band_stats": f"""
+            with t as (
+              select *, cast(substring(image_id, 4, 12) as bigint) % 3 as band
+              from {tiles} where fmt = 'raw'
+            ),
+            per_tile as (
+              select t.image_id, t.band,
+                count(*) filter (not isnan(px.value)) as n_valid,
+                coalesce(sum(cast(px.value as double)) filter (not isnan(px.value)), 0.0) as vsum,
+                min(cast(px.value as double)) filter (not isnan(px.value)) as vmin,
+                max(cast(px.value as double)) filter (not isnan(px.value)) as vmax
+              from t join {pixels} px using (image_id)
+              group by t.image_id, t.band
+            )
+            select cast(band as int) as band, count(*) as n_tiles,
+                   cast(sum(n_valid) as bigint) as n_valid,
+                   sum(vsum) as vsum, min(vmin) as vmin, max(vmax) as vmax
+            from per_tile group by band
+        """,
+        "boundary_ring": f"""
+            with t as (select image_id, w, h from {tiles} where image_id < 'img000000000050')
+            select image_id, pos, row, col from (
+              select image_id, c.col_ as pos, 0 as row, c.col_ as col
+              from t, unnest(range(0, w)) as c(col_)
+              union all
+              select image_id, w + r.row_ - 1, r.row_, w - 1
+              from t, unnest(range(1, h)) as r(row_)
+              union all
+              select image_id, w + h - 1 + (w - 2 - c.col_), h - 1, c.col_
+              from t, unnest(range(0, w - 1)) as c(col_)
+              union all
+              select image_id, 2 * w + h - 3 + (h - 1 - r.row_), r.row_, 0
+              from t, unnest(range(1, h - 1)) as r(row_)
+            )
+        """,
+        "snap_grids": f"""
+            select poly_id,
+              trunc(xmin / 0.5) * 0.5 as x_origin,
+              trunc(ymax / 0.5) * 0.5 as y_origin,
+              cast(greatest(trunc((ymax - ymin) / 0.5), 1) as int) as rows,
+              cast(greatest(trunc((xmax - xmin) / 0.5), 1) as int) as cols
+            from {polys} where is_rect
         """,
         "events_cell_count": f"""
             with e as (

@@ -194,6 +194,41 @@ def rescale_grid(grid: Column, cell_size) -> Column:
     )
 
 
+def geographic_grid_from_bbox(bbox: Column, cell_size, snap: bool = True, crs="EPSG:4326") -> Column:
+    """Target-grid derivation from a bbox (raster_geometry.py:758-796):
+    rows/cols = max(trunc(extent/cs), 1); with ``snap`` the origin is
+    pulled onto the cell lattice via trunc-toward-ZERO (the reference
+    uses Python int(), NOT floor — negative origins differ,
+    raster_geometry.py:779-782)."""
+    cs = _col(cell_size).cast("double")
+    width = bbox["xmax"] - bbox["xmin"]
+    height = bbox["ymax"] - bbox["ymin"]
+    rows = F.greatest((height / cs).cast("long"), F.lit(1).cast("long")).cast("int")
+    cols = F.greatest((width / cs).cast("long"), F.lit(1).cast("long")).cast("int")
+    if snap:
+        y0 = (bbox["ymax"] / cs).cast("long").cast("double") * cs
+        x0 = (bbox["xmin"] / cs).cast("long").cast("double") * cs
+    else:
+        y0, x0 = bbox["ymax"], bbox["xmin"]
+    return grid_struct(x0, y0, cs, -cs, rows, cols, crs)
+
+
+GRID_JSON_SCHEMA = ("struct<x_origin:double, y_origin:double, cell_width:double, "
+                    "cell_height:double, rows:int, cols:int, crs:string>")
+
+
+def grid_to_json(grid: Column) -> Column:
+    """RasterGrid.to_dict serialization (raster_grid.py:1044-1072) as a
+    JSON string column."""
+    return F.to_json(grid)
+
+
+def grid_from_json(js) -> Column:
+    """RasterGeometry.from_dict parse (raster_geometry.py:943-1044,
+    'grid' variant) — fixed StructType, malformed input → NULL struct."""
+    return F.from_json(_col(js), GRID_JSON_SCHEMA)
+
+
 def merge_grids_agg(grid: Column) -> list[Column]:
     """Aggregate expressions for RasterGrid.merge (raster_grid.py:324-348):
     union bbox + min cell size. Use inside .agg(*merge_grids_agg(col))

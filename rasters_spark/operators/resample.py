@@ -33,6 +33,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
 from rasters_spark import grid
 from rasters_spark.operators.sample import _nearest_kernel
 
@@ -92,6 +95,42 @@ def to_grid_nearest(tiles: DataFrame, target: dict) -> DataFrame:
     return _with_nearest_value(target_candidates(tiles, target)).select(
         "image_id", "trow", "tcol", "value"
     )
+
+
+@pandas_udf(DoubleType())
+def _bilinear_kernel(data, w, h, fmt, x0, y0, cw, ch, tx, ty):
+    """Standard bilinear over the 4 surrounding pixel centers, neighbors
+    clamped at tile edges, NaN if any contributing neighbor is NaN
+    (matches rasterio bilinear-with-NaN-nodata propagation)."""
+    from rasters_spark import codec
+
+    out = np.empty(len(data), dtype=np.float64)
+    for i in range(len(data)):
+        arr = codec.decode_tile(data.iloc[i], int(w.iloc[i]), int(h.iloc[i]), fmt.iloc[i])
+        hh, ww = arr.shape
+        fc = (tx.iloc[i] - x0.iloc[i]) / cw.iloc[i] - 0.5
+        fr = (ty.iloc[i] - y0.iloc[i]) / ch.iloc[i] - 0.5
+        c0 = int(np.floor(fc)); r0 = int(np.floor(fr))
+        dc = fc - c0; dr = fr - r0
+        c0c, c1c = min(max(c0, 0), ww - 1), min(max(c0 + 1, 0), ww - 1)
+        r0c, r1c = min(max(r0, 0), hh - 1), min(max(r0 + 1, 0), hh - 1)
+        v00, v01 = arr[r0c, c0c], arr[r0c, c1c]
+        v10, v11 = arr[r1c, c0c], arr[r1c, c1c]
+        out[i] = ((1 - dr) * ((1 - dc) * v00 + dc * v01)
+                  + dr * ((1 - dc) * v10 + dc * v11))
+    return pd.Series(out)
+
+
+def to_grid_bilinear(tiles: DataFrame, target: dict) -> DataFrame:
+    """to_grid(resampling='linear') — bilinear warp per target cell in
+    sparse long form (image_id, trow, tcol, value); NaN → NULL."""
+    cand = target_candidates(tiles, target)
+    g = F.col("grid")
+    v = _bilinear_kernel(
+        F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"),
+        g["x_origin"], g["y_origin"], g["cell_width"], g["cell_height"],
+        F.col("tx"), F.col("ty"))
+    return cand.withColumn("value", v).select("image_id", "trow", "tcol", "value")
 
 
 def to_grid_average(tiles: DataFrame, target: dict) -> DataFrame:

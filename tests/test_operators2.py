@@ -1,0 +1,133 @@
+"""Bilinear, neighbour distances, boundary walk, bands, PNG render,
+grid serde + snap rule."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_spark import codec, fixtures, grid, npref
+from rasters_spark.functions import render
+from rasters_spark.operators import bands, neighbors, resample
+from rasters_spark.tiles import load_tiles
+
+SF = "/root/testdata/sf0.001"
+TARGET = dict(x_origin=-180.0, y_origin=90.0, cell_width=0.25, cell_height=-0.25,
+              rows=720, cols=1440, crs="EPSG:4326")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fixtures():
+    fixtures.ensure_fixtures(SF)
+
+
+def test_bilinear_matches_numpy(spark):
+    tiles = load_tiles(spark, SF).filter("fmt = 'raw'").limit(6)
+    got = {(r.image_id, r.trow, r.tcol): r.value
+           for r in resample.to_grid_bilinear(tiles, TARGET).collect()}
+    assert got
+    checked = 0
+    for t in tiles.collect():
+        arr = codec.decode_tile(t.bytes, t.w, t.h, t.fmt)
+        for (iid, trow, tcol), v in got.items():
+            if iid != t.image_id:
+                continue
+            tx, ty = npref.cell_center(trow, tcol, TARGET["x_origin"], TARGET["y_origin"],
+                                       TARGET["cell_width"], TARGET["cell_height"])
+            fc = (tx - t.x_origin) / t.cell_width - 0.5
+            fr = (ty - t.y_origin) / t.cell_height - 0.5
+            c0, r0 = int(np.floor(fc)), int(np.floor(fr))
+            dc, dr = fc - c0, fr - r0
+            cl = lambda v_, n: min(max(v_, 0), n - 1)
+            v00 = arr[cl(r0, t.h), cl(c0, t.w)]; v01 = arr[cl(r0, t.h), cl(c0 + 1, t.w)]
+            v10 = arr[cl(r0 + 1, t.h), cl(c0, t.w)]; v11 = arr[cl(r0 + 1, t.h), cl(c0 + 1, t.w)]
+            exp = (1 - dr) * ((1 - dc) * v00 + dc * v01) + dr * ((1 - dc) * v10 + dc * v11)
+            if np.isnan(exp):
+                assert v is None or np.isnan(v)
+            else:
+                assert v == pytest.approx(float(exp), rel=1e-9)
+            checked += 1
+    assert checked > 50
+
+
+def test_neighbour_distances_and_cell_size(spark):
+    r = spark.range(20).select(F.col("id").alias("row"))
+    c = spark.range(20).select(F.col("id").alias("col"))
+    sw = r.crossJoin(c).select(
+        F.lit(0).alias("swath_id"), "row", "col",
+        (F.col("col") * 0.3).alias("x"), (10.0 - F.col("row") * 0.4).alias("y"))
+    d = neighbors.neighbour_distances(sw).collect()
+    for rr in d:
+        if rr.row == 0:
+            assert rr.row_dist is None
+        else:
+            assert rr.row_dist == pytest.approx(0.4)
+        if rr.col == 0:
+            assert rr.col_dist is None
+        else:
+            assert rr.col_dist == pytest.approx(0.3)
+    cs = neighbors.swath_cell_size(sw).collect()[0]
+    assert cs.cell_size == pytest.approx(0.3)
+
+
+def test_boundary_ring_order_and_length(spark):
+    g = grid.grid_struct(0.0, 0.0, 1.0, -1.0, 4, 3, "EPSG:4326")
+    ring = spark.range(1).select(neighbors.boundary_ring(g).alias("r")).collect()[0].r
+    got = [(p.row, p.col) for p in ring]
+    # 4 rows × 3 cols: perimeter = 2*(4+3)-4 = 10, ordered walk
+    assert got == [(0, 0), (0, 1), (0, 2), (1, 2), (2, 2), (3, 2), (3, 1), (3, 0), (2, 0), (1, 0)]
+    g1 = grid.grid_struct(0.0, 0.0, 1.0, -1.0, 1, 5, "EPSG:4326")
+    ring1 = spark.range(1).select(neighbors.boundary_ring(g1).alias("r")).collect()[0].r
+    assert [(p.row, p.col) for p in ring1] == [(0, c) for c in range(5)]
+
+
+def test_bands_stats(spark):
+    tiles = load_tiles(spark, SF)
+    stacked = bands.with_bands(tiles, 3)
+    got = {r.band: r for r in bands.band_stats(stacked).collect()}
+    assert set(got) == {0, 1, 2}
+    assert sum(r.n_tiles for r in got.values()) == tiles.count()
+    b0 = bands.extract_band(stacked, 0)
+    assert b0.count() == got[0].n_tiles
+    # independent recomputation of band 0 vsum from decoded pixels
+    vsum = 0.0
+    for t in b0.collect():
+        arr = codec.decode_tile(t.bytes, t.w, t.h, t.fmt)
+        vsum += float(np.nansum(arr.astype(np.float64)))
+    assert got[0].vsum == pytest.approx(vsum, rel=1e-9)
+
+
+def test_png_roundtrip_and_render(spark):
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assert np.array_equal(render.decode_png(render.encode_png(img)), img)
+    rgb = np.random.default_rng(1).integers(0, 255, (5, 7, 3)).astype(np.uint8)
+    assert np.array_equal(render.decode_png(render.encode_png(rgb)), rgb)
+
+    tiles = load_tiles(spark, SF).limit(4)
+    out = render.render_png(tiles).collect()
+    for r in out:
+        dec = render.decode_png(r.png)
+        assert dec.shape == (r.h, r.w, 3)
+        assert r.png[:8] == b"\x89PNG\r\n\x1a\n"
+    gray = render.render_png(tiles, mode="gray").collect()
+    assert all(render.decode_png(r.png).shape == (r.h, r.w) for r in gray)
+
+
+def test_grid_serde_roundtrip(spark):
+    g = grid.grid_struct(-120.0, 40.0, 0.01, -0.01, 100, 200, "EPSG:4326")
+    df = spark.range(1).select(grid.grid_to_json(g).alias("js"))
+    back = df.select(grid.grid_from_json("js").alias("g")).select("g.*").collect()[0]
+    assert (back.x_origin, back.rows, back.cols, back.crs) == (-120.0, 100, 200, "EPSG:4326")
+    bad = spark.createDataFrame([("not json",)], "js string")
+    badg = bad.select(grid.grid_from_json("js").alias("g")).collect()[0].g
+    assert badg is None or all(v is None for v in badg)  # struct of NULLs
+
+
+def test_geographic_snap_rule(spark):
+    # int() truncation toward zero, NOT floor (raster_geometry.py:779-782)
+    bb = grid.bbox_struct(F.lit(-119.97), F.lit(39.02), F.lit(-119.03), F.lit(39.98))
+    g = spark.range(1).select(grid.geographic_grid_from_bbox(bb, 0.1).alias("g")).select("g.*").collect()[0]
+    assert g.y_origin == pytest.approx(int(39.98 / 0.1) * 0.1)   # 39.9
+    assert g.x_origin == pytest.approx(int(-119.97 / 0.1) * 0.1)  # -119.9 (trunc toward 0!)
+    assert g.rows == max(int((39.98 - 39.02) / 0.1), 1) and g.cols == max(int(0.94 / 0.1), 1)
+    g2 = spark.range(1).select(grid.geographic_grid_from_bbox(bb, 0.1, snap=False).alias("g")).select("g.*").collect()[0]
+    assert g2.y_origin == pytest.approx(39.98) and g2.x_origin == pytest.approx(-119.97)
