@@ -377,6 +377,42 @@ def q_media_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "w", "h", F.length("png").alias("png_bytes"))
 
 
+def q_polygons_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON round-trip: ring → GeoJSON string → parsed back; output
+    carries the string plus re-parsed bbox so the oracle verifies both
+    serialization and parsing."""
+    polys = load_polygons(spark, sf_dir)
+    js = vecfn.ring_to_geojson(F.col("ring"))
+    back = vecfn.geojson_to_ring(js)
+    bb = vecfn.ring_bbox(back)
+    return polys.select(
+        "poly_id", js.alias("geojson"),
+        bb["xmin"].alias("xmin_rt"), bb["ymax"].alias("ymax_rt"),
+        F.size(back).alias("n_vertices"),
+    )
+
+
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest smoke (rows-only): drain the fixture
+    tiles through readStream→foreachBatch→TableIO and return the
+    indexed rows. Exercises checkpointing + snapshot-ledger commits."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from rasters_spark.streaming import ingest_available_now
+    from rasters_spark.tableio import TableIO
+
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    work = Path(tempfile.mkdtemp(prefix="stream_q_"))
+    src = work / "in"
+    src.mkdir()
+    shutil.copy(fdir / "tiles.parquet", src / "tiles.parquet")
+    tbl = TableIO(str(work / "tbl"))
+    ingest_available_now(spark, str(src), tbl, str(work / "ckpt"))
+    return tbl.read(spark).select("image_id", "cell_id", "caption")
+
+
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reinterpreted as points (FIXTURES.md §7b): deterministic
     x/y from value/user_id, counted per level-5 cell."""
@@ -431,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_ring": q_boundary_ring,
         "snap_grids": q_snap_grids,
         "media_render": q_media_render,
+        "polygons_geojson": q_polygons_geojson,
+        "stream_ingest": q_stream_ingest,
     }
 
 
@@ -1025,6 +1063,28 @@ def oracle_sql() -> dict[str, str]:
               cast(greatest(trunc((ymax - ymin) / 0.5), 1) as int) as rows,
               cast(greatest(trunc((xmax - xmin) / 0.5), 1) as int) as cols
             from {polys} where is_rect
+        """,
+        "stream_ingest": f"""
+            with t as (
+              select image_id, caption,
+                greatest(0, least({NX - 1}, cast(floor((x_origin + 180.0) / {CSZ}) as bigint))) as ix0,
+                greatest(0, least({NX - 1}, cast(floor((x_origin + cell_width * w + 180.0) / {CSZ}) as bigint))) as ix1,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - y_origin) / {CSZ}) as bigint))) as iy0,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - (y_origin + cell_height * h)) / {CSZ}) as bigint))) as iy1
+              from {tiles}
+            )
+            select image_id, ({LEVEL} * {PACK} + iy * {IYS} + ix) as cell_id, caption
+            from t, unnest(range(t.iy0, t.iy1 + 1)) as ry(iy), unnest(range(t.ix0, t.ix1 + 1)) as rx(ix)
+        """,
+        "polygons_geojson": f"""
+            select poly_id,
+              '{{"type": "Polygon", "coordinates": [[' ||
+                list_aggr([printf('[%.6f,%.6f]', p.x, p.y) for p in ring], 'string_agg', ',')
+              || ']]}}' as geojson,
+              list_min([cast(printf('%.6f', p.x) as double) for p in ring]) as xmin_rt,
+              list_max([cast(printf('%.6f', p.y) as double) for p in ring]) as ymax_rt,
+              cast(len(ring) as int) as n_vertices
+            from {polys}
         """,
         "events_cell_count": f"""
             with e as (

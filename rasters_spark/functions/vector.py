@@ -98,6 +98,49 @@ def point_buffer_ring(x, y, radius, segments: int = 16) -> Column:
     return ring
 
 
+# --- GeoJSON (vector_geometry.py:116-123, wrap_geometry.py:19-81) ---------------
+
+def ring_to_geojson(ring: Column, decimals: int = 6) -> Column:
+    """Polygon ring → GeoJSON string. Coordinates printf-formatted to a
+    fixed precision (engine-portable float rendering)."""
+    fmt = f"%.{decimals}f"
+    coords = F.concat_ws(
+        ",",
+        F.transform(_col(ring), lambda p: F.format_string(f"[{fmt},{fmt}]", p["x"], p["y"])),
+    )
+    return F.concat(F.lit('{"type": "Polygon", "coordinates": [['), coords, F.lit("]]}"))
+
+
+def point_to_geojson(x, y, decimals: int = 6) -> Column:
+    fmt = f"%.{decimals}f"
+    return F.format_string(f'{{"type": "Point", "coordinates": [{fmt},{fmt}]}}', _col(x), _col(y))
+
+
+GEOJSON_SCHEMA = "struct<type:string, coordinates:array<array<array<double>>>>"
+GEOJSON_POINT_SCHEMA = "struct<type:string, coordinates:array<double>>"
+
+
+def geojson_to_ring(js) -> Column:
+    """wrap_geometry analogue: parse a GeoJSON Polygon string into the
+    engine's ring array (exterior ring only)."""
+    parsed = F.from_json(_col(js), GEOJSON_SCHEMA)
+    # try_element_at: malformed / empty / wrong-type input → NULL, never throws
+    ring = F.try_element_at(parsed["coordinates"], F.lit(1))
+    return F.transform(
+        ring,
+        lambda c: F.struct(F.try_element_at(c, F.lit(1)).alias("x"),
+                           F.try_element_at(c, F.lit(2)).alias("y")),
+    )
+
+
+def geojson_to_point(js) -> Column:
+    parsed = F.from_json(_col(js), GEOJSON_POINT_SCHEMA)
+    return F.struct(
+        F.try_element_at(parsed["coordinates"], F.lit(1)).alias("x"),
+        F.try_element_at(parsed["coordinates"], F.lit(2)).alias("y"),
+    )
+
+
 # --- raster → vector (raster_geometry.py:1111-1144) -----------------------------
 
 def pixel_centroids(tiles: DataFrame, drop_nodata: bool = True) -> DataFrame:
