@@ -413,6 +413,35 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark).select("image_id", "cell_id", "caption")
 
 
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates by perceptual-hash Hamming distance —
+    the multimodal analogue of text MinHash (threshold 24 is a demo
+    value: random phashes sit at ~32 bits, so ~0.1% of pairs qualify;
+    real near-dup images land near 0)."""
+    t = load_tiles(spark, sf_dir).filter("image_id < 'img000000000500'").select("image_id", "phash")
+    a = t.select(F.col("image_id").alias("id_a"), F.col("phash").alias("pa"))
+    b = t.select(F.col("image_id").alias("id_b"), F.col("phash").alias("pb"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    return j.withColumn("hamming", ham).filter(F.col("hamming") <= 24).select("id_a", "id_b", "hamming")
+
+
+def q_events_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (the batch shape of the
+    streaming windowed agg): epoch-hour buckets for engine-portable
+    window boundaries."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    return ev.groupBy(hour.alias("epoch_hour")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        # min/max are order-independent; a float SUM of arbitrary doubles
+        # would be accumulation-order-dependent across engines
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+
+
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reinterpreted as points (FIXTURES.md §7b): deterministic
     x/y from value/user_id, counted per level-5 cell."""
@@ -469,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_render": q_media_render,
         "polygons_geojson": q_polygons_geojson,
         "stream_ingest": q_stream_ingest,
+        "phash_near_dups": q_phash_near_dups,
+        "events_hour_window": q_events_hour_window,
     }
 
 
@@ -1085,6 +1116,23 @@ def oracle_sql() -> dict[str, str]:
               list_max([cast(printf('%.6f', p.y) as double) for p in ring]) as ymax_rt,
               cast(len(ring) as int) as n_vertices
             from {polys}
+        """,
+        "phash_near_dups": f"""
+            with t as (select image_id, phash from {tiles} where image_id < 'img000000000500')
+            select a.image_id as id_a, b.image_id as id_b,
+                   cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+            from t a cross join t b
+            where a.image_id < b.image_id
+              and bit_count(xor(a.phash, b.phash)) <= 24
+        """,
+        "events_hour_window": """
+            select cast(trunc(epoch(ts) / 3600.0) as bigint) as epoch_hour,
+                   count(*) as n_events,
+                   count(distinct user_id) as n_users,
+                   min(value) as value_min,
+                   max(value) as value_max
+            from events
+            group by 1
         """,
         "events_cell_count": f"""
             with e as (

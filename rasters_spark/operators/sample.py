@@ -64,12 +64,25 @@ def _idw_kernel(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
     """IDW power-2 over ALL pixel centroids of the tile
     (raster.py:1494-1545: w = 1/d^p, nansum(v·w)/sum of valid w)."""
     out = np.empty(len(data), dtype=np.float64)
+    decode_cache: dict[bytes, np.ndarray] = {}
+    mesh_cache: dict[tuple, tuple] = {}
     for i in range(len(data)):
-        arr = codec.decode_tile(data.iloc[i], int(w.iloc[i]), int(h.iloc[i]), fmt.iloc[i])
+        key = data.iloc[i]
+        arr = decode_cache.get(key)
+        if arr is None:
+            arr = codec.decode_tile(key, int(w.iloc[i]), int(h.iloc[i]), fmt.iloc[i])
+            if len(decode_cache) < 256:  # hot tiles repeat across skewed pairs
+                decode_cache[key] = arr
         hh, ww = arr.shape
-        px = x0.iloc[i] + cw.iloc[i] * (np.arange(ww) + 0.5)
-        py = y0.iloc[i] + ch.iloc[i] * (np.arange(hh) + 0.5)
-        PX, PY = np.meshgrid(px, py)
+        mkey = (x0.iloc[i], y0.iloc[i], cw.iloc[i], ch.iloc[i], ww, hh)
+        mesh = mesh_cache.get(mkey)
+        if mesh is None:
+            px = x0.iloc[i] + cw.iloc[i] * (np.arange(ww) + 0.5)
+            py = y0.iloc[i] + ch.iloc[i] * (np.arange(hh) + 0.5)
+            mesh = np.meshgrid(px, py)
+            if len(mesh_cache) < 256:
+                mesh_cache[mkey] = mesh
+        PX, PY = mesh
         d = np.hypot(PX - qx.iloc[i], PY - qy.iloc[i])
         exact = d == 0
         if exact.any():
