@@ -218,6 +218,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.85)
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the ≥0.85
+    Jaccard pair graph (iterative label propagation; oracle = recursive
+    CTE transitive closure)."""
+    return dedup.dup_groups(_docs(spark, sf_dir))
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc (rows-only check: no portable 64-bit hash
     exists across Spark/DuckDB; pinned by pytest recomputation)."""
@@ -500,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest": q_stream_ingest,
         "phash_near_dups": q_phash_near_dups,
         "events_hour_window": q_events_hour_window,
+        "dup_groups": q_dup_groups,
     }
 
 
@@ -1116,6 +1124,39 @@ def oracle_sql() -> dict[str, str]:
               list_max([cast(printf('%.6f', p.y) as double) for p in ring]) as ymax_rt,
               cast(len(ring) as int) as n_vertices
             from {polys}
+        """,
+        "dup_groups": f"""
+            with recursive
+            g as (
+              select doc_id,
+                unnest(list_distinct([substring(text, i, 3)
+                                      for i in range(1, greatest(len(text) - 2, 1) + 1)])) as sh
+              from documents
+            ),
+            sizes as (select doc_id, count(*) as n from g group by 1),
+            inter as (
+              select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
+              from g a join g b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by 1, 2
+            ),
+            pairs as (
+              select doc_a, doc_b from inter
+              join sizes sa on sa.doc_id = doc_a
+              join sizes sb on sb.doc_id = doc_b
+              where cast(i as double) / cast(sa.n + sb.n - i as double) >= 0.85
+            ),
+            edges as (
+              select doc_a, doc_b from pairs
+              union
+              select doc_b, doc_a from pairs
+            ),
+            walk(doc_id, reach) as (
+              select doc_a, doc_a from edges
+              union
+              select e.doc_a, w.reach from edges e join walk w on w.doc_id = e.doc_b
+            )
+            select doc_id, min(reach) as group_id
+            from walk group by doc_id
         """,
         "phash_near_dups": f"""
             with t as (select image_id, phash from {tiles} where image_id < 'img000000000500')

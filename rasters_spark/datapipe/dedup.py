@@ -132,6 +132,40 @@ def minhash_lsh_pairs(
     return j.select("doc_a", "doc_b", "j")
 
 
+def dup_groups(docs: DataFrame, k: int = 3, threshold: float = 0.85) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the exact-Jaccard
+    pair graph, labeled by each component's min doc_id → (doc_id,
+    group_id) for every doc in a group of size ≥ 2.
+
+    Iterative min-label propagation (converges in ≤ diameter rounds,
+    bounded by log₂ of the largest component in practice) — the driver
+    loop re-plans per iteration; each iteration is two broadcast joins.
+    The DuckDB oracle is a recursive CTE computing the same fixpoint.
+    """
+    pairs = ngram_jaccard_pairs(docs, k, threshold).select("doc_a", "doc_b")
+    # undirected edge list + self-loops so singletons-in-pairs keep labels
+    edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "group_id", F.col("doc_id"))
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a").agg(F.min("group_id").alias("nbr"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["doc_a"], "left")
+            .select("doc_id", F.least(F.col("group_id"), F.coalesce(F.col("nbr"), F.col("group_id"))).alias("group_id"))
+        )
+        changed = (
+            updated.alias("u").join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.group_id") != F.col("l.group_id")).count()
+        )
+        labels = updated.localCheckpoint()  # truncate the growing plan
+        if changed == 0:
+            break
+    return labels.select("doc_id", "group_id")
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     token hashes — pure SQL (token explode + bit arithmetic).

@@ -58,7 +58,7 @@ def signature_bits(e, planes: int = 16, dims: int = 64):
                 lambda d: (
                     ((F.xxhash64(F.concat(p.cast("string"), F.lit("_"), d.cast("string"))) % 2001 + 2001) % 2001
                      - 1000).cast("double") / 1000.0
-                ) * F.element_at(e, d + 1).cast("double"),
+                ) * F.coalesce(F.try_element_at(e, d + 1).cast("double"), F.lit(0.0)),
             ),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
