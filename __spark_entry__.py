@@ -449,6 +449,17 @@ def q_events_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite reprojection pipeline: pixel centroids → numpy TM
+    transform → derived UTM target grid → nearest composite (rows-only:
+    the Snyder transform kernel has no SQL twin; geometry round-trips
+    are pinned by tests/test_reproject.py)."""
+    t = load_tiles(spark, sf_dir).filter(
+        "x_origin between -123 and -117 and y_origin between 70 and 85 and fmt = 'raw'")
+    out = resample.reproject_utm(t, 32610, cell_size_m=5000.0)
+    return out.select("trow", "tcol", "value", "n_sources")
+
+
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reinterpreted as points (FIXTURES.md §7b): deterministic
     x/y from value/user_id, counted per level-5 cell."""
@@ -508,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "events_hour_window": q_events_hour_window,
         "dup_groups": q_dup_groups,
+        "reproject_utm": q_reproject_utm,
     }
 
 

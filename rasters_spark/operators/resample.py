@@ -186,6 +186,48 @@ def to_grid_average(tiles: DataFrame, target: dict) -> DataFrame:
     return partials.select("image_id", "trow", "tcol", (F.col("vsum") / F.col("n")).alias("value"), "n")
 
 
+def reproject_utm(tiles: DataFrame, epsg: int, cell_size_m: float = 2000.0) -> DataFrame:
+    """Raster.reproject / Raster.UTM (raster.py:1878-1915): derive a UTM
+    target grid from the tiles' union extent (nanmin/max ± half-cell
+    padding per grid_to_crs, raster_geometry.py:895-941) and warp every
+    pixel center into it (nearest assignment).
+
+    Pipeline: pixel_centroids → transform_xy kernel (numpy TM) → target
+    cell assignment → first-per-cell composite. Output long form
+    (trow, tcol, value, n_sources) on the UTM grid; the grid descriptor
+    is emitted alongside as crossJoin-able metadata.
+    """
+    from rasters_spark.functions.crs import transform_xy
+    from rasters_spark.functions.vector import pixel_centroids
+
+    pc = pixel_centroids(tiles).withColumn("crs", F.lit("EPSG:4326"))
+    utm = transform_xy(pc, dst=f"EPSG:{epsg}")
+    ext = utm.agg(
+        F.min("x_t").alias("xmin"), F.min("y_t").alias("ymin"),
+        F.max("x_t").alias("xmax"), F.max("y_t").alias("ymax"),
+    ).collect()[0]
+    if ext.xmin is None:
+        raise ValueError("reproject_utm: input has no valid pixels (empty tile selection?)")
+    # half-cell padding, matching grid_to_crs extent derivation
+    x0 = ext.xmin - cell_size_m / 2
+    y0 = ext.ymax + cell_size_m / 2
+    cols = int(np.ceil((ext.xmax + cell_size_m / 2 - x0) / cell_size_m))
+    rows = int(np.ceil((y0 - (ext.ymin - cell_size_m / 2)) / cell_size_m))
+    tg = dict(x_origin=x0, y_origin=y0, cell_width=cell_size_m, cell_height=-cell_size_m,
+              rows=rows, cols=cols, crs=f"EPSG:{epsg}")
+    g = grid.grid_struct(**tg)
+    assigned = (
+        utm.withColumn("trow", grid.point_row(g, F.col("y_t")))
+        .withColumn("tcol", grid.point_col(g, F.col("x_t")))
+        .filter(grid.in_bounds(g, F.col("trow"), F.col("tcol")))
+    )
+    out = assigned.groupBy("trow", "tcol").agg(
+        F.min_by("value", F.struct("image_id", "prow", "pcol")).alias("value"),
+        F.count("*").alias("n_sources"),
+    )
+    return out.withColumn("grid", g)
+
+
 def build_resample_index(tiles: DataFrame, target: dict, table) -> dict:
     """KDTree.save analogue (kdtree.py:227-255): persist the
     (image_id, trow, tcol, prow, pcol) nearest-neighbour mapping as a
