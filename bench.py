@@ -55,6 +55,10 @@ def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
     timed("tile_stats", lambda: force(stats.tile_stats(load_tiles(spark, sf_dir))))
     # q4: window join vs polygon table
     timed("tile_windows_for_polygons", lambda: force(e.q_tile_windows_for_polygons(spark, sf_dir)))
+    # q5: kNN via cell-ring expansion
+    timed("knn_tiles", lambda: force(e.q_knn_tiles(spark, sf_dir)))
+    # q6: mean-composite resample onto the 0.25° grid
+    timed("merge_mean", lambda: force(e.q_merge_mean(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     sf = fixtures.scale_of(sf_dir)

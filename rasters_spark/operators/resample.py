@@ -37,7 +37,6 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from rasters_spark import grid
-from rasters_spark.operators.sample import _nearest_kernel
 
 
 def target_candidates(tiles: DataFrame, target: dict) -> DataFrame:
@@ -65,10 +64,11 @@ def target_candidates(tiles: DataFrame, target: dict) -> DataFrame:
 
 
 def _with_nearest_value(cand: DataFrame) -> DataFrame:
-    return cand.withColumn(
-        "value",
-        _nearest_kernel(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"), F.col("prow"), F.col("pcol")),
-    )
+    # JVM-side byte slicing (sample.sample_nearest): Arrow ships ~8 B per
+    # candidate instead of the whole tile blob
+    from rasters_spark.operators.sample import sample_nearest
+
+    return sample_nearest(cand)
 
 
 def merge_mean(tiles: DataFrame, target: dict) -> DataFrame:
