@@ -460,6 +460,12 @@ def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("trow", "tcol", "value", "n_sources")
 
 
+def q_swath_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop swath→grid resample (non-NN path, raster.py:1350-1358):
+    NN onto the swath's own derived grid, then average onto the target."""
+    return swathops.swath_to_grid_twohop(_swath(spark), SWATH_TARGET, own_cell_size=0.05)
+
+
 def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reinterpreted as points (FIXTURES.md §7b): deterministic
     x/y from value/user_id, counted per level-5 cell."""
@@ -520,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hour_window": q_events_hour_window,
         "dup_groups": q_dup_groups,
         "reproject_utm": q_reproject_utm,
+        "swath_twohop": q_swath_twohop,
     }
 
 
@@ -1186,6 +1193,44 @@ def oracle_sql() -> dict[str, str]:
                    max(value) as value_max
             from events
             group by 1
+        """,
+        "swath_twohop": f"""
+            with sw as ({_SWATH_SQL}),
+            params as (
+              select min(x) - 0.05/2 as x0, max(y) + 0.05/2 as y0,
+                     cast(ceil((max(x) + 0.05/2 - (min(x) - 0.05/2)) / 0.05) as bigint) as cols_,
+                     cast(ceil(((max(y) + 0.05/2) - (min(y) - 0.05/2)) / 0.05) as bigint) as rows_
+              from sw
+            ),
+            assigned as (
+              select sw.swath_id, sw.row, sw.col, sw.value, sw.x, sw.y, p.x0, p.y0, p.rows_, p.cols_,
+                cast(round_even((sw.y - p.y0)/(-0.05) - 0.5, 0) as bigint) as orow,
+                cast(round_even((sw.x - p.x0)/0.05 - 0.5, 0) as bigint) as ocol
+              from sw cross join params p
+            ),
+            d as (
+              select *, sqrt((x - (x0 + 0.05 * (ocol + 0.5))) * (x - (x0 + 0.05 * (ocol + 0.5)))
+                           + (y - (y0 + (-0.05) * (orow + 0.5))) * (y - (y0 + (-0.05) * (orow + 0.5)))) as dist
+              from assigned
+              where orow >= 0 and orow < rows_ and ocol >= 0 and ocol < cols_
+            ),
+            hop1 as (
+              select swath_id, orow, ocol, value, x0, y0 from (
+                select *, row_number() over (partition by swath_id, orow, ocol
+                                             order by dist, row, col) as rn
+                from d where dist <= 0.1
+              ) where rn = 1
+            ),
+            hop2 as (
+              select swath_id, value,
+                cast(round_even(((y0 + (-0.05) * (orow + 0.5)) - 40.0)/(-0.1) - 0.5, 0) as bigint) as trow,
+                cast(round_even(((x0 + 0.05 * (ocol + 0.5)) - (-120.0))/0.1 - 0.5, 0) as bigint) as tcol
+              from hop1
+            )
+            select swath_id, trow, tcol, sum(value) / count(value) as value, count(value) as n
+            from hop2
+            where trow between 0 and 9 and tcol between 0 and 9
+            group by swath_id, trow, tcol
         """,
         "events_cell_count": f"""
             with e as (

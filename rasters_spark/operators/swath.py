@@ -80,6 +80,49 @@ def swath_index_point(swath: DataFrame, points: DataFrame, level: int = 10) -> D
                        F.col("b.col").alias("col"), F.col("b.dist").alias("dist"))
 
 
+def swath_own_grid(swath: DataFrame, cell_size: float) -> dict:
+    """Auto-derive a swath's own uniform grid (Raster.grid_raster /
+    grid_to_crs semantics, raster.py:1236-1260: nanmin/max extent ±
+    half-cell padding). Driver-side: one extent aggregate."""
+    ext = swath.agg(
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
+    ).collect()[0]
+    if ext.xmin is None:
+        raise ValueError("swath_own_grid: empty swath")
+    x0 = ext.xmin - cell_size / 2
+    y0 = ext.ymax + cell_size / 2
+    import math
+
+    cols = max(int(math.ceil((ext.xmax + cell_size / 2 - x0) / cell_size)), 1)
+    rows = max(int(math.ceil((y0 - (ext.ymin - cell_size / 2)) / cell_size)), 1)
+    return dict(x_origin=x0, y_origin=y0, cell_width=cell_size, cell_height=-cell_size,
+                rows=rows, cols=cols, crs="EPSG:4326")
+
+
+def swath_to_grid_twohop(swath: DataFrame, target: dict, own_cell_size: float) -> DataFrame:
+    """Non-NN swath→grid resampling takes two hops in the reference
+    (raster.py:1350-1358): swath → its OWN uniform grid via NN, then
+    own-grid → target with the real kernel (average here). Both hops are
+    pure SQL: NN = min_by per own-cell, average = group by target cell
+    of own-cell centers. → (swath_id, trow, tcol, value, n)."""
+    og = swath_own_grid(swath, own_cell_size)
+    hop1 = swath_to_grid_nn(swath, og, radius=2.0 * own_cell_size).select(
+        "swath_id", F.col("trow").alias("orow"), F.col("tcol").alias("ocol"), "value")
+    g1 = grid.grid_struct(**og)
+    tg = grid.grid_struct(**target)
+    cx = grid.cell_center_x(g1, F.col("ocol"))
+    cy = grid.cell_center_y(g1, F.col("orow"))
+    hop2 = (
+        hop1.withColumn("trow", grid.point_row(tg, cy))
+        .withColumn("tcol", grid.point_col(tg, cx))
+        .filter(grid.in_bounds(tg, F.col("trow"), F.col("tcol")))
+        .groupBy("swath_id", "trow", "tcol")
+        .agg((F.sum("value") / F.count("value")).alias("value"), F.count("value").alias("n"))
+    )
+    return hop2
+
+
 def swath_to_grid_nn(swath: DataFrame, target: dict, radius: float | None = None) -> DataFrame:
     """Swath→grid NN resample: assign each swath pixel to the target
     cell containing it (banker's-rounded inverse affine), keep the
