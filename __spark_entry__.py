@@ -344,6 +344,52 @@ def q_to_grid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample.to_grid_bilinear(t, RASTERIZE_TARGET)
 
 
+def q_to_grid_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_grid(resampling='cubic') — Keys bicubic (a=-0.5), 16 taps
+    sliced JVM-side; the SQL blend text is SHARED with the oracle."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return resample.to_grid_conv(t, RASTERIZE_TARGET, "cubic")
+
+
+def q_to_grid_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_grid(resampling='cubic_spline') — cubic B-spline smoothing."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return resample.to_grid_conv(t, RASTERIZE_TARGET, "cubic_spline")
+
+
+def q_to_grid_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_grid(resampling='lanczos') (rows-only: sin() differs in the
+    last ulp across engines — pinned by the npref golden in
+    tests/test_resample_kernels.py)."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return resample.to_grid_conv_py(t, RASTERIZE_TARGET, "lanczos")
+
+
+def q_to_grid_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_grid(resampling='gauss') (rows-only: exp() ulp — npref-pinned)."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return resample.to_grid_conv_py(t, RASTERIZE_TARGET, "gauss")
+
+
+def _q_to_grid_stat(stat: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+        return resample.to_grid_stat(t, RASTERIZE_TARGET, stat)
+    q.__name__ = f"q_to_grid_{stat}"
+    q.__doc__ = (f"to_grid(resampling='{stat}') — aggregation-family kernel "
+                 "(constants.py:13-28): source pixels binned per containing "
+                 "target cell, per-(tile,cell) statistic.")
+    return q
+
+
+q_to_grid_max = _q_to_grid_stat("max")
+q_to_grid_min = _q_to_grid_stat("min")
+q_to_grid_med = _q_to_grid_stat("med")
+q_to_grid_q1 = _q_to_grid_stat("q1")
+q_to_grid_q3 = _q_to_grid_stat("q3")
+q_to_grid_mode = _q_to_grid_stat("mode")
+
+
 def q_neighbour_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors.neighbour_distances(_swath(spark).drop("value"))
 
@@ -514,6 +560,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swath_window": q_swath_window,
         "swath_to_grid_nn": q_swath_to_grid_nn,
         "to_grid_bilinear": q_to_grid_bilinear,
+        "to_grid_cubic": q_to_grid_cubic,
+        "to_grid_cubicspline": q_to_grid_cubicspline,
+        "to_grid_lanczos": q_to_grid_lanczos,
+        "to_grid_gauss": q_to_grid_gauss,
+        "to_grid_max": q_to_grid_max,
+        "to_grid_min": q_to_grid_min,
+        "to_grid_med": q_to_grid_med,
+        "to_grid_q1": q_to_grid_q1,
+        "to_grid_q3": q_to_grid_q3,
+        "to_grid_mode": q_to_grid_mode,
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,
@@ -589,6 +645,116 @@ def _resample_cte(tiles: str, pixels: str, fmt_filter: str) -> str:
             on px.image_id = i.image_id and px.prow = i.prow and px.pcol = i.pcol
           where i.prow between 0 and i.h - 1 and i.pcol between 0 and i.w - 1
         )
+    """
+
+
+def _conv_oracle_sql(tiles: str, pixels: str, resampling: str) -> str:
+    """DuckDB twin of resample.to_grid_conv: identical window/candidate
+    CTEs, identical tap clamping, and the IDENTICAL blend expression
+    text (resample.conv_blend_sql) — both engines evaluate the same
+    IEEE op sequence, so value hashes match bit-for-bit."""
+    from rasters_spark.operators.resample import CONV_KERNELS, _lbl, conv_blend_sql
+
+    weights_fn, taps = CONV_KERNELS[resampling]
+    blend = conv_blend_sql(weights_fn, taps)
+    tap_exprs = ",\n            ".join(
+        f"least(greatest(cast(floor(fr) as bigint) + ({i}), 0), h - 1) as rr_{_lbl(i)},\n"
+        f"            least(greatest(cast(floor(fc) as bigint) + ({i}), 0), w - 1) as cc_{_lbl(i)}"
+        for i in taps
+    )
+    v_cols = ",\n            ".join(
+        f"cast(p_{_lbl(i)}_{_lbl(j)}.value as double) as v_{_lbl(i)}_{_lbl(j)}"
+        for i in taps for j in taps
+    )
+    v_joins = "\n          ".join(
+        f"join {pixels} p_{_lbl(i)}_{_lbl(j)} on p_{_lbl(i)}_{_lbl(j)}.image_id = nb.image_id"
+        f" and p_{_lbl(i)}_{_lbl(j)}.prow = nb.rr_{_lbl(i)} and p_{_lbl(i)}_{_lbl(j)}.pcol = nb.cc_{_lbl(j)}"
+        for i in taps for j in taps
+    )
+    return f"""
+        with t as (select * from {tiles} where fmt = 'raw'),
+        win as (
+          select image_id, x_origin, y_origin, cell_width, cell_height, w, h,
+            greatest(cast(round_even((y_origin - 90.0)/(-0.25) - 0.5, 0) as bigint), 0) as rs,
+            greatest(cast(round_even((x_origin + 180.0)/0.25 - 0.5, 0) as bigint), 0) as cs,
+            least(cast(round_even(((y_origin + cell_height * h) - 90.0)/(-0.25) - 0.5, 0) as bigint) + 1, 720) as re,
+            least(cast(round_even(((x_origin + cell_width * w) + 180.0)/0.25 - 0.5, 0) as bigint) + 1, 1440) as ce
+          from t
+        ),
+        cand as (
+          select w_.*, r.trow, c.tcol,
+                 (-180.0 + 0.25 * (c.tcol + 0.5)) as tx, (90.0 + (-0.25) * (r.trow + 0.5)) as ty
+          from win w_,
+               unnest(range(w_.rs, w_.re)) as r(trow), unnest(range(w_.cs, w_.ce)) as c(tcol)
+        ),
+        frac as (
+          select image_id, trow, tcol, w, h,
+            (tx - x_origin)/cell_width - 0.5 as fc, (ty - y_origin)/cell_height - 0.5 as fr,
+            cast(round_even((ty - y_origin)/cell_height - 0.5, 0) as bigint) as prow,
+            cast(round_even((tx - x_origin)/cell_width - 0.5, 0) as bigint) as pcol
+          from cand
+        ),
+        nb as (
+          select image_id, trow, tcol, fc - floor(fc) as dc, fr - floor(fr) as dr,
+            {tap_exprs}
+          from frac
+          where prow between 0 and h - 1 and pcol between 0 and w - 1
+        ),
+        v as (
+          select nb.image_id, nb.trow, nb.tcol, nb.dc, nb.dr,
+            {v_cols}
+          from nb
+          {v_joins}
+        ),
+        b as (
+          select image_id, trow, tcol, {blend} as value from v
+        )
+        select image_id, trow, tcol,
+               case when isnan(value) then NULL else value end as value
+        from b
+    """
+
+
+def _stat_oracle_sql(tiles: str, pixels: str, stat: str) -> str:
+    """DuckDB twin of resample.to_grid_stat: source-pixel binning CTE
+    (same as to_grid_average) + the named statistic. Quantiles are exact
+    on the quarter-integer fixture values (interpolation fractions are
+    binary), so quantile_cont ≡ the kernel's lo + frac·(hi−lo)."""
+    base = f"""
+        with p as (
+          select px.image_id, cast(px.value as double) as value,
+            cast(round_even(((t.x_origin + t.cell_width * (px.pcol + 0.5)) - (-180.0)) / 0.25 - 0.5, 0) as bigint) as tcol,
+            cast(round_even(((t.y_origin + t.cell_height * (px.prow + 0.5)) - 90.0) / (-0.25) - 0.5, 0) as bigint) as trow
+          from {tiles} t join {pixels} px using (image_id)
+          where t.fmt = 'raw' and not isnan(px.value)
+        ),
+        q as (select * from p where trow between 0 and 719 and tcol between 0 and 1439)
+    """
+    if stat == "mode":
+        return base + """
+        , vc as (
+          select image_id, trow, tcol, value, count(*) as c
+          from q group by image_id, trow, tcol, value
+        ),
+        r as (
+          select image_id, trow, tcol, value,
+                 row_number() over (partition by image_id, trow, tcol
+                                    order by c desc, value asc) as rn,
+                 sum(c) over (partition by image_id, trow, tcol) as n
+          from vc
+        )
+        select image_id, trow, tcol, value, cast(n as bigint) as n from r where rn = 1
+        """
+    agg = {
+        "max": "max(value)",
+        "min": "min(value)",
+        "med": "median(value)",
+        "q1": "quantile_cont(value, 0.25)",
+        "q3": "quantile_cont(value, 0.75)",
+    }[stat]
+    return base + f"""
+        select image_id, trow, tcol, {agg} as value, count(*) as n
+        from q group by image_id, trow, tcol
     """
 
 
@@ -1001,56 +1167,15 @@ def oracle_sql() -> dict[str, str]:
               from d where dist <= 0.2
             ) where rn = 1
         """,
-        "to_grid_bilinear": f"""
-            with t as (select * from {tiles} where fmt = 'raw'),
-            win as (
-              select image_id, x_origin, y_origin, cell_width, cell_height, w, h,
-                greatest(cast(round_even((y_origin - 90.0)/(-0.25) - 0.5, 0) as bigint), 0) as rs,
-                greatest(cast(round_even((x_origin + 180.0)/0.25 - 0.5, 0) as bigint), 0) as cs,
-                least(cast(round_even(((y_origin + cell_height * h) - 90.0)/(-0.25) - 0.5, 0) as bigint) + 1, 720) as re,
-                least(cast(round_even(((x_origin + cell_width * w) + 180.0)/0.25 - 0.5, 0) as bigint) + 1, 1440) as ce
-              from t
-            ),
-            cand as (
-              select w_.*, r.trow, c.tcol,
-                     (-180.0 + 0.25 * (c.tcol + 0.5)) as tx, (90.0 + (-0.25) * (r.trow + 0.5)) as ty
-              from win w_,
-                   unnest(range(w_.rs, w_.re)) as r(trow), unnest(range(w_.cs, w_.ce)) as c(tcol)
-            ),
-            frac as (
-              select image_id, trow, tcol, w, h,
-                (tx - x_origin)/cell_width - 0.5 as fc, (ty - y_origin)/cell_height - 0.5 as fr,
-                cast(round_even((ty - y_origin)/cell_height - 0.5, 0) as bigint) as prow,
-                cast(round_even((tx - x_origin)/cell_width - 0.5, 0) as bigint) as pcol
-              from cand
-            ),
-            nb as (
-              select image_id, trow, tcol, fc, fr,
-                cast(floor(fc) as bigint) as c0, cast(floor(fr) as bigint) as r0,
-                fc - floor(fc) as dc, fr - floor(fr) as dr, w, h
-              from frac
-              where prow between 0 and h - 1 and pcol between 0 and w - 1
-            ),
-            cl as (
-              select image_id, trow, tcol, dc, dr,
-                least(greatest(r0, 0), h - 1) as r0c, least(greatest(r0 + 1, 0), h - 1) as r1c,
-                least(greatest(c0, 0), w - 1) as c0c, least(greatest(c0 + 1, 0), w - 1) as c1c
-              from nb
-            ),
-            v as (
-              select cl.image_id, cl.trow, cl.tcol,
-                (1 - dr) * ((1 - dc) * cast(p00.value as double) + dc * cast(p01.value as double))
-                + dr * ((1 - dc) * cast(p10.value as double) + dc * cast(p11.value as double)) as value
-              from cl
-              join {pixels} p00 on p00.image_id = cl.image_id and p00.prow = cl.r0c and p00.pcol = cl.c0c
-              join {pixels} p01 on p01.image_id = cl.image_id and p01.prow = cl.r0c and p01.pcol = cl.c1c
-              join {pixels} p10 on p10.image_id = cl.image_id and p10.prow = cl.r1c and p10.pcol = cl.c0c
-              join {pixels} p11 on p11.image_id = cl.image_id and p11.prow = cl.r1c and p11.pcol = cl.c1c
-            )
-            select image_id, trow, tcol,
-                   case when isnan(value) then NULL else value end as value
-            from v
-        """,
+        "to_grid_bilinear": _conv_oracle_sql(tiles, pixels, "linear"),
+        "to_grid_cubic": _conv_oracle_sql(tiles, pixels, "cubic"),
+        "to_grid_cubicspline": _conv_oracle_sql(tiles, pixels, "cubic_spline"),
+        "to_grid_max": _stat_oracle_sql(tiles, pixels, "max"),
+        "to_grid_min": _stat_oracle_sql(tiles, pixels, "min"),
+        "to_grid_med": _stat_oracle_sql(tiles, pixels, "med"),
+        "to_grid_q1": _stat_oracle_sql(tiles, pixels, "q1"),
+        "to_grid_q3": _stat_oracle_sql(tiles, pixels, "q3"),
+        "to_grid_mode": _stat_oracle_sql(tiles, pixels, "mode"),
         "neighbour_distances": f"""
             with sw as ({_SWATH_SQL})
             select swath_id, row, col,

@@ -96,6 +96,96 @@ def local_utm_proj4(lat: float, lon: float) -> str:
     return f"+proj=utm +zone={zone}{south} +ellps=WGS84 +datum=WGS84 +units=m +no_defs"
 
 
+# --- resampling-kernel goldens (independent scalar transcriptions) -------------
+#
+# Naive per-candidate loops used ONLY by pytest to pin the vectorized
+# engine kernels in operators/resample.py (GDAL kernel formulas are
+# public: Keys 1981 bicubic a=-0.5, cubic B-spline, Lanczos a=3,
+# Gaussian). Deliberately written as scalar code so an indexing bug in
+# the vectorized path can't hide in its own golden.
+
+def _kernel_weight(x: float, kind: str) -> float:
+    ax = abs(x)
+    if kind == "linear":
+        return max(1.0 - ax, 0.0)
+    if kind == "cubic":  # Keys, a=-0.5
+        a = -0.5
+        if ax <= 1:
+            return (a + 2) * ax**3 - (a + 3) * ax**2 + 1
+        if ax < 2:
+            return a * ax**3 - 5 * a * ax**2 + 8 * a * ax - 4 * a
+        return 0.0
+    if kind == "cubic_spline":  # B3
+        if ax <= 1:
+            return 2.0 / 3.0 - ax**2 + ax**3 / 2.0
+        if ax < 2:
+            return (2.0 - ax) ** 3 / 6.0
+        return 0.0
+    if kind == "lanczos":  # a=3
+        if ax >= 3:
+            return 0.0
+        return float(np.sinc(x) * np.sinc(x / 3.0))
+    if kind == "gauss":
+        return float(np.exp(-0.5 * x * x))
+    raise ValueError(kind)
+
+
+_KERNEL_TAPS = {
+    "linear": (0, 1), "cubic": (-1, 0, 1, 2), "cubic_spline": (-1, 0, 1, 2),
+    "lanczos": (-2, -1, 0, 1, 2, 3), "gauss": (-1, 0, 1, 2),
+}
+
+
+def conv_sample_naive(arr: np.ndarray, fr: float, fc: float, kind: str,
+                      normalize: bool = False) -> float:
+    """One target sample at fractional source position (fr, fc):
+    separable tap stencil, edge-clamped, NaN propagates."""
+    hh, ww = arr.shape
+    r0, c0 = int(np.floor(fr)), int(np.floor(fc))
+    dr, dc = fr - r0, fc - c0
+    taps = _KERNEL_TAPS[kind]
+    num, den = 0.0, 0.0
+    for i in taps:
+        wi = _kernel_weight(dr - i, kind)
+        for j in taps:
+            wj = _kernel_weight(dc - j, kind)
+            v = float(arr[min(max(r0 + i, 0), hh - 1), min(max(c0 + j, 0), ww - 1)])
+            num += wi * wj * v
+            den += wi * wj
+    return num / den if normalize else num
+
+
+def segment_stat_naive(key, val, stat: str):
+    """Per-key statistic via plain dict grouping (golden for
+    resample._segment_stat)."""
+    groups: dict = {}
+    for k, v in zip(key, val):
+        groups.setdefault(int(k), []).append(float(v))
+    keys = sorted(groups)
+    out, counts = [], []
+    for k in keys:
+        vs = sorted(groups[k])
+        n = len(vs)
+        counts.append(n)
+        if stat == "min":
+            out.append(vs[0])
+        elif stat == "max":
+            out.append(vs[-1])
+        elif stat in ("med", "q1", "q3"):
+            q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[stat]
+            pos = (n - 1) * q
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            out.append(vs[lo] + (pos - lo) * (vs[hi] - vs[lo]))
+        elif stat == "mode":
+            best_v, best_c = None, -1
+            for v in vs:  # ascending → ties resolve to smallest value
+                c = vs.count(v)
+                if c > best_c:
+                    best_v, best_c = v, c
+            out.append(best_v)
+    return np.array(keys), np.array(out), np.array(counts)
+
+
 def local_utm_epsg(lat: float, lon: float) -> int:
     """raster_geometry.py:231-238 — standard zone formula WITH +1."""
     zone = int((np.floor((lon + 180) / 6) % 60) + 1)

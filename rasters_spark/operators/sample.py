@@ -95,6 +95,28 @@ def _idw_kernel(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
     return pd.Series(out)
 
 
+def slice_pixel(row_col: str, col_col: str):
+    """JVM-side single-pixel byte slice for a (bytes, w, fmt) row given
+    pixel coordinates in columns ``row_col``/``col_col``: 4 bytes (raw)
+    or 9 bytes (q8 header+byte). Decode the result with
+    ``_nearest_slice_kernel`` — Arrow then ships ~8 B/row to Python
+    instead of the whole tile blob (CLAUDE.md: never carry bytes
+    through join fanout)."""
+    off = f"({row_col}*w+{col_col})"
+    return F.when(
+        F.col("fmt") == "raw",
+        F.expr(f"substring(bytes, cast(4*{off} as int) + 1, 4)"),
+    ).otherwise(
+        F.concat(F.expr("substring(bytes, 1, 8)"),
+                 F.expr(f"substring(bytes, cast({off} as int) + 9, 1)"))
+    )
+
+
+def decode_slice(sl, fmt):
+    """Decode a ``slice_pixel`` payload column to a double (NaN→NULL)."""
+    return _nearest_slice_kernel(sl, fmt)
+
+
 def sample_nearest(joined: DataFrame, value_name: str = "value") -> DataFrame:
     """Nearest-pixel sampling with JVM-side byte slicing.
 
@@ -103,14 +125,7 @@ def sample_nearest(joined: DataFrame, value_name: str = "value") -> DataFrame:
     means Arrow ships ~8 bytes/row to Python instead of the whole tile
     — on skewed cells (one tile matched by thousands of points) this is
     the difference between ~4 MB and ~GBs per stage."""
-    sl = F.when(
-        F.col("fmt") == "raw",
-        F.expr("substring(bytes, cast(4*(prow*w+pcol) as int) + 1, 4)"),
-    ).otherwise(
-        F.concat(F.expr("substring(bytes, 1, 8)"),
-                 F.expr("substring(bytes, cast(prow*w+pcol as int) + 9, 1)"))
-    )
-    return joined.withColumn("_sl", sl).withColumn(
+    return joined.withColumn("_sl", slice_pixel("prow", "pcol")).withColumn(
         value_name, _nearest_slice_kernel(F.col("_sl"), F.col("fmt"))
     ).drop("_sl")
 
