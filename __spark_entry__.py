@@ -467,16 +467,23 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup candidates by perceptual-hash Hamming distance —
-    the multimodal analogue of text MinHash (threshold 24 is a demo
-    value: random phashes sit at ~32 bits, so ~0.1% of pairs qualify;
-    real near-dup images land near 0)."""
-    t = load_tiles(spark, sf_dir).filter("image_id < 'img000000000500'").select("image_id", "phash")
-    a = t.select(F.col("image_id").alias("id_a"), F.col("phash").alias("pa"))
-    b = t.select(F.col("image_id").alias("id_b"), F.col("phash").alias("pb"))
-    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
-    return j.withColumn("hamming", ham).filter(F.col("hamming") <= 24).select("id_a", "id_b", "hamming")
+    """Image near-dup pairs by perceptual-hash Hamming distance ≤ 3 via
+    4×16-bit band LSH (dedup.hamming_band_pairs) — bucketed equi-join
+    with pigeonhole-perfect recall, NOT an all-pairs crossJoin, over the
+    FULL tile set. Near-dup structure is planted in-query: every 10th
+    tile gets a deterministic ≤3-bit-perturbed variant (the oracle
+    brute-forces the same union'd set, so the banded join's exactness
+    is what the hash check asserts)."""
+    t = load_tiles(spark, sf_dir).select("image_id", "phash").withColumn(
+        "i", F.expr("cast(substring(image_id, 4, 12) as bigint)"))
+    mask = ("shiftleft(cast(1 as bigint), cast(i % 63 as int))"
+            " | shiftleft(cast(1 as bigint), cast((i div 7) % 63 as int))"
+            " | shiftleft(cast(1 as bigint), cast((i div 13) % 63 as int))")
+    variants = t.filter("i % 10 = 0").select(
+        F.concat("image_id", F.lit("~v")).alias("image_id"),
+        F.expr(f"phash ^ ({mask})").alias("phash"))
+    pool = t.select("image_id", "phash").unionByName(variants)
+    return dedup.hamming_band_pairs(pool, threshold=3, bands=4)
 
 
 def q_events_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,12 +1310,26 @@ def oracle_sql() -> dict[str, str]:
             from walk group by doc_id
         """,
         "phash_near_dups": f"""
-            with t as (select image_id, phash from {tiles} where image_id < 'img000000000500')
+            with t as (
+              select image_id, phash,
+                     cast(substring(image_id, 4, 12) as bigint) as i
+              from {tiles}
+            ),
+            pool as (
+              select image_id, phash from t
+              union all
+              select image_id || '~v' as image_id,
+                     xor(phash,
+                         (cast(1 as bigint) << cast(i % 63 as int))
+                         | (cast(1 as bigint) << cast((i // 7) % 63 as int))
+                         | (cast(1 as bigint) << cast((i // 13) % 63 as int))) as phash
+              from t where i % 10 = 0
+            )
             select a.image_id as id_a, b.image_id as id_b,
                    cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
-            from t a cross join t b
+            from pool a cross join pool b
             where a.image_id < b.image_id
-              and bit_count(xor(a.phash, b.phash)) <= 24
+              and bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "events_hour_window": """
             select cast(trunc(epoch(ts) / 3600.0) as bigint) as epoch_hour,

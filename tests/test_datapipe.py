@@ -118,3 +118,42 @@ def test_exact_dedup_finds_planted_dup(spark, docs):
     d2 = docs.unionByName(dup)
     res = dedup.exact_dedup(d2).filter("n_dups > 1").collect()
     assert len(res) == 1 and res[0].n_dups == 2
+
+
+def test_hamming_band_pairs_pigeonhole_recall(spark):
+    # random 64-bit hashes + planted pairs at every Hamming distance
+    # 0..3: the 4x16 banded join must find ALL of them (threshold <
+    # bands pigeonhole) and nothing below the brute-force answer
+    rng = np.random.default_rng(11)
+    base = rng.integers(-(1 << 63), 1 << 63, size=300, dtype=np.int64)
+    rows = [(f"h{i:04d}", int(v)) for i, v in enumerate(base)]
+    for d in range(4):  # plant a distance-d partner for hashes 0..3
+        bits = rng.choice(64, size=d, replace=False)
+        m = 0
+        for b in bits:
+            m ^= 1 << int(b)
+        rows.append((f"h{d:04d}~p", int(np.int64(np.uint64(base[d]) ^ np.uint64(m)))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in dedup.hamming_band_pairs(df, threshold=3, bands=4).collect()}
+    brute = set()
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1:]:
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                a, b = sorted((ia, ib))
+                brute.add((a, b, d))
+    assert got == brute and len(brute) >= 4
+
+
+def test_hamming_band_pairs_requires_pigeonhole(spark):
+    df = spark.createDataFrame([("a", 1)], "image_id string, phash long")
+    with pytest.raises(ValueError):
+        dedup.hamming_band_pairs(df, threshold=4, bands=4)
+
+
+def test_dup_groups_lsh_default_equals_exact(spark, docs):
+    lsh = {(r.doc_id, r.group_id) for r in dedup.dup_groups(docs).collect()}
+    exact = {(r.doc_id, r.group_id)
+             for r in dedup.dup_groups(docs, method="exact").collect()}
+    assert lsh and lsh == exact
