@@ -130,3 +130,22 @@ def test_knn_matches_bruteforce_within_radius(spark):
         # the top-1 within the guaranteed radius must agree
         if dd[0] <= size:  # centroid within one cell of the point
             assert grp.iloc[0].dist == pytest.approx(dd[0], abs=1e-9)
+
+
+def test_rasterize_huge_polygon_sharded(spark):
+    # one polygon covering >1e5 candidate cells must still burn exactly
+    # (the kernel key shards by 256x256 block so no single task holds it)
+    ring = [{"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0}, {"x": 4.0, "y": 4.0},
+            {"x": 0.0, "y": 4.0}, {"x": 0.0, "y": 0.0}]
+    polys = spark.createDataFrame(
+        [(1, ring, True, 7.0, 0.0, 0.0, 4.0, 4.0)],
+        "poly_id long, ring array<struct<x double, y double>>, is_rect boolean, "
+        "burn_value double, xmin double, ymin double, xmax double, ymax double")
+    target = dict(x_origin=0.0, y_origin=4.0, cell_width=0.01, cell_height=-0.01,
+                  rows=400, cols=400, crs="EPSG:4326")
+    out = joins.rasterize(polys, target, merge_alg="add")
+    # every cell center x=0.005+0.01k in [0,4) half-open → all 400x400
+    assert out.count() == 160_000
+    agg = out.agg(F.sum("value").alias("s"), F.min("value").alias("mn"),
+                  F.max("value").alias("mx")).collect()[0]
+    assert agg.mn == 7.0 and agg.mx == 7.0 and agg.s == 7.0 * 160_000
