@@ -390,6 +390,54 @@ q_to_grid_q3 = _q_to_grid_stat("q3")
 q_to_grid_mode = _q_to_grid_stat("mode")
 
 
+def _swath_north(spark: SparkSession) -> DataFrame:
+    """50×50 target swath INSIDE fixture tile img…031's footprint
+    (x∈[-148.970,-147.970], y∈[79,80] — the jitter formula of
+    FIXTURES.md §1), so grid→swath sampling has real matches at every
+    scale."""
+    r = spark.range(50).select(F.col("id").alias("row"))
+    c = spark.range(50).select(F.col("id").alias("col"))
+    return r.crossJoin(c).select(
+        F.lit(0).cast("long").alias("swath_id"), "row", "col",
+        (-148.9 + F.col("col") / 49.0 * 0.8).alias("x"),
+        (79.9 - F.col("row") / 49.0 * 0.8).alias("y"),
+    )
+
+
+_SWATH_NORTH_SQL = """
+    select cast(0 as bigint) as swath_id, r.row, c.col,
+           -148.9 + c.col / 49.0 * 0.8 as x,
+           79.9 - r.row / 49.0 * 0.8 as y
+    from range(50) r(row), range(50) c(col)
+"""
+
+
+def q_to_geolocation_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster.to_geolocation — grid→swath NN sampling (the reverse
+    direction of swath_to_grid_nn, closing the resample dispatch
+    matrix). Point-in-tile join with a 50×50 swath positioned over
+    fixture tile coverage as the point side; full SQL oracle (cell
+    math on both sides)."""
+    t = load_tiles(spark, sf_dir)
+    return swathops.grid_to_geolocation_nn(t, _swath_north(spark))
+
+
+def q_cell_size_meters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cell_size (MIN of cw/|ch|, raster_geometry.py:667-668) and the
+    cell_size_meters quirk (deg/180×40,075,017 — 2× physical,
+    raster_geometry.py:683-693) + the default KD-tree radius factor
+    (2.0×, kdtree.py:27) per tile."""
+    t = load_tiles(spark, sf_dir)
+    g = F.col("grid")
+    csm = grid.cell_size_meters(g)
+    return t.select(
+        "image_id",
+        grid.cell_size(g).alias("cell_size"),
+        csm.alias("cell_size_m"),
+        (F.lit(2.0) * csm).alias("radius_m"),
+    )
+
+
 def q_neighbour_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors.neighbour_distances(_swath(spark).drop("value"))
 
@@ -577,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_grid_q1": q_to_grid_q1,
         "to_grid_q3": q_to_grid_q3,
         "to_grid_mode": q_to_grid_mode,
+        "to_geolocation_nn": q_to_geolocation_nn,
+        "cell_size_meters": q_cell_size_meters,
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,
@@ -1183,6 +1233,27 @@ def oracle_sql() -> dict[str, str]:
         "to_grid_q1": _stat_oracle_sql(tiles, pixels, "q1"),
         "to_grid_q3": _stat_oracle_sql(tiles, pixels, "q3"),
         "to_grid_mode": _stat_oracle_sql(tiles, pixels, "mode"),
+        "to_geolocation_nn": f"""
+            with sw as ({_SWATH_NORTH_SQL}),
+            j as (
+              select sw.swath_id, sw.row, sw.col, t.image_id,
+                     {prow("sw.y")} as prow, {pcol("sw.x")} as pcol
+              from sw cross join {tiles} t
+              where {prow("sw.y")} between 0 and t.h - 1
+                and {pcol("sw.x")} between 0 and t.w - 1
+            )
+            select j.swath_id, j.row, j.col, j.image_id, j.prow, j.pcol,
+                   case when isnan(px.value) then NULL else cast(px.value as double) end as value
+            from j join {pixels} px
+              on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
+        """,
+        "cell_size_meters": f"""
+            select image_id,
+                   least(cell_width, abs(cell_height)) as cell_size,
+                   least(cell_width, abs(cell_height)) / 180.0 * 40075017.0 as cell_size_m,
+                   2.0 * (least(cell_width, abs(cell_height)) / 180.0 * 40075017.0) as radius_m
+            from {tiles}
+        """,
         "neighbour_distances": f"""
             with sw as ({_SWATH_SQL})
             select swath_id, row, col,

@@ -91,6 +91,65 @@ def cell_center_y(grid: Column, row) -> Column:
     return grid["y_origin"] + grid["cell_height"] * (_col(row).cast("double") + 0.5)
 
 
+# --- cell size / metric radius (raster_geometry.py:667-693, kdtree.py:27) -----
+
+EQUATOR_CIRCUMFERENCE = 40075017.0
+
+
+def is_geographic(grid: Column) -> Column:
+    """Geographic-CRS test on the descriptor's crs string (the reference
+    delegates to pyproj's CRS.is_geographic; here: EPSG:4326 or a
+    +proj=longlat proj4)."""
+    return (F.upper(grid["crs"]) == "EPSG:4326") | grid["crs"].contains("+proj=longlat")
+
+
+def cell_size(grid: Column) -> Column:
+    """MIN(cell_width, |cell_height|) — raster_geometry.py:667-668
+    (min, not max — transcribed as written)."""
+    return F.least(grid["cell_width"], F.abs(grid["cell_height"]))
+
+
+def cell_size_meters(grid: Column) -> Column:
+    """raster_geometry.py:683-693 transcribed VERBATIM, including the
+    ``cell_size / 180 * 40,075,017`` factor (2× the physical
+    meters-per-degree — copy the code, not the physics, SURVEY §1.3(7)).
+    Non-geographic grids return cell_size unchanged (projected units
+    are already meters)."""
+    return F.when(
+        is_geographic(grid),
+        cell_size(grid) / F.lit(180.0) * F.lit(EQUATOR_CIRCUMFERENCE),
+    ).otherwise(cell_size(grid))
+
+
+def _cell_size_meters_py(g: dict) -> float:
+    """Driver-side twin of cell_size_meters for grid dicts."""
+    cs = min(g["cell_width"], abs(g["cell_height"]))
+    crs = str(g.get("crs", "")).upper()
+    if crs == "EPSG:4326" or "+PROJ=LONGLAT" in crs:
+        return cs / 180.0 * EQUATOR_CIRCUMFERENCE
+    return cs
+
+
+def kdtree_radius_meters(source: dict | None, target: dict | None) -> float:
+    """Default KD-tree radius of influence (kdtree.py:27,168-179):
+    CELL_SIZE_TO_SEARCH_DISTANCE_FACTOR (= 2.0) × nanmax of the
+    geometries' cell_size_meters."""
+    vals = [_cell_size_meters_py(g) for g in (source, target) if g is not None]
+    if not vals:
+        raise ValueError("kdtree_radius_meters: need at least one geometry")
+    return 2.0 * max(vals)
+
+
+def meters_to_crs_units(meters: float, g: dict) -> float:
+    """Invert the cell_size_meters quirk so metric radii can bound the
+    engine's CRS-unit Euclidean distances: degrees = m · 180 / C for
+    geographic grids, identity otherwise."""
+    crs = str(g.get("crs", "")).upper()
+    if crs == "EPSG:4326" or "+PROJ=LONGLAT" in crs:
+        return meters * 180.0 / EQUATOR_CIRCUMFERENCE
+    return meters
+
+
 # --- extent -------------------------------------------------------------------
 
 def grid_bbox(grid: Column) -> Column:

@@ -123,6 +123,32 @@ def swath_to_grid_twohop(swath: DataFrame, target: dict, own_cell_size: float) -
     return hop2
 
 
+def grid_to_geolocation_nn(tiles: DataFrame, swath: DataFrame,
+                           level: int | None = None) -> DataFrame:
+    """Raster.to_geolocation (raster.py:1434-1443; also the
+    RasterGeolocation branch of to_geometry, raster.py:1445-1479):
+    NN-sample a GRIDDED source at every swath pixel position — the
+    grid→swath direction that closes the resample matrix.
+
+    Relational form: the swath long table IS a point table, so this is
+    ``point_in_tile_join`` (skinny cell index, broadcast swath side,
+    payload re-attached on matched pairs only) + the O(1) JVM byte
+    fetch. Swath pixels outside every tile drop (the reference's
+    fill-nodata). → (swath_id, row, col, image_id, prow, pcol, value).
+    """
+    from rasters_spark import fixtures
+    from rasters_spark.operators import point_join, sample
+
+    pts = swath.select(
+        "swath_id", F.col("row").alias("srow"), F.col("col").alias("scol"), "x", "y")
+    j = point_join.point_in_tile_join(
+        pts, tiles, level or fixtures.CELL_LEVEL, payload_cols=("bytes", "w", "h", "fmt"))
+    v = sample.sample_nearest(j)
+    return v.select(
+        "swath_id", F.col("srow").alias("row"), F.col("scol").alias("col"),
+        "image_id", "prow", "pcol", "value")
+
+
 def swath_to_grid_nn(swath: DataFrame, target: dict, radius: float | None = None) -> DataFrame:
     """Swath→grid NN resample: assign each swath pixel to the target
     cell containing it (banker's-rounded inverse affine), keep the
@@ -131,7 +157,12 @@ def swath_to_grid_nn(swath: DataFrame, target: dict, radius: float | None = None
     → (swath_id, trow, tcol, value, dist)."""
     tg = grid.grid_struct(**target)
     if radius is None:
-        radius = 2.0 * max(abs(target["cell_width"]), abs(target["cell_height"]))
+        # reference default: 2.0 × max cell_size_meters over the two
+        # geometries (kdtree.py:27,168-179); swath source cell size is
+        # unknown without a stats pass → target-only, converted back to
+        # CRS units through the same quirk factor (grid.py helpers)
+        radius = grid.meters_to_crs_units(
+            grid.kdtree_radius_meters(None, target), target)
     s = (
         swath.withColumn("trow", grid.point_row(tg, F.col("y")))
         .withColumn("tcol", grid.point_col(tg, F.col("x")))

@@ -96,3 +96,32 @@ def test_buffer_rescale_shift(spark):
     assert r.b.rows == 110 and r.b.x_origin == pytest.approx(-120.05)
     assert r.r.rows == 50 and r.r.cols == 50 and r.r.cell_height == -0.02
     assert r.s.x_origin == pytest.approx(-118.5) and r.s.y_origin == pytest.approx(37.5)
+
+
+def test_cell_size_meters_quirk(spark):
+    from pyspark.sql import functions as F
+    from rasters_spark import grid
+    # 1° geographic cell → 40,075,017/180 = 222,639.0166... m — the
+    # reference's wrong-on-purpose 2×-physical factor
+    # (raster_geometry.py:683-693), transcribed verbatim
+    df = spark.range(1).select(grid.grid_struct(0.0, 10.0, 1.0, -1.0, 10, 10).alias("g"))
+    row = df.select(
+        grid.cell_size(F.col("g")).alias("cs"),
+        grid.cell_size_meters(F.col("g")).alias("csm"),
+    ).collect()[0]
+    assert row.cs == 1.0
+    assert row.csm == 1.0 / 180.0 * 40075017.0
+    # cell_size is the MIN of width/|height| (raster_geometry.py:667-668)
+    df2 = spark.range(1).select(grid.grid_struct(0.0, 10.0, 2.0, -0.5, 10, 10).alias("g"))
+    assert df2.select(grid.cell_size(F.col("g")).alias("cs")).collect()[0].cs == 0.5
+    # projected CRS → cell_size passes through unchanged
+    df3 = spark.range(1).select(
+        grid.grid_struct(0.0, 10.0, 30.0, -30.0, 10, 10, "EPSG:32610").alias("g"))
+    assert df3.select(grid.cell_size_meters(F.col("g")).alias("m")).collect()[0].m == 30.0
+    # default KD-tree radius: 2.0 × nanmax of the two geometries' csm
+    # (kdtree.py:27,168-179)
+    gsrc = dict(x_origin=0, y_origin=0, cell_width=0.5, cell_height=-0.5, rows=1, cols=1, crs="EPSG:4326")
+    gdst = dict(x_origin=0, y_origin=0, cell_width=1.0, cell_height=-1.0, rows=1, cols=1, crs="EPSG:4326")
+    r = grid.kdtree_radius_meters(gsrc, gdst)
+    assert r == 2.0 * (1.0 / 180.0 * 40075017.0)
+    assert grid.meters_to_crs_units(r, gdst) == pytest.approx(2.0, rel=1e-12)
