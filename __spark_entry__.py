@@ -438,6 +438,21 @@ def q_cell_size_meters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster.resize order-1 (raster.py:1262-1281) in relational long
+    form: 8×8 thumbnail of each raw tile, 4 taps JVM-sliced, shared
+    blend text with the oracle. Deterministic 200-tile id-range slice."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw' and image_id < 'img000000000200'")
+    return multimodal.resize_bilinear_long(t, 8, 8)
+
+
+def q_swath_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterGeolocation.resize to 75×80 at spline order 2 (rows-only:
+    the prefiltered quadratic spline has no SQL twin; interpolation/
+    identity/antimeridian behavior pinned by tests/test_spline.py)."""
+    return swathops.swath_resize(_swath(spark).drop("value"), 75, 80, order=2)
+
+
 def q_neighbour_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors.neighbour_distances(_swath(spark).drop("value"))
 
@@ -627,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_grid_mode": q_to_grid_mode,
         "to_geolocation_nn": q_to_geolocation_nn,
         "cell_size_meters": q_cell_size_meters,
+        "resize_bilinear": q_resize_bilinear,
+        "swath_resize": q_swath_resize,
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,
@@ -767,6 +784,49 @@ def _conv_oracle_sql(tiles: str, pixels: str, resampling: str) -> str:
           select image_id, trow, tcol, {blend} as value from v
         )
         select image_id, trow, tcol,
+               case when isnan(value) then NULL else value end as value
+        from b
+    """
+
+
+def _resize_bilinear_oracle_sql(tiles: str, out: int = 8) -> str:
+    """DuckDB twin of multimodal.resize_bilinear_long: identical output-
+    grid explode, tap clamping, and shared blend text."""
+    from rasters_spark.operators.resample import bilinear_weights_sql, conv_blend_sql
+
+    pixels = f"read_parquet('{FD}/pixels.parquet')"
+    blend = conv_blend_sql(bilinear_weights_sql, (0, 1))
+    return f"""
+        with t as (
+          select image_id, w, h from {tiles}
+          where fmt = 'raw' and image_id < 'img000000000200'
+        ),
+        g as (
+          select image_id, w, h, r.orow, c.ocol,
+                 (r.orow + 0.5) * h / {out}.0 - 0.5 as fr,
+                 (c.ocol + 0.5) * w / {out}.0 - 0.5 as fc
+          from t, unnest(range(0, {out})) as r(orow), unnest(range(0, {out})) as c(ocol)
+        ),
+        nb as (
+          select image_id, orow, ocol, fc - floor(fc) as dc, fr - floor(fr) as dr,
+            least(greatest(cast(floor(fr) as bigint) + (0), 0), h - 1) as rr_0,
+            least(greatest(cast(floor(fr) as bigint) + (1), 0), h - 1) as rr_1,
+            least(greatest(cast(floor(fc) as bigint) + (0), 0), w - 1) as cc_0,
+            least(greatest(cast(floor(fc) as bigint) + (1), 0), w - 1) as cc_1
+          from g
+        ),
+        v as (
+          select nb.image_id, nb.orow, nb.ocol, nb.dc, nb.dr,
+            cast(p_0_0.value as double) as v_0_0, cast(p_0_1.value as double) as v_0_1,
+            cast(p_1_0.value as double) as v_1_0, cast(p_1_1.value as double) as v_1_1
+          from nb
+          join {pixels} p_0_0 on p_0_0.image_id = nb.image_id and p_0_0.prow = nb.rr_0 and p_0_0.pcol = nb.cc_0
+          join {pixels} p_0_1 on p_0_1.image_id = nb.image_id and p_0_1.prow = nb.rr_0 and p_0_1.pcol = nb.cc_1
+          join {pixels} p_1_0 on p_1_0.image_id = nb.image_id and p_1_0.prow = nb.rr_1 and p_1_0.pcol = nb.cc_0
+          join {pixels} p_1_1 on p_1_1.image_id = nb.image_id and p_1_1.prow = nb.rr_1 and p_1_1.pcol = nb.cc_1
+        ),
+        b as (select image_id, orow, ocol, {blend} as value from v)
+        select image_id, orow, ocol,
                case when isnan(value) then NULL else value end as value
         from b
     """
@@ -1247,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
             from j join {pixels} px
               on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
         """,
+        "resize_bilinear": _resize_bilinear_oracle_sql(tiles),
         "cell_size_meters": f"""
             select image_id,
                    least(cell_width, abs(cell_height)) as cell_size,

@@ -88,6 +88,62 @@ def resize_nearest(tiles: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema=schema)
 
 
+def resize_spline(tiles: DataFrame, out_w: int, out_h: int, order: int = 1) -> DataFrame:
+    """Per-item spline resize, orders 0–3 (raster.py:1262-1281 /
+    constants.py SKIMAGE_RESAMPLING_METHODS nearest/linear/quadratic/
+    cubic; orders 4–5 unimplemented — 2-pole prefilters, niche). True
+    interpolating splines via the Unser prefilter (rasters_spark.spline;
+    scipy/skimage absent from this environment). Center-aligned mapping,
+    NaN propagates. → re-encoded raw tiles (image_id, bytes, w, h, fmt).
+    """
+    from rasters_spark import spline
+
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode_media(r.bytes, int(r.w), int(r.h), r.fmt)
+                out = spline.resize(arr, out_h, out_w, order)
+                rows.append({"image_id": r.image_id,
+                             "bytes": codec.encode_tile(out.astype(np.float32), "raw"),
+                             "w": out_w, "h": out_h, "fmt": "raw"})
+            yield pd.DataFrame(rows)
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema=schema)
+
+
+def resize_bilinear_long(tiles: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Order-1 resize in RELATIONAL long form (image_id, orow, ocol,
+    value) — the oracle-checkable face of resize_spline(order=1): the
+    output pixel grid is exploded in SQL, the 4 taps are JVM-substring
+    sliced (no blob fanout), and the blend is the SAME shared SQL text
+    as to_grid_conv's bilinear. NaN taps → NULL."""
+    from pyspark.sql import functions as F
+
+    from rasters_spark.operators.resample import bilinear_weights_sql, conv_blend_sql
+    from rasters_spark.operators.sample import decode_slice, slice_pixel
+
+    d = (
+        tiles.select("image_id", "bytes", "w", "h", "fmt")
+        .withColumn("orow", F.explode(F.sequence(F.lit(0), F.lit(out_h - 1))))
+        .withColumn("ocol", F.explode(F.sequence(F.lit(0), F.lit(out_w - 1))))
+        .withColumn("fr", F.expr(f"(orow + 0.5) * h / {out_h}.0 - 0.5"))
+        .withColumn("fc", F.expr(f"(ocol + 0.5) * w / {out_w}.0 - 0.5"))
+        .withColumn("dc", F.expr("fc - floor(fc)"))
+        .withColumn("dr", F.expr("fr - floor(fr)"))
+    )
+    for i in (0, 1):
+        d = d.withColumn(f"rr_{i}", F.expr(f"least(greatest(cast(floor(fr) as bigint) + ({i}), 0), h - 1)"))
+        d = d.withColumn(f"cc_{i}", F.expr(f"least(greatest(cast(floor(fc) as bigint) + ({i}), 0), w - 1)"))
+    for i in (0, 1):
+        for j in (0, 1):
+            d = d.withColumn(f"v_{i}_{j}", decode_slice(slice_pixel(f"rr_{i}", f"cc_{j}"), F.col("fmt")))
+    d = d.withColumn("value", F.expr(conv_blend_sql(bilinear_weights_sql, (0, 1))))
+    return d.select("image_id", "orow", "ocol", "value")
+
+
 def frame_sample(videos: DataFrame, every_n: int = 10,
                  decoder: Callable[[bytes], np.ndarray] | None = None) -> DataFrame:
     """Video → sampled frames plumbing: (video_id, frame_no, frame_bytes).

@@ -149,6 +149,51 @@ def grid_to_geolocation_nn(tiles: DataFrame, swath: DataFrame,
         "image_id", "prow", "pcol", "value")
 
 
+def swath_resize(swath: DataFrame, rows_target: int, cols_target: int,
+                 order: int = 2) -> DataFrame:
+    """RasterGeolocation.resize (raster_geolocation.py:294-333): spline
+    zoom of the x/y geolocation fields to new dimensions, default
+    order 2, with the antimeridian fixup transcribed verbatim — when
+    the swath crosses the seam, x<0 pixels shift +360 BEFORE the zoom
+    and x≥180 shift −360 after, so the interpolation never spans the
+    ±180 discontinuity.
+
+    One pandas group per swath_id (a swath is a bounded per-granule
+    object — the natural kernel unit; cross-swath parallelism is the
+    scale axis). → (swath_id, row, col, x, y) at the new shape.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rasters_spark import spline
+
+    schema = "swath_id long, row long, col long, x double, y double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = int(pdf["row"].max()) + 1
+        cols = int(pdf["col"].max()) + 1
+        x = np.full((rows, cols), np.nan)
+        y = np.full((rows, cols), np.nan)
+        x[pdf["row"], pdf["col"]] = pdf["x"]
+        y[pdf["row"], pdf["col"]] = pdf["y"]
+        # edge-wrap crossing test (engine re-expression, crs.py:216)
+        use_shift = (np.nanmax(x) - np.nanmin(x)) > 180.0
+        if use_shift:
+            x = np.where(x < 0, 360.0 + x, x)
+        xr = spline.resize(x, rows_target, cols_target, order)
+        yr = spline.resize(y, rows_target, cols_target, order)
+        if use_shift:
+            xr = np.where(xr >= 180.0, xr - 360.0, xr)
+        rr, cc = np.indices((rows_target, cols_target))
+        return pd.DataFrame({
+            "swath_id": pdf["swath_id"].iloc[0],
+            "row": rr.ravel(), "col": cc.ravel(),
+            "x": xr.ravel(), "y": yr.ravel(),
+        })
+
+    return swath.groupBy("swath_id").applyInPandas(kernel, schema=schema)
+
+
 def swath_to_grid_nn(swath: DataFrame, target: dict, radius: float | None = None) -> DataFrame:
     """Swath→grid NN resample: assign each swath pixel to the target
     cell containing it (banker's-rounded inverse affine), keep the

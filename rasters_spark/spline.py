@@ -1,0 +1,144 @@
+"""Pure-numpy B-spline resize — orders 0–3 with exact prefiltering.
+
+The reference's ``Raster.resize``/``rescale`` delegate to
+``skimage.transform.resize`` with spline order 0–5
+(raster.py:1262-1281, constants.py SKIMAGE_RESAMPLING_METHODS) and
+``RasterGeolocation.resize`` to ``scipy.ndimage.zoom`` order 2
+(raster_geolocation.py:294-333). Neither library exists in this
+environment, so the spline machinery is implemented from the public
+algorithm (M. Unser, "B-spline signal processing", IEEE TSP 1993):
+a causal/anti-causal IIR prefilter turns samples into B-spline
+coefficients (making orders ≥ 2 true INTERPOLANTS, not smoothers),
+then the separable B-spline kernel evaluates at fractional positions.
+
+Engine conventions (documented deviations — pinned by tests, not by
+library parity): center-aligned coordinate mapping
+``src = (dst + 0.5) · in/out − 0.5`` (skimage resize's default
+anti_aliasing=False mapping), mirror boundary in the prefilter,
+edge-clamped taps in the evaluator, NaN propagates (a NaN sample
+poisons its row/col in the prefiltered coefficients for order ≥ 2,
+exactly as scipy's spline_filter does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# prefilter poles (Unser 1993, table I)
+_POLES = {2: (np.sqrt(8.0) - 3.0,), 3: (np.sqrt(3.0) - 2.0,)}
+
+
+def _filter_axis0(c: np.ndarray, z: float) -> None:
+    """In-place causal + anti-causal recursive filter along axis 0
+    (vectorized over the remaining axis), mirror boundary init."""
+    n = c.shape[0]
+    if n == 1:
+        return
+    # causal init: truncated mirror-boundary sum (|z| < 0.27 for orders
+    # 2-3, so 1e-14 needs ≤ 25 terms)
+    horizon = min(n, int(np.ceil(np.log(1e-14) / np.log(abs(z)))))
+    zk = z ** np.arange(1, horizon)
+    c[0] = c[0] + zk @ c[1:horizon]
+    for i in range(1, n):
+        c[i] += z * c[i - 1]
+    # anti-causal init
+    c[n - 1] = (z / (z * z - 1.0)) * (z * c[n - 2] + c[n - 1])
+    for i in range(n - 2, -1, -1):
+        c[i] = z * (c[i + 1] - c[i])
+
+
+def prefilter(data: np.ndarray, order: int) -> np.ndarray:
+    """Samples → B-spline coefficients (identity for order ≤ 1)."""
+    if order <= 1:
+        return np.asarray(data, dtype=np.float64)
+    if order not in _POLES:
+        raise ValueError(f"spline order {order} not supported (0-3)")
+    c = np.asarray(data, dtype=np.float64).copy()
+    for z in _POLES[order]:
+        gain = (1.0 - z) * (1.0 - 1.0 / z)
+        c *= gain * gain  # one gain per axis
+        _filter_axis0(c, z)
+        c = c.T.copy()
+        _filter_axis0(c, z)
+        c = c.T.copy()
+    return c
+
+
+def _weights(frac: np.ndarray, order: int):
+    """Tap offsets (relative to the tap base) and weight stack
+    (n_taps, N) for fractional positions. Base index per order:
+    0/2 → round(x) (odd support), 1/3 → floor(x) (even support)."""
+    if order == 0:
+        return np.zeros(1, dtype=np.int64), np.ones((1, len(frac)))
+    if order == 1:
+        return np.arange(0, 2), np.stack([1.0 - frac, frac])
+    if order == 2:
+        # frac = x - round(x) ∈ [-0.5, 0.5); taps -1, 0, 1 around round(x)
+        return np.arange(-1, 2), np.stack([
+            0.5 * (0.5 - frac) ** 2,
+            0.75 - frac * frac,
+            0.5 * (0.5 + frac) ** 2,
+        ])
+    if order == 3:
+        # frac = x - floor(x); taps -1..2 around floor(x)
+        omf = 1.0 - frac
+        return np.arange(-1, 3), np.stack([
+            omf * omf * omf / 6.0,
+            (0.5 * frac - 1.0) * frac * frac + 2.0 / 3.0,
+            (0.5 * omf - 1.0) * omf * omf + 2.0 / 3.0,
+            frac * frac * frac / 6.0,
+        ])
+    raise ValueError(f"spline order {order} not supported (0-3)")
+
+
+def _base_and_frac(x: np.ndarray, order: int):
+    if order in (0, 2):
+        base = np.round(x).astype(np.int64)
+    else:
+        base = np.floor(x).astype(np.int64)
+    return base, x - base
+
+
+def _edge_index(idx: np.ndarray, n: int, order: int) -> np.ndarray:
+    """Out-of-range tap indices: orders ≤ 1 clamp (edge replicate, the
+    engine's bilinear convention shared with the SQL oracle); orders
+    ≥ 2 MIRROR (the boundary the prefilter init assumes — clamping
+    there breaks the interpolation condition at the edges)."""
+    if order <= 1:
+        return np.clip(idx, 0, n - 1)
+    idx = np.abs(idx)
+    return np.where(idx > n - 1, 2 * (n - 1) - idx, idx)
+
+
+def sample(coeff: np.ndarray, fr: np.ndarray, fc: np.ndarray, order: int) -> np.ndarray:
+    """Evaluate the (prefiltered) spline at fractional positions
+    (fr, fc)."""
+    hh, ww = coeff.shape
+    rb, rf = _base_and_frac(np.asarray(fr, dtype=np.float64), order)
+    cb, cf = _base_and_frac(np.asarray(fc, dtype=np.float64), order)
+    rtaps, rw = _weights(rf, order)
+    ctaps, cw = _weights(cf, order)
+    out = np.zeros(len(rb), dtype=np.float64)
+    for a, ti in enumerate(rtaps):
+        ri = _edge_index(rb + ti, hh, order)
+        acc = np.zeros(len(rb), dtype=np.float64)
+        for b, tj in enumerate(ctaps):
+            ci = _edge_index(cb + tj, ww, order)
+            acc += cw[b] * coeff[ri, ci]
+        out += rw[a] * acc
+    return out
+
+
+def resize(arr: np.ndarray, out_h: int, out_w: int, order: int = 1) -> np.ndarray:
+    """Resize (h, w) → (out_h, out_w) with spline order 0–3; center-
+    aligned mapping, NaN propagates."""
+    hh, ww = arr.shape
+    if order == 0:
+        ri = np.clip(np.round((np.arange(out_h) + 0.5) * hh / out_h - 0.5).astype(np.int64), 0, hh - 1)
+        ci = np.clip(np.round((np.arange(out_w) + 0.5) * ww / out_w - 0.5).astype(np.int64), 0, ww - 1)
+        return arr[np.ix_(ri, ci)].astype(np.float64)
+    coeff = prefilter(arr, order)
+    fr = (np.arange(out_h) + 0.5) * hh / out_h - 0.5
+    fc = (np.arange(out_w) + 0.5) * ww / out_w - 0.5
+    FR, FC = np.meshgrid(fr, fc, indexing="ij")
+    return sample(coeff, FR.ravel(), FC.ravel(), order).reshape(out_h, out_w)
