@@ -34,11 +34,18 @@ def _filter_axis0(c: np.ndarray, z: float) -> None:
     n = c.shape[0]
     if n == 1:
         return
-    # causal init: truncated mirror-boundary sum (|z| < 0.27 for orders
-    # 2-3, so 1e-14 needs ≤ 25 terms)
-    horizon = min(n, int(np.ceil(np.log(1e-14) / np.log(abs(z)))))
-    zk = z ** np.arange(1, horizon)
-    c[0] = c[0] + zk @ c[1:horizon]
+    # causal init, mirror boundary: truncated sum when the pole decays
+    # inside the array (|z| < 0.27 for orders 2-3 → ≤ 25 terms), exact
+    # closed form otherwise (short arrays)
+    horizon = int(np.ceil(np.log(1e-14) / np.log(abs(z))))
+    if horizon < n:
+        zk = z ** np.arange(1, horizon)
+        c[0] = c[0] + zk @ c[1:horizon]
+    else:
+        z2n = z ** (2 * n - 2)
+        k = np.arange(1, n - 1)
+        w = z ** k + z ** (2 * n - 2 - k)
+        c[0] = (c[0] + z ** (n - 1) * c[n - 1] + w @ c[1:n - 1]) / (1.0 - z2n)
     for i in range(1, n):
         c[i] += z * c[i - 1]
     # anti-causal init
