@@ -82,6 +82,41 @@ def ring_bbox(ring: Column) -> Column:
     )
 
 
+def bbox_width_am(bbox: Column) -> Column:
+    """Width with the antimeridian +360 fixup
+    (raster_geolocation.py:220-236): a WRAPPED bbox (xmin > xmax, the
+    reference's crossing convention) measures across the seam."""
+    return F.when(
+        bbox["xmin"] > bbox["xmax"], (bbox["xmax"] + F.lit(360.0)) - bbox["xmin"]
+    ).otherwise(bbox["xmax"] - bbox["xmin"])
+
+
+def ring_bbox_am(ring: Column) -> Column:
+    """Polygon bbox with the reference's antimeridian split
+    (raster_geometry.py:505-521): when the ring crosses the seam,
+    ``xmin`` = min of the POSITIVE x (east side), ``xmax`` = max of the
+    NEGATIVE x (west side) — a wrapped bbox with xmin > xmax, which
+    cells_for_bbox_am splits into two seam-bounded ranges. Non-crossing
+    rings fall back to the plain nan-safe fold."""
+    from rasters_spark.functions.crs import crosses_antimeridian_ring
+
+    r = _col(ring)
+    plain = ring_bbox(r)
+
+    def fold(fn, init, pred):
+        return F.aggregate(
+            r, F.lit(init).cast("double"),
+            lambda acc, v: fn(acc, F.when(pred(v["x"]), F.nanvl(v["x"], acc)).otherwise(acc)))
+
+    wrapped = F.struct(
+        fold(F.least, float("inf"), lambda x: x > 0).alias("xmin"),
+        plain["ymin"].alias("ymin"),
+        fold(F.greatest, float("-inf"), lambda x: x < 0).alias("xmax"),
+        plain["ymax"].alias("ymax"),
+    )
+    return F.when(crosses_antimeridian_ring(r), wrapped).otherwise(plain)
+
+
 def point_buffer_ring(x, y, radius, segments: int = 16) -> Column:
     """Circular buffer polygon as an n-gon ring (point.py:184-238,
     default resolution 16 quarter-segments) — cos/sin by column math."""

@@ -65,13 +65,19 @@ def points_in_polygons(
     (raster_geolocation.py:145-172): containment in the geometry's bbox.
     """
     pbox = grid.bbox_struct("xmin", "ymin", "xmax", "ymax")
-    polys = polygons.drop("crs").withColumn("pcell", F.explode(cells.cells_for_bbox(pbox, level)))
+    # antimeridian-aware registration: wrapped bboxes (xmin > xmax, the
+    # reference's crossing convention) register both seam sides
+    polys = polygons.drop("crs").withColumn("pcell", F.explode(cells.cells_for_bbox_am(pbox, level)))
     pts = points.drop("crs").withColumn("pcell", cells.cell_id(F.col("x"), F.col("y"), level))
     cand = pts.join(F.broadcast(polys), "pcell")
-    # bbox prefilter (cheap SQL residual before the exact kernel)
+    # bbox prefilter (cheap SQL residual before the exact kernel);
+    # wrapped x-range = the OR of the two seam sides
+    in_x = F.when(
+        F.col("xmin") > F.col("xmax"),
+        (F.col("x") >= F.col("xmin")) | (F.col("x") < F.col("xmax")),
+    ).otherwise((F.col("x") >= F.col("xmin")) & (F.col("x") < F.col("xmax")))
     cand = cand.filter(
-        (F.col("x") >= F.col("xmin")) & (F.col("x") < F.col("xmax"))
-        & (F.col("y") >= F.col("ymin")) & (F.col("y") < F.col("ymax"))
+        in_x & (F.col("y") >= F.col("ymin")) & (F.col("y") < F.col("ymax"))
     )
     if bbox_only:
         return cand.drop("ring", "is_rect", "pcell")

@@ -37,3 +37,42 @@ def test_knn_wraps_the_seam(spark):
     # NOTE: ranking uses raw coordinate distance (no wrap in the metric
     # itself — matches the reference's planar distances); candidacy wraps.
     assert ids[0] == "east_of_seam"
+
+
+def test_wrapped_bbox_registers_o1_cells(spark):
+    from rasters_spark import cells
+    from rasters_spark.functions import vector as vecfn
+    # seam-straddling ring: x 179.2 .. -179.5 (1.3 deg wide across the seam)
+    ring = [{"x": 179.2, "y": 10.0}, {"x": -179.5, "y": 10.0},
+            {"x": -179.5, "y": 11.0}, {"x": 179.2, "y": 11.0}, {"x": 179.2, "y": 10.0}]
+    df = spark.createDataFrame([(ring,)], "ring array<struct<x double, y double>>")
+    bb = vecfn.ring_bbox_am(F.col("ring"))
+    row = df.select(
+        bb["xmin"].alias("xmin"), bb["xmax"].alias("xmax"),
+        vecfn.bbox_width_am(bb).alias("width"),
+        F.size(cells.cells_for_bbox_am(bb, 7)).alias("n_cells"),
+        F.size(cells.cells_for_bbox(vecfn.ring_bbox(F.col("ring")), 7)).alias("n_cells_naive"),
+    ).collect()[0]
+    # reference convention: xmin = min positive x, xmax = max negative x
+    assert row.xmin == 179.2 and row.xmax == -179.5
+    assert row.width == pytest.approx(1.3)
+    # split registration: O(1) cells at level 7 (1.40625 deg) vs O(world)
+    assert row.n_cells <= 6
+    assert row.n_cells_naive > 200  # what the naive world-spanning bbox costs
+
+
+def test_wrapped_bbox_pip_candidates(spark):
+    from rasters_spark.operators import joins
+    ring = [{"x": 179.0, "y": 0.0}, {"x": -179.0, "y": 0.0},
+            {"x": -179.0, "y": 1.0}, {"x": 179.0, "y": 1.0}, {"x": 179.0, "y": 0.0}]
+    polys = spark.createDataFrame(
+        [(1, ring, True, 1.0, 179.0, 0.0, -179.0, 1.0)],
+        "poly_id long, ring array<struct<x double, y double>>, is_rect boolean, "
+        "burn_value double, xmin double, ymin double, xmax double, ymax double")
+    pts = spark.createDataFrame(
+        [(1, 179.5, 0.5), (2, -179.5, 0.5), (3, 0.0, 0.5), (4, 178.0, 0.5)],
+        "point_id long, x double, y double")
+    got = {r.point_id for r in
+           joins.points_in_polygons(pts, polys, bbox_only=True).collect()}
+    # both seam sides match; the far point and the west-of-xmin point don't
+    assert got == {1, 2}
