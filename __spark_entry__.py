@@ -193,6 +193,24 @@ def q_bias_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample.bias_correct(coarse, fine, COARSE_TARGET, RASTERIZE_TARGET)
 
 
+def q_linear_downscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linear_downscale with gap-filling and scale/bias output layers
+    (linear_downscale.py:8-53). The oracle-checked variant runs the
+    multiplicative pass + gap-fill (every float op is a single
+    division/product of exact operands → order-independent across
+    engines); the additive pass is oracle-covered by ``bias_correct``
+    and the combined scale+bias path is pinned by
+    tests/test_resample.py (a second averaging pass over value·scale
+    doubles would be accumulation-order-dependent, SURVEY §7.3)."""
+    polys = load_polygons(spark, sf_dir).filter("is_rect")
+    fine = joins.rasterize(polys, RASTERIZE_TARGET, merge_alg="add")
+    coarse = joins.rasterize(polys, COARSE_TARGET, merge_alg="add")
+    return resample.linear_downscale(
+        coarse, fine, COARSE_TARGET, RASTERIZE_TARGET,
+        apply_scale=True, apply_bias=False,
+        use_gap_filling=True, return_scale_and_bias=True)
+
+
 # --- registered-view queries (no fixture dependency) ---------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_first": q_mosaic_first,
         "to_grid_average": q_to_grid_average,
         "bias_correct": q_bias_correct,
+        "linear_downscale": q_linear_downscale,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1150,6 +1169,40 @@ def oracle_sql() -> dict[str, str]:
                  )
             select f.row, f.col, f.value - b.bias as value
             from f join bias b using (crow, ccol)
+        """,
+        "linear_downscale": f"""
+            with fine as ({_rasterize_sql(polys, 0.25, 720, 1440, "sum")}),
+                 coarse as ({_rasterize_sql(polys, 1.0, 180, 360, "sum")}),
+                 f as (
+                   select row, col, value,
+                     cast(round_even(((90.0 + (-0.25) * (row + 0.5)) - 90.0) / (-1.0) - 0.5, 0) as bigint) as crow,
+                     cast(round_even(((-180.0 + 0.25 * (col + 0.5)) + 180.0) / 1.0 - 0.5, 0) as bigint) as ccol
+                   from fine
+                 ),
+                 up as (select crow, ccol, sum(value) / count(value) as up from f group by 1, 2),
+                 sc as (
+                   select up.crow, up.ccol,
+                     case when c.value = 0 then 0.0
+                          when up.up = 0 then 0.0
+                          else c.value / up.up end as scale
+                   from up join coarse c on c.row = up.crow and c.col = up.ccol
+                 ),
+                 f2 as (
+                   select f.row, f.col, f.value * sc.scale as value, sc.scale
+                   from f join sc using (crow, ccol)
+                 ),
+                 lattice as (
+                   select r.frow, cc.fcol, c.value as vc
+                   from coarse c,
+                        unnest(range(c.row * 4, c.row * 4 + 4)) as r(frow),
+                        unnest(range(c.col * 4, c.col * 4 + 4)) as cc(fcol)
+                 )
+            select l.frow as row, l.fcol as col,
+                   coalesce(f2.value, l.vc) as value,
+                   coalesce(f2.scale, 1.0) as scale,
+                   0.0 as bias
+            from lattice l
+            left join f2 on f2.row = l.frow and f2.col = l.fcol
         """,
         "exact_dedup": """
             select min(doc_id) as doc_id, count(*) as n_dups

@@ -558,11 +558,19 @@ def bias_correct(coarse: DataFrame, fine: DataFrame,
 
 def linear_downscale(coarse: DataFrame, fine: DataFrame,
                      coarse_grid: dict, fine_grid: dict,
-                     apply_scale: bool = True, apply_bias: bool = True) -> DataFrame:
+                     apply_scale: bool = True, apply_bias: bool = True,
+                     use_gap_filling: bool = False,
+                     return_scale_and_bias: bool = False) -> DataFrame:
     """linear_downscale.py:8-53 on long-form rasters: multiplicative
     scale (zero-guarded: coarse==0→0, upsampled==0→0,
-    linear_downscale.py:27-29) then the additive-bias pass, both via
-    average-upsample / nearest-downsample."""
+    linear_downscale.py:27-29), the additive-bias pass, optional
+    gap-filling (:45-47 — fine cells with no data inside coarse
+    coverage take the nearest-downsampled coarse value) and optional
+    scale/bias output layers (:49-51; 1.0 / 0.0 when a pass is off,
+    matching ``fine*0+1`` / ``fine*0``). All passes are SQL:
+    average-upsample aggregations + broadcast joins; the gap-fill
+    lattice is a per-coarse-cell window explode with a center-mapping
+    residual (= nearest downsample)."""
     crow, ccol = _coarse_key(fine_grid, coarse_grid)
     f = fine.select("row", "col", "value", crow, ccol)
     c = coarse.select(F.col("row").alias("crow"), F.col("col").alias("ccol"),
@@ -577,14 +585,55 @@ def linear_downscale(coarse: DataFrame, fine: DataFrame,
         )
         f = (
             f.join(F.broadcast(scale), ["crow", "ccol"])
-            .select("row", "col", (F.col("value") * F.col("scale")).alias("value"), "crow", "ccol")
+            .select("row", "col", (F.col("value") * F.col("scale")).alias("value"),
+                    "crow", "ccol", "scale")
         )
+    else:
+        f = f.withColumn("scale", F.lit(1.0))
     if apply_bias:
         up2 = f.groupBy("crow", "ccol").agg((F.sum("value") / F.count("value")).alias("up"))
         bias = up2.join(c, ["crow", "ccol"]).select(
             "crow", "ccol", (F.col("up") - F.col("vc")).alias("bias"))
         f = (
             f.join(F.broadcast(bias), ["crow", "ccol"])
-            .select("row", "col", (F.col("value") - F.col("bias")).alias("value"), "crow", "ccol")
+            .select("row", "col", (F.col("value") - F.col("bias")).alias("value"),
+                    "crow", "ccol", "scale", "bias")
         )
-    return f.select("row", "col", "value")
+    else:
+        f = f.withColumn("bias", F.lit(0.0))
+    out_cols = ["row", "col", "value"] + (["scale", "bias"] if return_scale_and_bias else [])
+    if not use_gap_filling:
+        return f.select(*out_cols)
+    # gap-fill lattice: every fine cell whose center maps into a coarse
+    # cell with data; left-join the corrected fine and coalesce
+    fg = grid.grid_struct(**fine_grid)
+    cg_d = coarse_grid
+    cbox = grid.bbox_struct(
+        F.lit(cg_d["x_origin"]) + F.lit(cg_d["cell_width"]) * F.col("ccol").cast("double"),
+        F.lit(cg_d["y_origin"]) + F.lit(cg_d["cell_height"]) * (F.col("crow").cast("double") + 1.0),
+        F.lit(cg_d["x_origin"]) + F.lit(cg_d["cell_width"]) * (F.col("ccol").cast("double") + 1.0),
+        F.lit(cg_d["y_origin"]) + F.lit(cg_d["cell_height"]) * F.col("crow").cast("double"),
+    )
+    w = grid.window_for_bbox(fg, cbox)
+    lat = (
+        c.withColumn("win", w)
+        .filter(~F.col("win")["oob"]
+                & (F.col("win")["row_end"] > F.col("win")["row_start"])
+                & (F.col("win")["col_end"] > F.col("win")["col_start"]))
+        .withColumn("row", F.explode(F.sequence(F.col("win")["row_start"], F.col("win")["row_end"] - 1)))
+        .withColumn("col", F.explode(F.sequence(F.col("win")["col_start"], F.col("win")["col_end"] - 1)))
+    )
+    fx = F.lit(fine_grid["x_origin"]) + F.lit(fine_grid["cell_width"]) * (F.col("col").cast("double") + 0.5)
+    fy = F.lit(fine_grid["y_origin"]) + F.lit(fine_grid["cell_height"]) * (F.col("row").cast("double") + 0.5)
+    cgs = grid.grid_struct(**coarse_grid)
+    lat = lat.filter(
+        (grid.point_row(cgs, fy) == F.col("crow")) & (grid.point_col(cgs, fx) == F.col("ccol"))
+    ).select("row", "col", "vc")
+    filled = (
+        lat.join(f.select("row", "col", "value", "scale", "bias"), ["row", "col"], "left")
+        .select("row", "col",
+                F.coalesce(F.col("value"), F.col("vc")).alias("value"),
+                F.coalesce(F.col("scale"), F.lit(1.0)).alias("scale"),
+                F.coalesce(F.col("bias"), F.lit(0.0)).alias("bias"))
+    )
+    return filled.select(*out_cols)

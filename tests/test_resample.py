@@ -124,3 +124,23 @@ def test_linear_downscale_scale_and_bias(spark):
     # after scale (×2 exactly), upsampled == coarse → bias = 0 → result = 2×fine
     for (r, c, v) in fine_rows:
         assert got[(r, c)] == pytest.approx(2.0 * v)
+
+
+def test_linear_downscale_gap_fill_and_outputs(spark):
+    # fine raster has a HOLE at (0,1); coarse covers the whole 2x2 top
+    # cell → the hole fills with the nearest-downsampled coarse value,
+    # carried scale/bias default to 1/0 on filled cells
+    fg = dict(x_origin=0.0, y_origin=2.0, cell_width=1.0, cell_height=-1.0, rows=2, cols=2, crs="EPSG:4326")
+    cg = dict(x_origin=0.0, y_origin=2.0, cell_width=2.0, cell_height=-2.0, rows=1, cols=1, crs="EPSG:4326")
+    fine = spark.createDataFrame(
+        [(0, 0, 8.0), (1, 0, 4.0), (1, 1, 4.0)], "row long, col long, value double")
+    # coarse = 2 x mean of present fine values (16/3): scale = 2 exactly
+    coarse = spark.createDataFrame([(0, 0, 32.0 / 3.0)], "row long, col long, value double")
+    out = {(r.row, r.col): (r.value, r.scale, r.bias) for r in resample.linear_downscale(
+        coarse, fine, cg, fg, apply_scale=True, apply_bias=False,
+        use_gap_filling=True, return_scale_and_bias=True).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert out[(0, 0)] == (16.0, 2.0, 0.0)
+    assert out[(1, 0)] == (8.0, 2.0, 0.0)
+    # the hole: coarse value, neutral scale/bias
+    assert out[(0, 1)] == (32.0 / 3.0, 1.0, 0.0)
