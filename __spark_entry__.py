@@ -503,6 +503,15 @@ def q_snap_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_to_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grid_to_size at 5 km via the AEQD intermediate
+    (raster_geometry.py:695-757) on the rect polygons (rows-only: the
+    Snyder AEQD kernel has no ulp-safe SQL twin; the trunc/max shape
+    rules are pinned by tests/test_crs_vector.py)."""
+    polys = load_polygons(spark, sf_dir).filter("is_rect")
+    return crsfn.grid_to_size(polys, 5000.0)
+
+
 def q_media_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG colormap render (rows-only: binary output pinned by the
     round-trip decoder in pytest)."""
@@ -663,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_size_meters": q_cell_size_meters,
         "resize_bilinear": q_resize_bilinear,
         "swath_resize": q_swath_resize,
+        "grid_to_size": q_grid_to_size,
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,

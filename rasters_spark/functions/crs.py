@@ -227,3 +227,78 @@ def crosses_antimeridian_ring(ring_col) -> Column:
         lambda a, b: (F.abs(a["x"] - b["x"]) > 180.0),
     )
     return F.exists(pairs, lambda v: v)
+
+
+def grid_to_size(df, cell_size_meters: float, id_col: str = "poly_id",
+                 target: str = "geographic", adjust_cell_size: bool = False):
+    """RasterGeometry.grid_to_size (raster_geometry.py:695-757): derive a
+    target grid of a given metric cell size from each row's bbox.
+
+    Transcribed semantics: (1) the bbox transforms to an INTERMEDIATE
+    metric CRS to measure width/height in meters — the per-row
+    center-AEQD by default, the local UTM when ``target='utm'``
+    (RasterGeometry.UTM, :757-766, passes intermediate=target);
+    (2) rows/cols = max(int(extent_m / cell_size_meters), 1) — Python
+    int() truncation, not floor; (3) the grid's origin/extent come from
+    the bbox in the TARGET CRS — cell sizes are extent/shape when the
+    target is geographic (or adjust_cell_size), exactly
+    cell_size_meters otherwise.
+
+    Bbox transforms measure the 4 corners (min/max of the transformed
+    corner points — the reference transforms the boundary polygon;
+    for the axis-aligned bboxes used here corners are the extrema).
+    → (id_col, x_origin, y_origin, cell_width, cell_height, rows, cols,
+    crs). Rows-only vs DuckDB (Snyder trig has no SQL twin); pinned by
+    tests/test_crs_vector.py.
+    """
+    cx = (F.col("xmin") + F.col("xmax")) / 2.0
+    cy = (F.col("ymin") + F.col("ymax")) / 2.0
+    if target == "utm":
+        inter = local_utm_proj4(cy, cx)
+    elif target == "geographic":
+        inter = center_aeqd_proj4(cy, cx)
+    else:
+        raise ValueError(f"unsupported grid_to_size target: {target!r}")
+    base = df.select(id_col, "xmin", "ymin", "xmax", "ymax", inter.alias("_inter"))
+    corner = F.explode(F.array(
+        F.struct(F.col("xmin").alias("x"), F.col("ymin").alias("y")),
+        F.struct(F.col("xmax").alias("x"), F.col("ymin").alias("y")),
+        F.struct(F.col("xmax").alias("x"), F.col("ymax").alias("y")),
+        F.struct(F.col("xmin").alias("x"), F.col("ymax").alias("y")),
+    ))
+    corners = base.withColumn("_c", corner).select(
+        id_col, "xmin", "ymin", "xmax", "ymax", "_inter",
+        F.col("_c")["x"].alias("x"), F.col("_c")["y"].alias("y"),
+        F.lit("EPSG:4326").alias("crs"),
+    )
+    t = transform_xy(corners, dst=F.col("_inter"))
+    m = t.groupBy(id_col, "xmin", "ymin", "xmax", "ymax", "_inter").agg(
+        (F.max("x_t") - F.min("x_t")).alias("_wm"),
+        (F.max("y_t") - F.min("y_t")).alias("_hm"),
+    )
+    rows = F.greatest((F.col("_hm") / cell_size_meters).cast("long"), F.lit(1).cast("long"))
+    cols = F.greatest((F.col("_wm") / cell_size_meters).cast("long"), F.lit(1).cast("long"))
+    m = m.withColumn("rows", rows.cast("int")).withColumn("cols", cols.cast("int"))
+    if target == "geographic":
+        cw = (F.col("xmax") - F.col("xmin")) / F.col("cols").cast("double")
+        ch = (F.col("ymax") - F.col("ymin")) / F.col("rows").cast("double")
+        return m.select(
+            id_col, F.col("xmin").alias("x_origin"), F.col("ymax").alias("y_origin"),
+            cw.alias("cell_width"), (-ch).alias("cell_height"),
+            "rows", "cols", F.lit("EPSG:4326").alias("crs"))
+    # UTM target: dest bbox = the same corner transform (intermediate IS
+    # the target for the UTM path); cell size stays metric unless adjusted
+    d = t.groupBy(id_col, "_inter").agg(
+        F.min("x_t").alias("_dxmin"), F.max("x_t").alias("_dxmax"),
+        F.min("y_t").alias("_dymin"), F.max("y_t").alias("_dymax"))
+    dm = m.join(d, [id_col, "_inter"])
+    if adjust_cell_size:
+        cw = (F.col("_dxmax") - F.col("_dxmin")) / F.col("cols").cast("double")
+        ch = (F.col("_dymax") - F.col("_dymin")) / F.col("rows").cast("double")
+    else:
+        cw = F.lit(float(cell_size_meters))
+        ch = F.lit(float(cell_size_meters))
+    return dm.select(
+        id_col, F.col("_dxmin").alias("x_origin"), F.col("_dymax").alias("y_origin"),
+        cw.alias("cell_width"), (-ch).alias("cell_height"),
+        "rows", "cols", F.col("_inter").alias("crs"))

@@ -29,6 +29,29 @@ def extract_band(stacked: DataFrame, band: int) -> DataFrame:
     return stacked.filter(F.col("band") == band)
 
 
+def band_resize(stacked: DataFrame, out_w: int, out_h: int, order: int = 1) -> DataFrame:
+    """MultiRaster.resize (multi_raster.py:290-295): per-band resize of
+    the stack. Relationally the band loop is free — each band IS a row,
+    so this is resize_spline with the band/stack tags re-attached
+    (one Arrow pass, no shuffle)."""
+    from rasters_spark.datapipe.multimodal import resize_spline
+
+    out = resize_spline(stacked, out_w, out_h, order)
+    return out.join(stacked.select("image_id", "band", "stack_id"), "image_id")
+
+
+def band_percentilecut(stacked: DataFrame, lower_percentile: float = 2.0,
+                       upper_percentile: float = 98.0) -> DataFrame:
+    """MultiRaster.generate_percentilecut (multi_raster.py:283-288):
+    per-band percentile stretch — the reference stretches each band by
+    its OWN per-raster percentiles, which here is the per-tile
+    percentilecut kernel with the band tag carried through."""
+    from rasters_spark.operators import rastermath as rm
+
+    out = rm.elementwise(stacked, rm.percentilecut(lower_percentile, upper_percentile))
+    return out.join(stacked.select("image_id", "band", "stack_id"), "image_id")
+
+
 def band_stats(stacked: DataFrame) -> DataFrame:
     """Per-band reduction across the stack dimension — per-tile Arrow
     partials, band-level SQL finals → (band, n_tiles, n_valid, vsum,

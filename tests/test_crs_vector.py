@@ -129,3 +129,49 @@ def test_pixel_centroids_matches_fixture(spark):
     first = sub.loc[(0, slice(None))].iloc[0] if (0, 0) not in sub.index else sub.loc[(0, 0)]
     assert abs(sub.x.min() - (t0.x_origin + t0.cell_width * 0.5)) < 1e-9 or True
     assert sub.x.max() <= t0.x_origin + t0.cell_width * t0.w
+
+
+def test_grid_to_size_shape_rules(spark):
+    from rasters_spark.functions import crs as crsfn
+    # 1°x1° bbox at the equator: AEQD width/height ≈ 111.19 km (spherical
+    # R=6371000); at 5 km cells → int(111.19/5) = 22 rows/cols; geographic
+    # target keeps the bbox and divides extent by shape
+    polys = spark.createDataFrame(
+        [(1, 10.0, 0.0, 11.0, 1.0), (2, 20.0, 50.0, 20.001, 50.001)],
+        "poly_id long, xmin double, ymin double, xmax double, ymax double")
+    got = {r.poly_id: r for r in crsfn.grid_to_size(polys, 5000.0).collect()}
+    g1 = got[1]
+    assert g1.rows == 22 and g1.cols == 22
+    assert g1.x_origin == 10.0 and g1.y_origin == 1.0
+    assert g1.cell_width == pytest.approx(1.0 / 22)
+    assert g1.cell_height == pytest.approx(-1.0 / 22)
+    assert g1.crs == "EPSG:4326"
+    # tiny bbox → max(int(...), 1) floor at 1
+    assert got[2].rows == 1 and got[2].cols == 1
+    # UTM target: metric cell size passes through, origin in meters
+    utm = {r.poly_id: r for r in crsfn.grid_to_size(polys, 5000.0, target="utm").collect()}
+    u1 = utm[1]
+    assert u1.cell_width == 5000.0 and u1.cell_height == -5000.0
+    assert "+proj=utm" in u1.crs
+    assert u1.rows >= 21 and u1.cols >= 21  # TM meters ≈ AEQD meters here
+
+
+def test_band_resize_and_percentilecut(spark):
+    import numpy as np
+    from rasters_spark import codec
+    from rasters_spark.operators import bands
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(4):
+        a = rng.uniform(0, 100, (8, 8)).astype(np.float32)
+        rows.append((f"img{i:012d}", codec.encode_tile(a, "raw"), 8, 8, "raw"))
+    t = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int, fmt string")
+    stacked = bands.with_bands(t, 2)
+    rz = bands.band_resize(stacked, 4, 4, order=1)
+    assert rz.count() == 4 and set(rz.columns) >= {"band", "stack_id", "bytes"}
+    assert rz.filter("w = 4 and h = 4").count() == 4
+    pc = bands.band_percentilecut(stacked)
+    out = {r.image_id: codec.decode_tile(r.bytes, 8, 8, r.fmt) for r in pc.collect()}
+    assert len(out) == 4
+    for a in out.values():
+        assert np.nanmin(a) >= 0.0 and np.nanmax(a) <= 1.0
