@@ -29,7 +29,18 @@ FEATURE_SCHEMA = "image_id string, fmt string, n_bytes long, width int, height i
 def _decode_media(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt in ("raw", "q8"):
         return codec.decode_tile(data, w, h, fmt)
-    if fmt in ("jpeg", "png", "webp"):
+    if fmt == "png":
+        # real pure-python decoder for the engine's own PNG output
+        # (functions/render.py — filter-0 gray/RGB); grayscale passes
+        # through as float, RGB collapses to luma so downstream feature
+        # kernels stay single-channel
+        from rasters_spark.functions.render import decode_png
+
+        img = decode_png(data)
+        if img.ndim == 3:
+            img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2])
+        return img.astype(np.float32)
+    if fmt in ("jpeg", "webp"):
         raise NotImplementedError(
             f"container format {fmt!r}: plug a PIL/libvips decoder into "
             "rasters_spark.datapipe.multimodal._decode_media on a cluster with image libs"

@@ -157,3 +157,21 @@ def test_dup_groups_lsh_default_equals_exact(spark, docs):
     exact = {(r.doc_id, r.group_id)
              for r in dedup.dup_groups(docs, method="exact").collect()}
     assert lsh and lsh == exact
+
+
+def test_png_decode_path_in_multimodal(spark):
+    # engine-written PNGs are a REAL decodable format in the media
+    # pipeline (round-trip through functions/render.py's codec)
+    from rasters_spark.functions.render import encode_png
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    png = encode_png(img)
+    df = spark.createDataFrame(
+        [("p1", png, 8, 8, "png")], "image_id string, bytes binary, w int, h int, fmt string")
+    feats = multimodal.extract_features(df).collect()[0]
+    assert feats.width == 8 and feats.height == 8
+    assert feats.mean == pytest.approx(float(img.mean()))
+    # jpeg stays a declared seam → quarantined NULLs, not a crash
+    df2 = spark.createDataFrame(
+        [("j1", b"\xff\xd8junk", 8, 8, "jpeg")], "image_id string, bytes binary, w int, h int, fmt string")
+    q = multimodal.extract_features(df2).collect()[0]
+    assert q.width is None and q.phash is None
