@@ -59,6 +59,13 @@ def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
     timed("knn_tiles", lambda: force(e.q_knn_tiles(spark, sf_dir)))
     # q6: mean-composite resample onto the 0.25° grid
     timed("merge_mean", lambda: force(e.q_merge_mean(spark, sf_dir)))
+    # q7: bilinear warp — JVM-sliced taps + SQL blend (must stay within
+    # ~2× of the nearest-path composites, VERDICT r01 #2)
+    timed("to_grid_bilinear", lambda: force(e.q_to_grid_bilinear(spark, sf_dir)))
+    # q8: aggregation-kernel warp (per-tile segment stats, no shuffle)
+    timed("to_grid_med", lambda: force(e.q_to_grid_med(spark, sf_dir)))
+    # q9: banded image near-dup over the full tile set
+    timed("phash_near_dups", lambda: force(e.q_phash_near_dups(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     sf = fixtures.scale_of(sf_dir)
