@@ -62,9 +62,11 @@ def main() -> None:
 
     fixtures.ensure_fixtures(sf_dir)  # generate once, not per submit
     pyfiles = make_pyfiles_zip(tmp)
-    m_small, m_big = os.environ.get("SPARK_GRAFT_SCALING_MASTERS", "local[2],local[8]").split(",")
-    r_s = run_at(m_small, pyfiles, sf_dir)
-    r_b = run_at(m_big, pyfiles, sf_dir)
+    masters = os.environ.get(
+        "SPARK_GRAFT_SCALING_MASTERS", "local[2],local[8],local[32]").split(",")
+    runs = {m: run_at(m, pyfiles, sf_dir) for m in masters}
+    m_small, m_big = masters[0], masters[1]
+    r_s, r_b = runs[m_small], runs[m_big]
     eff = r_s["total_sec"] / (4.0 * r_b["total_sec"])
     per_stage = {
         q: round(r_s["queries"][q] / (4.0 * r_b["queries"][q]), 3) for q in r_s["queries"]
@@ -74,8 +76,7 @@ def main() -> None:
         "value": round(eff, 3),
         "unit": "ratio",
         "n_tiles": r_b["n_tiles"],
-        "small": r_s,
-        "big": r_b,
+        "runs": runs,
         "per_stage_efficiency": per_stage,
     }
     print(json.dumps(result))
@@ -85,20 +86,33 @@ def main() -> None:
         "",
         "Sandbox proxy for N vs 4N executor clusters: the identical",
         "`spark-submit --py-files rasters_spark.zip tools/scaling_job.py` run at",
-        f"`--master {m_small}` and `--master {m_big}` (fresh JVM each) on the same",
+        f"each of {', '.join(masters)} (fresh JVM each) on the same",
         f"input ({r_b['n_tiles']} tiles, {sf_dir}), {r_s['repeats']} timed repeats per stage",
         "after a warmup pass (per-stage time = min over repeats).",
         "",
-        f"| stage | {m_small} sec | {m_big} sec | efficiency t_N/(4·t_4N) |",
-        "|---|---|---|---|",
+        "| stage | " + " | ".join(f"{m} sec" for m in masters) + f" | eff {m_small}→{m_big} |",
+        "|---" * (len(masters) + 2) + "|",
     ]
     for q in r_s["queries"]:
-        lines.append(f"| {q} | {r_s['queries'][q]} | {r_b['queries'][q]} | {per_stage[q]} |")
+        cells = " | ".join(str(runs[m]["queries"][q]) for m in masters)
+        lines.append(f"| {q} | {cells} | {per_stage[q]} |")
+    tot_cells = " | ".join(str(runs[m]["total_sec"]) for m in masters)
     lines += [
-        f"| **total** | {r_s['total_sec']} | {r_b['total_sec']} | **{round(eff, 3)}** |",
+        f"| **total** | {tot_cells} | **{round(eff, 3)}** |",
         "",
-        f"Throughput: {m_small} = {r_s['tiles_per_sec']} tiles/sec, "
-        f"{m_big} = {r_b['tiles_per_sec']} tiles/sec.",
+        "Throughput: " + ", ".join(
+            f"{m} = {runs[m]['tiles_per_sec']} tiles/sec" for m in masters) + ".",
+    ]
+    if len(masters) > 2:
+        m3 = masters[2]
+        eff2 = r_b["total_sec"] / (4.0 * runs[m3]["total_sec"])
+        lines += [
+            "",
+            f"Secondary pair {m_big}→{m3} (hardware-ceiling-bound, see below): "
+            f"total efficiency **{round(eff2, 3)}** vs the measured raw-multiprocessing "
+            "ceiling of 0.70 on this box — reported for honesty, not as the rule metric.",
+        ]
+    lines += [
         "",
         "## Why N=2 → 4N=8 is the honest local proxy",
         "",
