@@ -503,6 +503,50 @@ def q_snap_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster.to_geotiff → decode back (functions/geotiff.py, pure-python
+    TIFF 6.0 + GeoTIFF 1.1 subset). Output carries the deterministic
+    byte length (298 + 4wh), the re-parsed georeferencing (bit-exact
+    double round-trip through the tags) and the exact finite-pixel sum
+    of the DECODED array — the oracle recomputes all of it from the
+    tiles+pixels tables, so a hash match proves the encode AND decode
+    are real."""
+    import pandas as pd
+
+    from rasters_spark import codec
+    from rasters_spark.functions import geotiff
+
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw' and image_id < 'img000000000200'")
+    schema = ("image_id string, n_bytes long, width int, height int, "
+              "x_origin double, y_origin double, cell_width double, cell_height double, "
+              "epsg int, vsum double")
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode_tile(r.bytes, int(r.w), int(r.h), r.fmt)
+                blob = geotiff.encode_geotiff(arr, r.x_origin, r.y_origin,
+                                              r.cell_width, r.cell_height)
+                back, meta = geotiff.decode_geotiff(blob)
+                v = back.astype(np.float64)
+                rows.append({
+                    "image_id": r.image_id, "n_bytes": len(blob),
+                    "width": back.shape[1], "height": back.shape[0],
+                    "x_origin": meta["x_origin"], "y_origin": meta["y_origin"],
+                    "cell_width": meta["cell_width"], "cell_height": meta["cell_height"],
+                    "epsg": meta["epsg"],
+                    "vsum": float(v[np.isfinite(v)].sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt",
+            "x_origin", "y_origin", "cell_width", "cell_height"]
+    return t.select(*cols).mapInPandas(run, schema=schema)
+
+
 def q_grid_to_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grid_to_size at 5 km via the AEQD intermediate
     (raster_geometry.py:695-757) on the rect polygons (rows-only: the
@@ -673,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_bilinear": q_resize_bilinear,
         "swath_resize": q_swath_resize,
         "grid_to_size": q_grid_to_size,
+        "geotiff_roundtrip": q_geotiff_roundtrip,
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,
@@ -1369,6 +1414,17 @@ def oracle_sql() -> dict[str, str]:
                    case when isnan(px.value) then NULL else cast(px.value as double) end as value
             from j join {pixels} px
               on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
+        """,
+        "geotiff_roundtrip": f"""
+            select t.image_id,
+                   298 + 4 * t.w * t.h as n_bytes,
+                   t.w as width, t.h as height,
+                   t.x_origin, t.y_origin, t.cell_width, t.cell_height,
+                   cast(4326 as int) as epsg,
+                   coalesce(sum(cast(px.value as double)) filter (not isnan(px.value)), 0.0) as vsum
+            from {tiles} t join {pixels} px using (image_id)
+            where t.fmt = 'raw' and t.image_id < 'img000000000200'
+            group by t.image_id, t.w, t.h, t.x_origin, t.y_origin, t.cell_width, t.cell_height
         """,
         "resize_bilinear": _resize_bilinear_oracle_sql(tiles),
         "cell_size_meters": f"""
