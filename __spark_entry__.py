@@ -600,6 +600,45 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark).select("image_id", "cell_id", "caption")
 
 
+def _stream_workdir(sf_dir: str, prefix: str):
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    work = Path(tempfile.mkdtemp(prefix=prefix))
+    src = work / "in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    return str(src), str(work / "ckpt")
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked 1-hour tumbling windows over the
+    events feed, drained availableNow in append mode — only windows
+    whose end has passed the final watermark (max ts − 2 h) emit, which
+    the DuckDB oracle recomputes as batch SQL."""
+    import uuid
+
+    from rasters_spark import streaming
+
+    src, ckpt = _stream_workdir(sf_dir, "stream_w_")
+    return streaming.windowed_counts_available_now(
+        spark, src, ckpt, delay="2 hours", query_name="winq_" + uuid.uuid4().hex[:8])
+
+
+def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user cumulative counts carried in GroupState; the drained final
+    totals equal the batch groupBy counts (the oracle)."""
+    import uuid
+
+    from rasters_spark import streaming
+
+    src, ckpt = _stream_workdir(sf_dir, "stream_s_")
+    return streaming.stateful_user_counts_available_now(
+        spark, src, ckpt, query_name="stateq_" + uuid.uuid4().hex[:8])
+
+
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs by perceptual-hash Hamming distance ≤ 3 via
     4×16-bit band LSH (dedup.hamming_band_pairs) — bucketed equi-join
@@ -726,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_render": q_media_render,
         "polygons_geojson": q_polygons_geojson,
         "stream_ingest": q_stream_ingest,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
         "events_hour_window": q_events_hour_window,
         "dup_groups": q_dup_groups,
@@ -1516,6 +1557,21 @@ def oracle_sql() -> dict[str, str]:
             )
             select image_id, ({LEVEL} * {PACK} + iy * {IYS} + ix) as cell_id, caption
             from t, unnest(range(t.iy0, t.iy1 + 1)) as ry(iy), unnest(range(t.ix0, t.ix1 + 1)) as rx(ix)
+        """,
+        "stream_window_counts": """
+            with e as (
+              select cast(trunc(epoch(ts) / 3600.0) as bigint) as epoch_hour, value
+              from events
+            ),
+            wm as (select max(epoch(ts)) - 7200 as w from events)
+            select epoch_hour, count(*) as n_events,
+                   min(value) as value_min, max(value) as value_max
+            from e, wm
+            where (epoch_hour + 1) * 3600 <= w
+            group by epoch_hour, w
+        """,
+        "stream_user_counts": """
+            select user_id, count(*) as n_events from events group by user_id
         """,
         "polygons_geojson": f"""
             select poly_id,

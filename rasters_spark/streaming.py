@@ -49,6 +49,88 @@ def index_batch(df: DataFrame, level: int = fixtures.CELL_LEVEL) -> DataFrame:
                       "x_origin", "y_origin", "cell_width", "cell_height", "w", "h")
 
 
+def windowed_counts_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    delay: str = "2 hours",
+    query_name: str = "win_counts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream,
+    drained with availableNow (late-data contract: append mode emits a
+    window only once its end falls below the final watermark
+    ``max(ts) − delay`` — so the result is a DETERMINISTIC function of
+    the drained input, which the DuckDB oracle recomputes in batch SQL).
+    → (epoch_hour, n_events, value_min, value_max)."""
+    schema = spark.read.parquet(src_dir).schema
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    # parquet NTZ timestamps → TIMESTAMP (watermarks require the tz type;
+    # session tz is UTC so epoch arithmetic matches the DuckDB oracle)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n_events"),
+             F.min("value").alias("value_min"),
+             F.max("value").alias("value_max"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        (F.unix_timestamp(F.col("win")["start"]) / 3600).cast("long").alias("epoch_hour"),
+        "n_events", "value_min", "value_max",
+    )
+
+
+def stateful_user_counts_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_counts",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user cumulative event counts carried in GroupState across
+    micro-batches (update mode re-emits a user's running total each
+    batch; the FINAL total per user — max over emissions — equals the
+    batch groupBy count, which is the oracle). → (user_id, n_events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(src_dir).schema
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    counts = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counts.writeStream.format("memory").queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"))
+
+
 def ingest_available_now(
     spark: SparkSession,
     src_dir: str,

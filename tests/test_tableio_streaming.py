@@ -81,3 +81,39 @@ def test_streaming_ingest_available_now(spark, tmp_path):
     assert ids == 200  # every tile indexed exactly once across restarts
     # indexed rows carry cell ids joinable by the batch engine
     assert tbl.read(spark).filter(F.col("cell_id").isNull()).count() == 0
+
+
+def test_windowed_counts_watermark_contract(spark, tmp_path):
+    import shutil
+    from pyspark.sql import functions as F
+    from rasters_spark import streaming
+    src = tmp_path / "ev_in"; src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    out = streaming.windowed_counts_available_now(
+        spark, str(src), str(tmp_path / "ck1"), delay="2 hours", query_name="t_win1")
+    got = {r.epoch_hour: (r.n_events, r.value_min, r.value_max) for r in out.collect()}
+    ev = spark.read.parquet(str(src)).withColumn("ts", F.col("ts").cast("timestamp"))
+    wm = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0] - 7200
+    exp = {r.epoch_hour: (r.n_events, r.value_min, r.value_max) for r in (
+        ev.groupBy((F.unix_timestamp("ts") / 3600).cast("long").alias("epoch_hour"))
+        .agg(F.count("*").alias("n_events"), F.min("value").alias("value_min"),
+             F.max("value").alias("value_max"))
+        .filter((F.col("epoch_hour") + 1) * 3600 <= wm)).collect()}
+    assert got == exp and len(got) > 0
+    # windows inside the watermark horizon are withheld (late-data safety)
+    full_hours = {r[0] for r in ev.select((F.unix_timestamp("ts") / 3600).cast("long")).distinct().collect()}
+    assert len(full_hours) > len(got)
+
+
+def test_stateful_user_counts_equal_batch(spark, tmp_path):
+    import shutil
+    from pyspark.sql import functions as F
+    from rasters_spark import streaming
+    src = tmp_path / "ev_in2"; src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    out = streaming.stateful_user_counts_available_now(
+        spark, str(src), str(tmp_path / "ck2"), query_name="t_state1")
+    got = {r.user_id: r.n_events for r in out.collect()}
+    exp = {r.user_id: r.cnt for r in spark.read.parquet(str(src))
+           .groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert got == exp and len(got) > 0
