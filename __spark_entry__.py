@@ -547,6 +547,46 @@ def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(*cols).mapInPandas(run, schema=schema)
 
 
+def q_cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster.to_COG → decode back (tiled GeoTIFF, IFDs at the head,
+    internal 2× overviews). Fixture tiles fit one 256² tile at one
+    level, so the layout is a DETERMINISTIC 286 + 4·256² bytes, which
+    the oracle recomputes along with the re-parsed georeferencing and
+    exact pixel sums of the decoded full-res level."""
+    import numpy as np
+    import pandas as pd
+
+    from rasters_spark import codec
+    from rasters_spark.functions import geotiff
+
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw' and image_id < 'img000000000200'")
+    schema = ("image_id string, n_bytes long, n_levels int, width int, height int, "
+              "x_origin double, y_origin double, vsum double")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode_tile(r.bytes, int(r.w), int(r.h), r.fmt)
+                blob = geotiff.encode_cog(arr, r.x_origin, r.y_origin,
+                                          r.cell_width, r.cell_height)
+                levels = geotiff.decode_cog(blob)
+                full, meta = levels[0]
+                v = full.astype(np.float64)
+                rows.append({
+                    "image_id": r.image_id, "n_bytes": len(blob),
+                    "n_levels": len(levels),
+                    "width": meta["width"], "height": meta["height"],
+                    "x_origin": meta["x_origin"], "y_origin": meta["y_origin"],
+                    "vsum": float(v[np.isfinite(v)].sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt",
+            "x_origin", "y_origin", "cell_width", "cell_height"]
+    return t.select(*cols).mapInPandas(run, schema=schema)
+
+
 def q_grid_to_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grid_to_size at 5 km via the AEQD intermediate
     (raster_geometry.py:695-757) on the rect polygons (rows-only: the
@@ -757,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swath_resize": q_swath_resize,
         "grid_to_size": q_grid_to_size,
         "geotiff_roundtrip": q_geotiff_roundtrip,
+        "cog_roundtrip": q_cog_roundtrip,
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,
@@ -1466,6 +1507,17 @@ def oracle_sql() -> dict[str, str]:
             from {tiles} t join {pixels} px using (image_id)
             where t.fmt = 'raw' and t.image_id < 'img000000000200'
             group by t.image_id, t.w, t.h, t.x_origin, t.y_origin, t.cell_width, t.cell_height
+        """,
+        "cog_roundtrip": f"""
+            select t.image_id,
+                   cast(286 + 4 * 256 * 256 as bigint) as n_bytes,
+                   cast(1 as int) as n_levels,
+                   t.w as width, t.h as height,
+                   t.x_origin, t.y_origin,
+                   coalesce(sum(cast(px.value as double)) filter (not isnan(px.value)), 0.0) as vsum
+            from {tiles} t join {pixels} px using (image_id)
+            where t.fmt = 'raw' and t.image_id < 'img000000000200'
+            group by t.image_id, t.w, t.h, t.x_origin, t.y_origin
         """,
         "resize_bilinear": _resize_bilinear_oracle_sql(tiles),
         "cell_size_meters": f"""

@@ -51,3 +51,32 @@ def test_save_geotiffs_sink(spark, tmp_path):
 def test_reader_rejects_garbage():
     with pytest.raises(ValueError):
         geotiff.decode_geotiff(b"MM\x00*not-a-little-endian-tiff")
+
+
+def test_cog_levels_and_overviews():
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 100, (700, 600)).astype(np.float32)
+    a[10, 10] = np.nan
+    blob = geotiff.encode_cog(a, -50.0, 30.0, 0.001, -0.001)
+    levels = geotiff.decode_cog(blob)
+    shapes = [arr.shape for arr, _ in levels]
+    assert shapes == [(700, 600), (350, 300), (175, 150)]
+    assert [m["is_overview"] for _, m in levels] == [False, True, True]
+    full, meta = levels[0]
+    assert np.array_equal(np.nan_to_num(full), np.nan_to_num(a)) and np.isnan(full[10, 10])
+    assert meta["x_origin"] == -50.0 and meta["epsg"] == 4326
+    # overview 1 = nan-aware 2x2 block mean (GDAL 'average')
+    exp = geotiff._block_mean_2x(a)
+    assert np.allclose(np.nan_to_num(levels[1][0]), np.nan_to_num(exp))
+    # COG layout rule: every IFD offset precedes all tile data
+    import struct
+    (ifd0,) = struct.unpack_from("<I", blob, 4)
+    assert ifd0 == 8
+
+
+def test_cog_single_tile_deterministic_size():
+    a = np.zeros((16, 32), np.float32)
+    blob = geotiff.encode_cog(a, 0, 0, 1, -1)
+    assert len(blob) == 286 + 4 * 256 * 256
+    levels = geotiff.decode_cog(blob)
+    assert len(levels) == 1 and np.array_equal(levels[0][0], a)
