@@ -273,6 +273,19 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk(e, e.filter("vec_id < 20"), k=5)
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at cos ≥ 0.999 via sign-LSH
+    buckets + exact verify, over the embeddings table with planted
+    exact-duplicate copies of vec_id < 50 (relabeled +1,000,000) —
+    identical vectors share every bucket, so recall is provably
+    complete and the brute-force oracle is an equality check."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.filter("vec_id < 50").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    pool = e.unionByName(copies)
+    return similarity.embedding_near_dup_pairs(pool, threshold=0.999, planes=8)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction; oracle checks the recomputed phash
     against the INDEPENDENTLY stored fixture column plus exact means
@@ -774,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
         "local_utm": q_local_utm,
         "pixel_centroids": q_pixel_centroids,
@@ -1389,6 +1403,29 @@ def oracle_sql() -> dict[str, str]:
               from j
             )
             select query_id, vec_id, rank, cos from r where rank <= 5
+        """,
+        "embedding_near_dups": """
+            with pool as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000 as vec_id, embedding
+              from embeddings where vec_id < 50
+            ),
+            j as (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(a.embedding[i] as double) * cast(b.embedding[i] as double) for i in range(1, 65)]),
+                  (x, y) -> x + y) as dot,
+                sqrt(list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(a.embedding[i] as double) * cast(a.embedding[i] as double) for i in range(1, 65)]),
+                  (x, y) -> x + y)) as na,
+                sqrt(list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(b.embedding[i] as double) * cast(b.embedding[i] as double) for i in range(1, 65)]),
+                  (x, y) -> x + y)) as nb
+              from pool a join pool b on a.vec_id < b.vec_id
+            )
+            select id_a, id_b, dot / (na * nb) as cos
+            from j where dot / (na * nb) >= 0.999
         """,
         "media_features": f"""
             select t.image_id,

@@ -73,6 +73,28 @@ def signature_bits(e, planes: int = 16, dims: int = 64):
     )
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999,
+                             planes: int = 8, dims: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the vector-space member
+    of the dedup family (exact / MinHash / SimHash / n-gram / phash):
+    sign-LSH bucket equi-join generates candidates (O(bucket
+    collisions), never O(N²)), exact cosine ≥ threshold verifies, so
+    every emitted pair is exact (verify-then-emit, like
+    minhash_lsh_pairs). Identical vectors share every bucket, so
+    exact-duplicate recall is guaranteed; near-identical recall at
+    p planes is (1−θ/π)^p per pair and is asserted complete on the
+    fixtures in tests. → (id_a, id_b, cos)."""
+    e = embeddings.select("vec_id", "embedding").withColumn(
+        "bucket", signature_bits(F.col("embedding"), planes, dims))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (cand.withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
 def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     planes: int = 4, dims: int = 64) -> DataFrame:
     """ANN: bucket on sign-LSH signature, exact cosine WITHIN bucket,

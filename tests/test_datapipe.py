@@ -175,3 +175,17 @@ def test_png_decode_path_in_multimodal(spark):
         [("j1", b"\xff\xd8junk", 8, 8, "jpeg")], "image_id string, bytes binary, w int, h int, fmt string")
     q = multimodal.extract_features(df2).collect()[0]
     assert q.width is None and q.phash is None
+
+
+def test_embedding_near_dup_pairs_recall(spark, emb):
+    # planted exact duplicates must ALL surface (identical vectors share
+    # every sign-LSH bucket) and nothing below threshold sneaks in
+    e = emb.select("vec_id", "embedding")
+    copies = e.filter("vec_id < 20").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    pool = e.unionByName(copies)
+    got = {(r.id_a, r.id_b): r.cos
+           for r in similarity.embedding_near_dup_pairs(pool, threshold=0.999).collect()}
+    assert set(got) == {(i, i + 1000000) for i in range(20)}
+    for c in got.values():
+        assert c == pytest.approx(1.0, abs=1e-12)
