@@ -117,3 +117,33 @@ def test_stateful_user_counts_equal_batch(spark, tmp_path):
     exp = {r.user_id: r.cnt for r in spark.read.parquet(str(src))
            .groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_bucketed_join_has_zero_exchange(spark):
+    from pyspark.sql import functions as F
+    from rasters_spark import cells, tableio
+    from rasters_spark.tiles import load_tiles, tiles_with_cells
+    # two tables bucketed on cell_id with the same bucket count must
+    # join with NO shuffle — the co-located large⋈large spatial join
+    idx = tiles_with_cells(load_tiles(spark, "/root/testdata/sf0.001")).select(
+        "image_id", "cell_id")
+    other = idx.select(F.col("image_id").alias("other_id"), "cell_id")
+    tableio.write_bucketed(spark, idx, "b_tiles", n_buckets=8)
+    tableio.write_bucketed(spark, other, "b_events", n_buckets=8)
+    ev_cells = other
+    # the tiny test tables would otherwise broadcast (which is ALSO an
+    # exchange); force the large⋈large plan shape the bucketing targets
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_tiles").hint("merge").join(spark.table("b_events"), "cell_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+        # sanity: the same join on unbucketed frames DOES shuffle
+        j2 = idx.hint("merge").join(ev_cells, "cell_id")
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
