@@ -125,6 +125,44 @@ def resize_spline(tiles: DataFrame, out_w: int, out_h: int, order: int = 1) -> D
     return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema=schema)
 
 
+def raster_rescale(tiles: DataFrame, target_cell_size: float, order: int = 1) -> DataFrame:
+    """Raster.rescale (raster.py:1265-1281): derive the rescaled grid
+    (same extent, new cell size, ceil shape — grid.rescale_grid
+    semantics) and spline-resize the pixels to its shape; method↔order
+    per SKIMAGE_RESAMPLING_METHODS (constants.py:30-37, orders 0–3
+    supported). → re-encoded tiles with updated georeferencing columns."""
+    from rasters_spark import spline
+
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "x_origin double, y_origin double, cell_width double, cell_height double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode_media(r.bytes, int(r.w), int(r.h), r.fmt)
+                width = r.cell_width * r.w
+                height = -r.cell_height * r.h
+                out_cols = int(math.ceil(width / target_cell_size))
+                out_rows = int(math.ceil(height / target_cell_size))
+                out = spline.resize(arr, out_rows, out_cols, order)
+                rows.append({
+                    "image_id": r.image_id,
+                    "bytes": codec.encode_tile(out.astype(np.float32), "raw"),
+                    "w": out_cols, "h": out_rows, "fmt": "raw",
+                    "x_origin": r.x_origin, "y_origin": r.y_origin,
+                    "cell_width": float(target_cell_size),
+                    "cell_height": float(-target_cell_size),
+                })
+            yield pd.DataFrame(rows)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt",
+            "x_origin", "y_origin", "cell_width", "cell_height"]
+    return tiles.select(*cols).mapInPandas(run, schema=schema)
+
+
 def resize_bilinear_long(tiles: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Order-1 resize in RELATIONAL long form (image_id, orow, ocol,
     value) — the oracle-checkable face of resize_spline(order=1): the

@@ -98,3 +98,21 @@ def test_swath_resize_identity_and_antimeridian(spark):
     unwrapped = np.where(row0 < 0, row0 + 360.0, row0)
     assert (np.diff(unwrapped) >= 0).all()
     assert unwrapped.max() - unwrapped.min() > 1.5  # seam actually spanned
+
+
+def test_raster_rescale_shape_and_values(spark):
+    from rasters_spark.datapipe.multimodal import raster_rescale
+    rng = np.random.default_rng(8)
+    a = rng.uniform(0, 100, (16, 16)).astype(np.float32)
+    # 1-degree footprint at 1/16-degree cells → rescale to 1/8-degree: 8x8
+    df = spark.createDataFrame(
+        [("t0", codec.encode_tile(a, "raw"), 16, 16, "raw", 10.0, 50.0, 1/16, -1/16)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "x_origin double, y_origin double, cell_width double, cell_height double")
+    out = raster_rescale(df, 1 / 8, order=1).collect()[0]
+    assert (out.w, out.h) == (8, 8)
+    assert out.cell_width == 1 / 8 and out.cell_height == -1 / 8
+    assert out.x_origin == 10.0 and out.y_origin == 50.0
+    got = codec.decode_tile(out.bytes, out.w, out.h, out.fmt)
+    exp = spline.resize(a, 8, 8, 1).astype(np.float32)
+    assert np.abs(got - exp).max() < 1e-5
