@@ -99,6 +99,15 @@ def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.tile_stats(t)
 
 
+def q_stretch_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile 2/98-percentile stretch statistics
+    (generate_percentilecut's parameter half) — manual quantile
+    interpolation matching DuckDB quantile_cont bit-for-bit on the
+    exact quarter-integer fixture values."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return stats.stretch_params(t)
+
+
 def q_grid_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BBox.merge / RasterGrid.merge aggregates (bbox.py:81-108,
     raster_grid.py:324-348): union extent + finest cell size."""
@@ -764,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cell_assignment": q_tile_cell_assignment,
         "tile_windows_for_polygons": q_tile_windows_for_polygons,
         "tile_stats": q_tile_stats,
+        "stretch_params": q_stretch_params,
         "grid_union": q_grid_union,
         "events_cell_count": q_events_cell_count,
         "points_in_polygons": q_points_in_polygons,
@@ -1143,6 +1153,17 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(cast(px.value as double)) filter (not isnan(px.value)), 0.0) as vsum,
                    min(cast(px.value as double)) filter (not isnan(px.value)) as vmin,
                    max(cast(px.value as double)) filter (not isnan(px.value)) as vmax
+            from {tiles} t join {pixels} px using (image_id)
+            where t.fmt = 'raw'
+            group by t.image_id
+        """,
+        "stretch_params": f"""
+            select t.image_id,
+                   quantile_cont(cast(px.value as double), 0.02)
+                     filter (not isnan(px.value)) as lo,
+                   quantile_cont(cast(px.value as double), 0.98)
+                     filter (not isnan(px.value)) as hi,
+                   count(*) filter (not isnan(px.value)) as n_valid
             from {tiles} t join {pixels} px using (image_id)
             where t.fmt = 'raw'
             group by t.image_id

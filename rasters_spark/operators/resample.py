@@ -232,7 +232,10 @@ def _segment_stat(key: np.ndarray, val: np.ndarray, stat: str):
         lo = np.floor(pos).astype(np.int64)
         hi = np.ceil(pos).astype(np.int64)
         frac = pos - lo
-        out = v[lo] + frac * (v[hi] - v[lo])
+        # DuckDB quantile_cont's exact interpolation expression
+        # (lo·(1−f) + hi·f); for the exact quarter-fraction positions of
+        # the med/q1/q3 kernels every formula agrees, but stay uniform
+        out = v[lo] * (1.0 - frac) + v[hi] * frac
     elif stat == "mode":
         rstarts = np.flatnonzero(np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])])
         rcounts = np.diff(np.r_[rstarts, len(k)])

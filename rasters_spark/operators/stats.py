@@ -65,3 +65,39 @@ def global_range(tiles: DataFrame) -> DataFrame:
         F.sum("n_valid").alias("n_valid"),
         F.sum("n_pixels").alias("n_pixels"),
     )
+
+
+def stretch_params(tiles: DataFrame, lo_pct: float = 2.0, hi_pct: float = 98.0) -> DataFrame:
+    """Per-tile percentile-stretch parameters (the statistics half of
+    generate_percentilecut, raster.py:2145-2156) → (image_id, lo, hi,
+    n_valid).
+
+    Quantile interpolation is computed MANUALLY as ``v[lo]·(1−frac) +
+    v[hi]·frac`` over the sorted finite pixels — probed to be DuckDB
+    quantile_cont's exact expression (neither np.percentile's lerp
+    fixup nor the lo+frac·(hi−lo) form matches it at inexact
+    fractions), so the oracle hash-matches bit-for-bit.
+    """
+    schema = "image_id string, lo double, hi double, n_valid long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                v = np.sort(arr[np.isfinite(arr)].astype(np.float64))
+                if len(v) == 0:
+                    rows.append({"image_id": pdf["image_id"].iloc[i],
+                                 "lo": None, "hi": None, "n_valid": 0})
+                    continue
+                out = []
+                for q in (lo_pct / 100.0, hi_pct / 100.0):
+                    pos = (len(v) - 1) * q
+                    loi = int(np.floor(pos))
+                    hii = int(np.ceil(pos))
+                    frac = pos - loi
+                    out.append(float(v[loi] * (1.0 - frac) + v[hii] * frac))
+                rows.append({"image_id": pdf["image_id"].iloc[i],
+                             "lo": out[0], "hi": out[1], "n_valid": len(v)})
+            yield pd.DataFrame(rows)
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema=schema)
