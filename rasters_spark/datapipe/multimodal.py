@@ -126,11 +126,20 @@ def resize_spline(tiles: DataFrame, out_w: int, out_h: int, order: int = 1) -> D
 
 
 def raster_rescale(tiles: DataFrame, target_cell_size: float, order: int = 1) -> DataFrame:
-    """Raster.rescale (raster.py:1265-1281): derive the rescaled grid
-    (same extent, new cell size, ceil shape — grid.rescale_grid
-    semantics) and spline-resize the pixels to its shape; method↔order
-    per SKIMAGE_RESAMPLING_METHODS (constants.py:30-37, orders 0–3
-    supported). → re-encoded tiles with updated georeferencing columns."""
+    """Raster.rescale: derive the rescaled grid (same extent, new cell
+    size, ceil shape — RasterGrid.resolution semantics,
+    raster_grid.py:576-615) and spline-resize the pixels to ITS shape;
+    method↔order per SKIMAGE_RESAMPLING_METHODS (constants.py:30-37,
+    orders 0–3 supported).
+
+    DOCUMENTED DEVIATION from raster.py:1265-1281: the reference calls
+    ``skimage.transform.resize(self.array, (self.rows, self.cols))`` —
+    its OWN current shape, a no-op resize — and then attaches the
+    rescaled geometry, leaving the array/geometry shapes inconsistent.
+    That is a reference bug (copying it would produce rasters whose
+    data doesn't match their grid); the engine resizes the data to the
+    derived grid's shape instead. → re-encoded tiles with updated
+    georeferencing columns."""
     from rasters_spark import spline
 
     schema = ("image_id string, bytes binary, w int, h int, fmt string, "

@@ -209,10 +209,10 @@ def transform_xy(df, x="x", y="y", src="crs", dst="EPSG:4326", out_x="x_t", out_
     is_crs_literal = isinstance(dst, str) and (":" in dst or "+" in dst)
     dcol = F.lit(dst) if is_crs_literal else _col(dst)
     t = _transform_xy_kernel(_col(x), _col(y), _col(src), dcol)
-    return (df.withColumn("_t", t)
-            .withColumn(out_x, F.col("_t")["x_t"])
-            .withColumn(out_y, F.col("_t")["y_t"])
-            .drop("_t"))
+    # two field references to the SAME UDF expression — Spark dedups them
+    # into one ArrowEvalPython evaluation; no temp column that could
+    # clobber a caller's own
+    return df.withColumn(out_x, t.getField("x_t")).withColumn(out_y, t.getField("y_t"))
 
 
 def crosses_antimeridian_ring(ring_col) -> Column:

@@ -100,7 +100,7 @@ def is_geographic(grid: Column) -> Column:
     """Geographic-CRS test on the descriptor's crs string (the reference
     delegates to pyproj's CRS.is_geographic; here: EPSG:4326 or a
     +proj=longlat proj4)."""
-    return (F.upper(grid["crs"]) == "EPSG:4326") | grid["crs"].contains("+proj=longlat")
+    return (F.upper(grid["crs"]) == "EPSG:4326") | F.upper(grid["crs"]).contains("+PROJ=LONGLAT")
 
 
 def cell_size(grid: Column) -> Column:

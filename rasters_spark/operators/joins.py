@@ -86,7 +86,16 @@ def points_in_polygons(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         rx, ry = _ring_xy(pdf["ring"].iloc[0])
-        keep = ray_cast_inside(pdf["x"].to_numpy(), pdf["y"].to_numpy(), rx, ry)
+        px = pdf["x"].to_numpy()
+        if pdf["xmin"].iloc[0] > pdf["xmax"].iloc[0]:
+            # wrapped (antimeridian) polygon: a seam-crossing ring in raw
+            # coordinates describes the COMPLEMENT region — shift both the
+            # ring and the points into continuous 0..360 space first (the
+            # reference's RasterGeolocation.resize shift trick,
+            # raster_geolocation.py:319-330, applied to PIP)
+            rx = np.where(rx < 0, rx + 360.0, rx)
+            px = np.where(px < 0, px + 360.0, px)
+        keep = ray_cast_inside(px, pdf["y"].to_numpy(), rx, ry)
         return pdf.loc[keep, [f.name for f in out_schema.fields]]
 
     # sharded kernel key (poly_id, pcell): a continent-sized polygon is

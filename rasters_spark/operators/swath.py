@@ -176,8 +176,13 @@ def swath_resize(swath: DataFrame, rows_target: int, cols_target: int,
         y = np.full((rows, cols), np.nan)
         x[pdf["row"], pdf["col"]] = pdf["x"]
         y[pdf["row"], pdf["col"]] = pdf["y"]
-        # edge-wrap crossing test (engine re-expression, crs.py:216)
-        use_shift = (np.nanmax(x) - np.nanmin(x)) > 180.0
+        # edge-wrap crossing test (engine re-expression, crs.py:216):
+        # an ADJACENT-pixel jump > 180° means the seam is crossed; a
+        # plain max−min>180 test would false-positive on any swath wider
+        # than a hemisphere and corrupt its geolocation
+        use_shift = bool(
+            np.any(np.abs(np.diff(x, axis=0)) > 180.0)
+            or np.any(np.abs(np.diff(x, axis=1)) > 180.0))
         if use_shift:
             x = np.where(x < 0, 360.0 + x, x)
         xr = spline.resize(x, rows_target, cols_target, order)

@@ -76,3 +76,32 @@ def test_wrapped_bbox_pip_candidates(spark):
            joins.points_in_polygons(pts, polys, bbox_only=True).collect()}
     # both seam sides match; the far point and the west-of-xmin point don't
     assert got == {1, 2}
+
+
+def test_wrapped_polygon_exact_pip(spark):
+    from rasters_spark.operators import joins
+    ring = [{"x": 179.0, "y": 0.0}, {"x": -179.0, "y": 0.0},
+            {"x": -179.0, "y": 1.0}, {"x": 179.0, "y": 1.0}, {"x": 179.0, "y": 0.0}]
+    polys = spark.createDataFrame(
+        [(1, ring, True, 1.0, 179.0, 0.0, -179.0, 1.0)],
+        "poly_id long, ring array<struct<x double, y double>>, is_rect boolean, "
+        "burn_value double, xmin double, ymin double, xmax double, ymax double")
+    pts = spark.createDataFrame(
+        [(1, 179.5, 0.5), (2, -179.5, 0.5), (3, 0.0, 0.5), (4, 178.0, 0.5)],
+        "point_id long, x double, y double")
+    # the EXACT ray-cast path (default) must agree with the bbox path on
+    # a wrapped rectangle: the kernel shifts ring+points into 0..360
+    got = {r.point_id for r in joins.points_in_polygons(pts, polys).collect()}
+    assert got == {1, 2}
+
+
+def test_wide_swath_without_crossing_not_shifted(spark):
+    from rasters_spark.operators import swath as swathops
+    # 190-degree-wide swath that NEVER crosses the seam: resize must not
+    # apply the +-360 shift (a max-min>180 test would corrupt it)
+    rows = [(0, 0, c, -95.0 + 10.0 * c, 10.0) for c in range(20)]
+    rows += [(0, 1, c, -95.0 + 10.0 * c, 9.0) for c in range(20)]
+    df = spark.createDataFrame(rows, "swath_id long, row long, col long, x double, y double")
+    same = {(r.row, r.col): r.x for r in swathops.swath_resize(df, 2, 20, order=1).collect()}
+    for (sid, r, c, x, y) in rows:
+        assert same[(r, c)] == pytest.approx(x, abs=1e-9)
