@@ -331,6 +331,22 @@ def q_pixel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecfn.pixel_centroids(t)
 
 
+def q_latlon_matrices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """latlon_matrices with the out-of-range→NaN guards. The id-range
+    slice includes tile 359 (x_origin 179.022 → centroids past 180°E)
+    so the lon guard actually FIRES, not merely exists."""
+    t = load_tiles(spark, sf_dir).filter(
+        "image_id >= 'img000000000340' and image_id < 'img000000000420'")
+    return vecfn.latlon_matrices(t)
+
+
+def q_tile_unique_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile exact distinct-value count + the reference's <10
+    few-values rendering flag."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return stats.tile_unique_values(t)
+
+
 def q_bbox_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tiles(spark, sf_dir)
     bb = F.col("bbox")
@@ -801,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "local_utm": q_local_utm,
         "pixel_centroids": q_pixel_centroids,
+        "latlon_matrices": q_latlon_matrices,
+        "tile_unique_values": q_tile_unique_values,
         "bbox_accessors": q_bbox_accessors,
         "swath_window": q_swath_window,
         "swath_to_grid_nn": q_swath_to_grid_nn,
@@ -1483,6 +1501,24 @@ def oracle_sql() -> dict[str, str]:
                    cast(px.value as double) as value
             from {pixels} px join {tiles} t using (image_id)
             where px.image_id < 'img000000000200' and not isnan(px.value)
+        """,
+        "latlon_matrices": f"""
+            select px.image_id, px.prow, px.pcol,
+                   case when (t.x_origin + t.cell_width * (px.pcol + 0.5)) between -180.0 and 180.0
+                        then t.x_origin + t.cell_width * (px.pcol + 0.5) end as lon,
+                   case when (t.y_origin + t.cell_height * (px.prow + 0.5)) between -90.0 and 90.0
+                        then t.y_origin + t.cell_height * (px.prow + 0.5) end as lat
+            from {pixels} px join {tiles} t using (image_id)
+            where px.image_id >= 'img000000000340' and px.image_id < 'img000000000420'
+              and not isnan(px.value)
+        """,
+        "tile_unique_values": f"""
+            select t.image_id,
+                   count(distinct px.value) filter (not isnan(px.value)) as n_unique,
+                   count(distinct px.value) filter (not isnan(px.value)) < 10 as few_values
+            from {tiles} t join {pixels} px using (image_id)
+            where t.fmt = 'raw'
+            group by t.image_id
         """,
         "bbox_accessors": f"""
             select image_id,

@@ -178,6 +178,19 @@ def geojson_to_point(js) -> Column:
 
 # --- raster → vector (raster_geometry.py:1111-1144) -----------------------------
 
+def latlon_matrices(tiles: DataFrame) -> DataFrame:
+    """RasterGeometry.latlon_matrices (raster_geometry.py:333-351) in
+    long form: per-pixel lat/lon with the reference's out-of-range
+    guards (lat outside ±90 / lon outside ±180 → NaN, here SQL NULL).
+    Geographic grids take the ``xy`` branch (lon/lat = pixel centroid
+    x/y); projected CRSs route through transform_xy first.
+    → (image_id, prow, pcol, lon, lat)."""
+    pc = pixel_centroids(tiles)
+    lon = F.when((F.col("x") >= -180.0) & (F.col("x") <= 180.0), F.col("x"))
+    lat = F.when((F.col("y") >= -90.0) & (F.col("y") <= 90.0), F.col("y"))
+    return pc.select("image_id", "prow", "pcol", lon.alias("lon"), lat.alias("lat"))
+
+
 def pixel_centroids(tiles: DataFrame, drop_nodata: bool = True) -> DataFrame:
     """Every pixel as a value-attached point — THE raster→vector
     operator: (image_id, prow, pcol, x, y, value). One Arrow pass per

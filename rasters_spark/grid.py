@@ -241,6 +241,29 @@ def shift_xy_grid(grid: Column, x_shift, y_shift) -> Column:
     )
 
 
+def resize_grid_shape(grid: Column, rows, cols, keep_square: bool = True) -> Column:
+    """RasterGrid.resize (raster_grid.py:602-630): scale cell sizes to a
+    new shape; with ``keep_square`` the reference FORCES
+    ``cell_height = -cell_width`` whenever they disagree — i.e. the
+    height is overwritten by the width-derived size (transcribed
+    verbatim; note the extent is NOT preserved in that branch)."""
+    r, c = _col(rows).cast("double"), _col(cols).cast("double")
+    ch = grid["cell_height"] * (grid["rows"].cast("double") / r)
+    cw = grid["cell_width"] * (grid["cols"].cast("double") / c)
+    if keep_square:
+        ch = F.when(F.abs(ch) != cw, -cw).otherwise(ch)
+    return grid_struct(grid["x_origin"], grid["y_origin"], cw, ch,
+                       _col(rows).cast("int"), _col(cols).cast("int"), grid["crs"])
+
+
+def shift_distance_grid(grid: Column, distance, direction) -> Column:
+    """RasterGrid.shift_distance (raster_grid.py:851-866): polar →
+    cartesian translation, direction in degrees."""
+    d = _col(distance).cast("double")
+    a = F.radians(_col(direction).cast("double"))
+    return shift_xy_grid(grid, d * F.cos(a), d * F.sin(a))
+
+
 def rescale_grid(grid: Column, cell_size) -> Column:
     """New cell size, same extent; shape = ceil(extent/cell)
     (raster_grid.py:576-615 `resolution`)."""

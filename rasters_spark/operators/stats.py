@@ -101,3 +101,22 @@ def stretch_params(tiles: DataFrame, lo_pct: float = 2.0, hi_pct: float = 98.0) 
             yield pd.DataFrame(rows)
 
     return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema=schema)
+
+
+def tile_unique_values(tiles: DataFrame, few_threshold: int = 10) -> DataFrame:
+    """imshow's unique-value binning branch (raster.py:1983-1995):
+    exact per-tile distinct count of finite pixel values + the
+    ``< 10`` few-values flag that switches the reference's rendering
+    mode. → (image_id, n_unique, few_values)."""
+    schema = "image_id string, n_unique long, few_values boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                n = int(len(np.unique(arr[np.isfinite(arr)])))
+                rows.append({"image_id": pdf["image_id"].iloc[i],
+                             "n_unique": n, "few_values": n < few_threshold})
+            yield pd.DataFrame(rows)
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema=schema)

@@ -125,3 +125,35 @@ def test_cell_size_meters_quirk(spark):
     r = grid.kdtree_radius_meters(gsrc, gdst)
     assert r == 2.0 * (1.0 / 180.0 * 40075017.0)
     assert grid.meters_to_crs_units(r, gdst) == pytest.approx(2.0, rel=1e-12)
+
+
+def test_resize_grid_shape_keep_square_quirk(spark):
+    from pyspark.sql import functions as F
+    from rasters_spark import grid
+    # 10x20 grid, cells 1x-0.5 → resize to (5, 5): cw = 1*20/5 = 4,
+    # ch = -0.5*10/5 = -1 ≠ -cw → keep_square OVERWRITES ch with -cw
+    # (raster_grid.py:617-618: height follows width, extent NOT kept)
+    df = spark.range(1).select(grid.grid_struct(0.0, 10.0, 1.0, -0.5, 10, 20).alias("g"))
+    g2 = grid.resize_grid_shape(F.col("g"), 5, 5)
+    r = df.select(g2.alias("o")).collect()[0].o
+    assert (r.cell_width, r.cell_height, r.rows, r.cols) == (4.0, -4.0, 5, 5)
+    # keep_square=False keeps the independently scaled height
+    g3 = grid.resize_grid_shape(F.col("g"), 5, 5, keep_square=False)
+    r3 = df.select(g3.alias("o")).collect()[0].o
+    assert (r3.cell_width, r3.cell_height) == (4.0, -1.0)
+
+
+def test_shift_distance_grid(spark):
+    import math
+    from pyspark.sql import functions as F
+    from rasters_spark import grid
+    df = spark.range(1).select(grid.grid_struct(0.0, 10.0, 1.0, -1.0, 10, 10).alias("g"))
+    # direction 90° → pure +y shift (x_shift = d·cos90 ≈ 0)
+    g2 = grid.shift_distance_grid(F.col("g"), 2.0, 90.0)
+    r = df.select(g2.alias("o")).collect()[0].o
+    assert r.x_origin == pytest.approx(0.0, abs=1e-12)
+    assert r.y_origin == pytest.approx(12.0)
+    # direction 0° → pure +x
+    g3 = grid.shift_distance_grid(F.col("g"), 3.0, 0.0)
+    r3 = df.select(g3.alias("o")).collect()[0].o
+    assert r3.x_origin == pytest.approx(3.0) and r3.y_origin == pytest.approx(10.0)
