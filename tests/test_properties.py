@@ -1,0 +1,105 @@
+"""Property-based pins (hypothesis) for the closed-form grid/cell math.
+
+The reference's own suite is example-based (SURVEY §5); these properties
+cover the adversarial corners examples miss: banker's-rounding
+boundaries, degenerate bboxes, seam-adjacent footprints. Pure
+numpy/python — no Spark session (the SQL expressions are transcriptions
+of npref, which round-1/2 oracle runs pin against Spark bit-for-bit).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rasters_spark import npref
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+coord = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)
+cellsize = st.floats(min_value=1e-3, max_value=100.0, allow_nan=False)
+
+
+@settings(max_examples=300, deadline=None)
+@given(x=coord, y=coord, x0=coord, y0=coord, cw=cellsize, ch=cellsize)
+def test_index_point_cell_contains_point(x, y, x0, y0, cw, ch):
+    """A point's assigned cell center is within half a cell of the point
+    (banker's rounding picks the NEAREST center, ties to even index)."""
+    row, col = npref.index_point(x, y, x0, y0, cw, -ch)
+    cx, cy = npref.cell_center(row, col, x0, y0, cw, -ch)
+    assert abs(cx - x) <= cw / 2 * (1 + 1e-9) + 1e-9 * max(abs(x), abs(x0))
+    assert abs(cy - y) <= ch / 2 * (1 + 1e-9) + 1e-9 * max(abs(y), abs(y0))
+
+
+@settings(max_examples=300, deadline=None)
+@given(k=st.integers(min_value=-1000, max_value=1000),
+       x0=st.floats(min_value=-100, max_value=100, allow_nan=False),
+       cw=st.sampled_from([0.25, 0.5, 1.0, 1 / 16, 1 / 32]))
+def test_index_point_half_cell_ties_round_even(k, x0, cw):
+    """Exact cell-EDGE points (half-integer inverse affine) tie-break to
+    the even index — the reference's np.round behavior."""
+    # x exactly on the edge between cells k-1 and k: fractional index k-0.5
+    x = x0 + cw * k
+    _, col = npref.index_point(x, 0.0, x0, 0.0, cw, -1.0)
+    frac = (x - x0) / cw - 0.5  # = k - 0.5 up to fp error
+    lo = int(np.floor(frac))
+    hi = int(np.ceil(frac))
+    assert col in (lo, hi)
+    if frac == k - 0.5:  # an EXACT tie in float (inexact x0 can knock
+        # the fraction off the tie by an ulp — then nearest wins, not even)
+        assert col % 2 == 0, f"tie at {frac} must round to even, got {col}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(xmin=coord, ymin=coord, dx=st.floats(min_value=0, max_value=1e3),
+       dy=st.floats(min_value=0, max_value=1e3),
+       x0=coord, y0=coord, cw=cellsize, ch=cellsize,
+       rows=st.integers(1, 500), cols=st.integers(1, 500))
+def test_window_for_bbox_clamped_and_consistent(xmin, ymin, dx, dy, x0, y0, cw, ch, rows, cols):
+    rs, cs, re, ce, oob = npref.window_for_bbox(
+        xmin, ymin, xmin + dx, ymin + dy, x0, y0, cw, -ch, rows, cols)
+    assert re <= rows and ce <= cols and rs >= 0 and cs >= 0
+    if not oob:
+        # the engine contract: consumers filter ~oob BEFORE using the
+        # clamped indices (disjoint bboxes may clamp outside the grid)
+        assert rs <= rows and cs <= cols
+    if not oob and re > rs and ce > cs:
+        # every in-window cell center's assigned index is in-window
+        midr, midc = (rs + re - 1) // 2, (cs + ce - 1) // 2
+        cx, cy = npref.cell_center(midr, midc, x0, y0, cw, -ch)
+        r2, c2 = npref.index_point(cx, cy, x0, y0, cw, -ch)
+        assert (r2, c2) == (midr, midc)  # center↔index round-trip
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=st.floats(min_value=-180, max_value=180, allow_nan=False),
+       lat=st.floats(min_value=-90, max_value=90, allow_nan=False),
+       level=st.integers(0, 12))
+def test_cell_id_roundtrip_contains_point(lon, lat, level):
+    cid = int(npref.np_cell_id(lon, lat, level))
+    size = 180.0 / (1 << level)
+    ix = cid & ((1 << 28) - 1)
+    iy = (cid >> 28) & ((1 << 28) - 1)
+    # the cell's lon/lat extent contains the point (modulo clamping at
+    # the exact +180/-90 edges)
+    lo_x, hi_x = -180 + ix * size, -180 + (ix + 1) * size
+    hi_y, lo_y = 90 - iy * size, 90 - (iy + 1) * size
+    assert lo_x - 1e-9 <= lon <= hi_x + size + 1e-9
+    assert lo_y - size - 1e-9 <= lat <= hi_y + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(vals=st.lists(st.integers(0, 400), min_size=1, max_size=60),
+       keys=st.lists(st.integers(0, 5), min_size=1, max_size=60))
+def test_segment_stat_properties(vals, keys):
+    from rasters_spark.operators.resample import _segment_stat
+    n = min(len(vals), len(keys))
+    v = np.array(vals[:n], dtype=np.float64) * 0.25
+    k = np.array(keys[:n], dtype=np.int64)
+    for stat in ("min", "max", "med", "q1", "q3", "mode"):
+        gk, gv, gn = _segment_stat(k, v, stat)
+        ek, ev, en = npref.segment_stat_naive(k, v, stat)
+        assert np.array_equal(gk, ek) and np.array_equal(gn, en)
+        assert np.allclose(gv, ev)
+        # order statistics stay inside the segment's range
+        for kk, vv in zip(gk, gv):
+            seg = v[k == kk]
+            assert seg.min() - 1e-12 <= vv <= seg.max() + 1e-12

@@ -147,3 +147,52 @@ def test_bucketed_join_has_zero_exchange(spark):
         assert "Exchange" in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_stateful_counts_accumulate_across_microbatches(spark, tmp_path):
+    # split the events into 4 source files and cap ingestion at one file
+    # per trigger → 4 micro-batches → GroupState must genuinely carry
+    # counts across batches (a single-batch run can't tell)
+    from pyspark.sql import functions as F
+    from rasters_spark import streaming
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "ev_multi"; src.mkdir()
+    for k in range(4):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == k).write.mode("overwrite").parquet(
+            str(src / f"part{k}"))
+    # flatten: file source reads a directory of parquet dirs? use glob dir
+    import glob, shutil
+    flat = tmp_path / "ev_flat"; flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(src / "part*" / "*.parquet")))):
+        shutil.copy(f, flat / f"f{i:03d}.parquet")
+    schema = ev.schema
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(flat)))
+    counts = stream.groupBy("user_id").applyInPandasWithState(
+        update, outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint", outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    q = (counts.writeStream.format("memory").queryName("t_state_multi")
+         .outputMode("update").option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    prog = q.lastProgress
+    emitted = spark.table("t_state_multi")
+    # multiple emissions per user prove multi-batch accumulation
+    from pyspark.sql import functions as F2
+    multi = emitted.groupBy("user_id").count().filter("count > 1").count()
+    assert multi > 0, "expected users emitted in more than one micro-batch"
+    got = {r.user_id: r.n_events for r in
+           emitted.groupBy("user_id").agg(F2.max("n_events").alias("n_events")).collect()}
+    exp = {r.user_id: r.cnt for r in ev.groupBy("user_id").agg(F2.count("*").alias("cnt")).collect()}
+    assert got == exp
