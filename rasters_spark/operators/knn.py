@@ -20,7 +20,7 @@ centroid. Ties broken deterministically by image_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rasters_spark import cells, fixtures, grid
@@ -60,15 +60,26 @@ def knn_tiles(
     dy = cy - F.col("y")
     j = (
         index.join(F.broadcast(pts), "cell_id")
-        # a tile may appear in several ring cells of the same point — dedup
-        .dropDuplicates(["point_id", "image_id"])
         # dx*dx, not pow(dx,2): plain multiplication is bit-identical across
         # engines (numpy / DuckDB oracle), libm pow is not guaranteed to be
         .withColumn("dist", F.sqrt(dx * dx + dy * dy))
     )
-    w = Window.partitionBy("point_id").orderBy(F.col("dist").asc(), F.col("image_id").asc())
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("point_id", "image_id", "rank", "dist")
+    # ONE hash aggregation does dedup + top-k: a tile seen via several
+    # ring cells collapses in collect_set (identical (dist, image_id)
+    # structs), array_sort gives the (dist asc, image_id asc) total
+    # order, slice keeps k. One exchange with map-side partial combine —
+    # vs the former dropDuplicates + window pair (two exchanges + a full
+    # per-partition sort). Per-point candidate sets are ring-bounded
+    # ((2R+1)² cells × tiles/cell), so the collected arrays stay small.
+    top = j.groupBy("point_id").agg(
+        F.slice(
+            F.array_sort(F.collect_set(F.struct(
+                F.col("dist").alias("dist"), F.col("image_id").alias("image_id")))),
+            1, k,
+        ).alias("top"))
+    return top.select(
+        "point_id", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "point_id", F.col("t")["image_id"].alias("image_id"),
+        (F.col("pos") + 1).alias("rank"), F.col("t")["dist"].alias("dist"),
     )
