@@ -12,7 +12,7 @@ is the production shape: hash once, shuffle on (bucket), rank within.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -30,21 +30,39 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _topk_by_cos(scored: DataFrame, k: int, dedup: bool = False) -> DataFrame:
+    """(query_id, vec_id, cos) → per-query top-k via ONE hash
+    aggregation: collect (−cos, vec_id, cos) structs, array_sort gives
+    (cos desc, vec_id asc) total order, slice keeps k — one exchange
+    with map-side partial combine instead of a window over the full
+    candidate set (the same replan as knn_tiles). ``dedup`` collapses
+    multi-probe duplicates (identical structs) via collect_set."""
+    collect = F.collect_set if dedup else F.collect_list
+    top = scored.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(collect(F.struct(
+                (-F.col("cos")).alias("negcos"),  # exact sign flip
+                F.col("vec_id").alias("vec_id"),
+                F.col("cos").alias("cos")))),
+            1, k,
+        ).alias("top"))
+    return top.select(
+        "query_id", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "query_id", F.col("t")["vec_id"].alias("vec_id"),
+        (F.col("pos") + 1).alias("rank"), F.col("t")["cos"].alias("cos"),
+    )
+
+
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact brute-force top-k: queries × corpus cross join (query side
-    broadcast), cosine by SQL fold, per-query rank.
+    broadcast), cosine by SQL fold, per-query top-k by one aggregation.
     → (query_id, vec_id, rank, cos)."""
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     c = embeddings.select("vec_id", "embedding")
     j = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        j.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "cos")
-    )
+    return _topk_by_cos(j.withColumn("cos", cos), k)
 
 
 def signature_bits(e, planes: int = 16, dims: int = 64):
@@ -118,11 +136,7 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     qp = q.withColumn("bucket", F.explode(probes)).drop("qb")
     j = emb.join(F.broadcast(qp), "bucket").filter(F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        j.withColumn("cos", cos)
-        .dropDuplicates(["query_id", "vec_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "cos")
-    )
+    # dedup=True: a vector reached via several probe buckets yields
+    # identical (negcos, vec_id, cos) structs → collect_set collapses
+    # them inside the same single aggregation that ranks
+    return _topk_by_cos(j.withColumn("cos", cos), k, dedup=True)
