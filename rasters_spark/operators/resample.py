@@ -392,6 +392,31 @@ def to_grid_conv_py(tiles: DataFrame, target: dict, resampling: str = "lanczos")
     return t.mapInPandas(run, schema=schema)
 
 
+def to_geometry(tiles: DataFrame, target, resampling: str = "nearest") -> DataFrame:
+    """Raster.to_geometry dispatch (raster.py:1441-1479): route on the
+    target's kind — a grid dict → ``to_grid`` (all 13 kernels), a swath
+    DataFrame (long-form geolocation table with swath_id/row/col/x/y)
+    → ``grid_to_geolocation_nn``, a point DataFrame (point_id/x/y) →
+    the flagship point-sampling join."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    if isinstance(target, dict):
+        return to_grid(tiles, target, resampling)
+    if isinstance(target, SparkDF):
+        cols = set(target.columns)
+        if {"swath_id", "row", "col", "x", "y"} <= cols:
+            from rasters_spark.operators.swath import grid_to_geolocation_nn
+
+            return grid_to_geolocation_nn(tiles, target)
+        if {"point_id", "x", "y"} <= cols:
+            from rasters_spark.operators.point_join import point_in_tile_join
+            from rasters_spark.operators.sample import sample_nearest
+
+            return sample_nearest(point_in_tile_join(target, tiles))
+    raise ValueError(f"unsupported target geometry: {type(target)} / "
+                     f"{sorted(target.columns) if hasattr(target, 'columns') else target}")
+
+
 def to_grid(tiles: DataFrame, target: dict, resampling: str = "nearest") -> DataFrame:
     """Raster.to_grid dispatch — full parity with the reference's 13
     RASTERIO_RESAMPLING_METHODS (constants.py:13-28, raster.py:1325-1428):

@@ -142,3 +142,27 @@ def test_to_grid_dispatch_all_13_methods(spark):
         assert resample.to_grid(tiles, TARGET, method).count() > 0
     with pytest.raises(ValueError):
         resample.to_grid(tiles, TARGET, "bogus")
+
+
+def test_to_geometry_dispatch(spark):
+    from pyspark.sql import functions as F
+    tiles = load_tiles(spark, SF).filter("fmt = 'raw' and image_id < 'img000000000005'")
+    # grid dict → to_grid
+    assert resample.to_geometry(tiles, TARGET, "nearest").count() > 0
+    # swath long table → grid_to_geolocation_nn (place it inside tile 0's
+    # footprint: hot origin 10.25, 45.75)
+    r = spark.range(5).select(F.col("id").alias("row"))
+    c = spark.range(5).select(F.col("id").alias("col"))
+    sw = r.crossJoin(c).select(
+        F.lit(0).cast("long").alias("swath_id"), "row", "col",
+        (10.3 + F.col("col") * 0.1).alias("x"), (45.7 - F.col("row") * 0.1).alias("y"))
+    out = resample.to_geometry(tiles, sw)
+    assert {"swath_id", "row", "col", "value"} <= set(out.columns)
+    assert out.count() > 0
+    # point table → nearest sampling
+    pts = spark.createDataFrame([(1, 10.5, 45.5)], "point_id long, x double, y double")
+    ps = resample.to_geometry(tiles, pts)
+    assert ps.count() > 0 and "value" in ps.columns
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        resample.to_geometry(tiles, 42)
