@@ -5,9 +5,10 @@ dtype — integer rasters → nearest, float rasters → IDW over all pixel
 centroids with power 2 (raster.py:1494-1545). Out-of-bounds → NaN
 (here: dropped by the join / NULL). NaN pixels surface as SQL NULL.
 
-The kernels receive the *joined* rows (point × matched tile) so each
-batch decodes each distinct tile once (LRU per batch) and does pure
-numpy indexing — no per-pixel Python.
+Nearest sampling slices the single relevant pixel JVM-side (bytes never
+fan out with the join); IDW — which needs the whole tile — cogroups
+points with the tile payload on image_id so each blob crosses the
+exchange exactly once and decodes once per tile.
 """
 
 from __future__ import annotations
@@ -57,42 +58,44 @@ def _nearest_slice_kernel(sl: pd.Series, fmt: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@pandas_udf(DoubleType())
-def _idw_kernel(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
-                x0: pd.Series, y0: pd.Series, cw: pd.Series, ch: pd.Series,
-                qx: pd.Series, qy: pd.Series) -> pd.Series:
-    """IDW power-2 over ALL pixel centroids of the tile
-    (raster.py:1494-1545: w = 1/d^p, nansum(v·w)/sum of valid w)."""
-    out = np.empty(len(data), dtype=np.float64)
-    decode_cache: dict[bytes, np.ndarray] = {}
-    mesh_cache: dict[tuple, tuple] = {}
-    for i in range(len(data)):
-        key = data.iloc[i]
-        arr = decode_cache.get(key)
-        if arr is None:
-            arr = codec.decode_tile(key, int(w.iloc[i]), int(h.iloc[i]), fmt.iloc[i])
-            if len(decode_cache) < 256:  # hot tiles repeat across skewed pairs
-                decode_cache[key] = arr
+def _idw_group_fn(power: float, value_name: str = "value"):
+    """Cogrouped kernel: (points of ONE tile, that tile's single payload
+    row) → per-point IDW values (raster.py:1494-1545: w = 1/d^p,
+    nansum(v·w)/Σ of valid w; d==0 → the exact pixel, NaN included).
+    The tile decodes ONCE per group and the distance math runs as a
+    chunked (points × pixels) matrix — pure numpy, no per-point loop."""
+
+    def fn(pts: pd.DataFrame, tile: pd.DataFrame) -> pd.DataFrame:
+        if pts.empty or tile.empty:
+            return pts.assign(**{value_name: pd.Series([], dtype="float64")}).iloc[:0]
+        t = tile.iloc[0]
+        arr = codec.decode_tile(t["bytes"], int(t["w"]), int(t["h"]), t["fmt"])
         hh, ww = arr.shape
-        mkey = (x0.iloc[i], y0.iloc[i], cw.iloc[i], ch.iloc[i], ww, hh)
-        mesh = mesh_cache.get(mkey)
-        if mesh is None:
-            px = x0.iloc[i] + cw.iloc[i] * (np.arange(ww) + 0.5)
-            py = y0.iloc[i] + ch.iloc[i] * (np.arange(hh) + 0.5)
-            mesh = np.meshgrid(px, py)
-            if len(mesh_cache) < 256:
-                mesh_cache[mkey] = mesh
-        PX, PY = mesh
-        d = np.hypot(PX - qx.iloc[i], PY - qy.iloc[i])
-        exact = d == 0
-        if exact.any():
-            out[i] = arr[exact][0]
-            continue
-        wgt = 1.0 / d**2
-        valid = np.isfinite(arr)
-        denom = wgt[valid].sum()
-        out[i] = np.nan if denom == 0 else float((arr[valid] * wgt[valid]).sum() / denom)
-    return pd.Series(out)
+        px = t["x_origin"] + t["cell_width"] * (np.arange(ww) + 0.5)
+        py = t["y_origin"] + t["cell_height"] * (np.arange(hh) + 0.5)
+        PX, PY = np.meshgrid(px, py)
+        X, Y, V = PX.ravel(), PY.ravel(), arr.ravel()
+        valid = np.isfinite(V)
+        Vz = np.where(valid, V, 0.0)
+        qx = pts["x"].to_numpy(np.float64)
+        qy = pts["y"].to_numpy(np.float64)
+        out = np.empty(len(pts), dtype=np.float64)
+        # bound the (chunk × npix) matrix at ~32 MB of doubles
+        step = max(1, 4_000_000 // max(V.size, 1))
+        for s in range(0, len(pts), step):
+            e = min(s + step, len(pts))
+            d = np.hypot(X[None, :] - qx[s:e, None], Y[None, :] - qy[s:e, None])
+            with np.errstate(divide="ignore"):
+                wgt = 1.0 / d**power
+            denom = wgt @ valid.astype(np.float64)
+            with np.errstate(invalid="ignore"):
+                out[s:e] = (wgt @ Vz) / denom
+            hit = (d == 0).any(axis=1)
+            if hit.any():
+                out[s:e][hit] = V[np.argmin(d[hit], axis=1)]
+        return pts.assign(**{value_name: out})
+
+    return fn
 
 
 def slice_pixel(row_col: str, col_col: str):
@@ -130,9 +133,51 @@ def sample_nearest(joined: DataFrame, value_name: str = "value") -> DataFrame:
     ).drop("_sl")
 
 
-def sample_idw(joined: DataFrame, value_name: str = "value") -> DataFrame:
+_TILE_PAYLOAD = ("bytes", "w", "h", "fmt", "x_origin", "y_origin",
+                 "cell_width", "cell_height")
+
+
+def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
+               value_name: str = "value", power: float = 2.0) -> DataFrame:
+    """IDW sampling with per-tile grouped decode (VERDICT r02 #2).
+
+    IDW legitimately needs every pixel of the matched tile
+    (raster.py:1494-1545), so unlike nearest-sampling there is no byte
+    slice to push JVM-side — the scale lever is SHAPE: the tile blob
+    must cross the exchange once per TILE, never once per (point, tile)
+    pair. Points cogroup with the tile payload on ``image_id``
+    (skinny point rows shuffle; each blob ships exactly once), the
+    kernel decodes once per tile and vectorizes the IDW over all of
+    that tile's points, and the values join back to the skinny
+    ``joined`` rows. No ``bytes`` column exists downstream of the point
+    join (plan-asserted in tests/test_point_join.py).
+
+    ``tiles``: the tile payload table (one row per image_id with
+    bytes/w/h/fmt + grid origin/cell columns). When omitted it is
+    recovered from ``joined`` via a first()-aggregation (map-side
+    partial combine bounds blob transfer to one per image per map
+    partition) — correct, but passing the source tile table keeps
+    blobs out of the matched-pair stream entirely."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     g = F.col("grid")
-    v = _idw_kernel(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"),
-                    g["x_origin"], g["y_origin"], g["cell_width"], g["cell_height"],
-                    F.col("x"), F.col("y"))
-    return joined.withColumn(value_name, v)
+    if tiles is None:
+        # self-cogroup (both sides derive from `joined`): key the payload
+        # side by a RENAMED group column so the grouping attributes are
+        # disjoint (cogroup keys match positionally, not by name)
+        payload = joined.select(
+            F.col("image_id").alias("_img"), "bytes", "w", "h", "fmt",
+            g["x_origin"].alias("x_origin"), g["y_origin"].alias("y_origin"),
+            g["cell_width"].alias("cell_width"), g["cell_height"].alias("cell_height"),
+        ).groupBy("_img").agg(
+            *[F.first(c).alias(c) for c in _TILE_PAYLOAD])
+        pkey = "_img"
+    else:
+        payload = tiles.select(F.col("image_id").alias("_img"), *_TILE_PAYLOAD)
+        pkey = "_img"
+    skinny = joined.drop("bytes")
+    # list() copy: StructType.add mutates in place
+    out_schema = StructType(
+        list(skinny.schema.fields) + [StructField(value_name, DoubleType())])
+    return skinny.groupBy("image_id").cogroup(payload.groupBy(pkey)).applyInPandas(
+        _idw_group_fn(power, value_name), schema=out_schema)
