@@ -288,16 +288,17 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at cos ≥ 0.999 via sign-LSH
-    buckets + exact verify, over the embeddings table with planted
-    exact-duplicate copies of vec_id < 50 (relabeled +1,000,000) —
-    identical vectors share every bucket, so recall is provably
-    complete and the brute-force oracle is an equality check."""
+    """Embedding-cosine near-dup pairs at cos ≥ 0.999 via BANDED
+    sign-LSH (4 bands × 12 planes) + exact verify, over the embeddings
+    table with planted exact-duplicate copies of vec_id < 50 (relabeled
+    +1,000,000) — identical vectors agree on every band, so recall is
+    provably complete and the brute-force oracle is an equality check."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     copies = e.filter("vec_id < 50").select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     pool = e.unionByName(copies)
-    return similarity.embedding_near_dup_pairs(pool, threshold=0.999, planes=8)
+    return similarity.embedding_near_dup_pairs(
+        pool, threshold=0.999, bands=4, planes_per_band=12)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,3 +189,31 @@ def test_embedding_near_dup_pairs_recall(spark, emb):
     assert set(got) == {(i, i + 1000000) for i in range(20)}
     for c in got.values():
         assert c == pytest.approx(1.0, abs=1e-12)
+
+
+def test_banded_recall_geq_single_signature(spark, emb):
+    """VERDICT r02 #3 'done' criterion: banding (OR across bands) must
+    recall at least every pair the old single-signature (AND over all
+    planes) design recalls, and near-miss recall must be strictly
+    better on the fixture near-duplicates."""
+    e = emb.select("vec_id", "embedding").filter("vec_id < 200")
+    # near-identical copies: nudge the first coordinate so cos < 1
+    near = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x.cast("double") + F.when(i == 0, F.lit(0.1)).otherwise(F.lit(0.0))).cast("float"),
+        ).alias("embedding"))
+    pool = e.unionByName(near)
+    planted = {(i, i + 1000000) for i in range(200)}
+
+    def recalled(bands, r):
+        got = similarity.embedding_near_dup_pairs(
+            pool, threshold=-1.0, bands=bands, planes_per_band=r)
+        return {(a, b) for a, b in got.select("id_a", "id_b").collect()} & planted
+
+    banded = recalled(4, 12)   # OR of 4 × 12-plane tables
+    single = recalled(1, 48)   # the round-2 shape: one 48-plane table
+    assert banded >= single
+    assert len(banded) > len(single)
+    assert len(banded) >= 0.9 * len(planted)
