@@ -76,6 +76,30 @@ def minhash_signature(docs: DataFrame, k: int = 5, num_hashes: int = 64) -> Data
     return docs.select("doc_id", sig.alias("sig"))
 
 
+def minhash_band_table(docs: DataFrame, k: int = 5, num_hashes: int = 64,
+                       bands: int = 32) -> DataFrame:
+    """(doc_id, band, bucket) — the LSH band table. At 100 TB this is
+    the table to PERSIST BUCKETED on (band, bucket) via
+    tableio.write_bucketed: two scans of it then equi-join with ZERO
+    Exchange (plan-asserted in tests/test_datapipe.py), so the
+    candidate join costs no shuffle at all — only the verify step
+    touches the network."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, k, num_hashes)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)), b).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 5,
@@ -89,20 +113,7 @@ def minhash_lsh_pairs(
     (sketch affects only recall; at these parameters P(miss at J=0.85)
     ≈ (1−J^2)^32 < 1e-4, and on the deterministic fixtures recall is
     complete — asserted in tests)."""
-    rows = num_hashes // bands
-    sigs = minhash_signature(docs, k, num_hashes)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)), b).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = minhash_band_table(docs, k, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -111,15 +122,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on the candidate set only
+    # exact verification on the candidate set only; the second join keys
+    # on (doc_b, sh) — probing on doc_b alone would match |A|·|B| rows
+    # per candidate before the shingle filter (VERDICT r02 minor #3)
     sh = docs.select("doc_id", F.explode(_shingles("text", jaccard_k)).alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ia = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    ib = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    ib = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         cand.join(ia, "doc_a")
-        .join(ib, ["doc_b"])
-        .filter(F.col("sha") == F.col("shb"))
+        .join(ib, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )

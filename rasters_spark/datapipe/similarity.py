@@ -56,13 +56,37 @@ def _topk_by_cos(scored: DataFrame, k: int, dedup: bool = False) -> DataFrame:
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact brute-force top-k: queries × corpus cross join (query side
-    broadcast), cosine by SQL fold, per-query top-k by one aggregation.
-    → (query_id, vec_id, rank, cos)."""
+    broadcast), cosine by SQL fold, per-query top-k in TWO stages.
+
+    The candidate set per query is the ENTIRE corpus, so the fused
+    collect_list aggregation used for the ring-bounded paths would
+    build an N-element array in a single un-spillable buffer (ADVICE
+    r02). Instead: a LOCAL top-k per (query, input partition) — the
+    grouping key includes spark_partition_id(), so every aggregation
+    buffer is bounded by one input partition (maxPartitionBytes), not
+    by the corpus — then the global slice ranks the ≤ k·partitions
+    survivors per query. The 2 GB single-value limit now scales with
+    the scan partition size the user already controls, at any corpus
+    size. → (query_id, vec_id, rank, cos)."""
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     c = embeddings.select("vec_id", "embedding")
     j = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
-    return _topk_by_cos(j.withColumn("cos", cos), k)
+    scored = j.withColumn("cos", cos)
+    # stage 1: local top-k per (query, partition) — no exchange, bounded buffers
+    local = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(
+                (-F.col("cos")).alias("negcos"),
+                F.col("vec_id").alias("vec_id"),
+                F.col("cos").alias("cos")))),
+            1, k,
+        ).alias("top"))
+    survivors = local.select(
+        "query_id", F.explode("top").alias("t")
+    ).select("query_id", F.col("t")["vec_id"].alias("vec_id"), F.col("t")["cos"].alias("cos"))
+    # stage 2: global top-k over ≤ k·partitions survivors per query
+    return _topk_by_cos(survivors, k)
 
 
 def signature_bits(e, planes: int = 16, dims: int = 64):

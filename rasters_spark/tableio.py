@@ -130,7 +130,7 @@ class TableIO:
 
 
 def write_bucketed(spark: SparkSession, df: DataFrame, table_name: str,
-                   bucket_col: str = "cell_id", n_buckets: int = 64) -> None:
+                   bucket_col: str | list[str] = "cell_id", n_buckets: int = 64) -> None:
     """Persist a table BUCKETED (+sorted) on its join key — the
     co-located-join lever for large⋈large spatial joins at 100 TB:
     two tables bucketed on ``cell_id`` with the same bucket count join
@@ -144,11 +144,19 @@ def write_bucketed(spark: SparkSession, df: DataFrame, table_name: str,
 
     spark.sql(f"drop table if exists {table_name}")
     # a crashed previous run can leave an orphaned managed location that
-    # blocks re-creation — clear it
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
+    # blocks re-creation — clear it. Build the path per Spark's managed
+    # layout (warehouse/<db>.db/<tbl> for qualified names, ADVICE r02)
+    # and only ever rmtree a path strictly inside the warehouse dir.
+    wh = os.path.abspath(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path)
+    parts = table_name.lower().split(".")
+    rel = parts[-1] if len(parts) == 1 else os.path.join(f"{parts[-2]}.db", parts[-1])
+    orphan = os.path.abspath(os.path.join(wh, rel))
+    if orphan.startswith(wh + os.sep):
+        shutil.rmtree(orphan, ignore_errors=True)
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     (df.write.mode("overwrite").format("parquet")
-       .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+       .bucketBy(n_buckets, *cols).sortBy(*cols)
        .saveAsTable(table_name))
 
 

@@ -217,3 +217,32 @@ def test_banded_recall_geq_single_signature(spark, emb):
     assert banded >= single
     assert len(banded) > len(single)
     assert len(banded) >= 0.9 * len(planted)
+
+
+def test_minhash_band_join_prebucketed_zero_exchange(spark, docs):
+    """VERDICT r02 #5: the band table persisted bucketed on
+    (band, bucket) self-joins for candidates with ZERO Exchange."""
+    from rasters_spark import tableio
+    banded = dedup.minhash_band_table(docs)
+    tableio.write_bucketed(spark, banded, "b_bands",
+                           bucket_col=["band", "bucket"], n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("b_bands")
+        b = (spark.table("b_bands")
+             .withColumnRenamed("doc_id", "doc_b"))
+        j = (a.hint("merge").join(b, ["band", "bucket"])
+             .filter(F.col("doc_id") < F.col("doc_b")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        # same candidate set as the in-flight band join
+        got = {(r.doc_id, r.doc_b) for r in j.select("doc_id", "doc_b").distinct().collect()}
+        ab = banded.alias("a").join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        exp = {(r[0], r[1]) for r in ab.select(F.col("a.doc_id"), F.col("b.doc_id")).distinct().collect()}
+        assert got == exp and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
