@@ -142,9 +142,13 @@ def _aeqd_inverse(x, y, lon0, lat0):
     return np.degrees(lam), np.degrees(phi)
 
 
+# spellings accepted as plain WGS84 lon/lat (shared with latlon_matrices)
+GEOGRAPHIC_CRS = ("EPSG:4326", "epsg:4326", "+proj=longlat +datum=WGS84 +no_defs")
+
+
 def _parse_crs(crs: str) -> dict:
     c = crs.strip()
-    if c in ("EPSG:4326", "epsg:4326", "+proj=longlat +datum=WGS84 +no_defs"):
+    if c in GEOGRAPHIC_CRS:
         return {"kind": "geographic"}
     if c.upper().startswith("EPSG:32"):
         code = int(c.split(":")[1])

@@ -182,13 +182,28 @@ def latlon_matrices(tiles: DataFrame) -> DataFrame:
     """RasterGeometry.latlon_matrices (raster_geometry.py:333-351) in
     long form: per-pixel lat/lon with the reference's out-of-range
     guards (lat outside ±90 / lon outside ±180 → NaN, here SQL NULL).
+
     Geographic grids take the ``xy`` branch (lon/lat = pixel centroid
-    x/y); projected CRSs route through transform_xy first.
-    → (image_id, prow, pcol, lon, lat)."""
-    pc = pixel_centroids(tiles)
+    x/y, pure SQL guards — no Python); projected CRSs route their
+    pixel centroids through transform_xy to WGS84 first
+    (raster_geometry.py:340-342) — the kernel's geographic-destination
+    clip IS the range guard. The two branches are split relationally
+    and unioned so the common all-geographic case never pays the Arrow
+    hop (ADVICE r02 medium). → (image_id, prow, pcol, lon, lat)."""
+    from rasters_spark.functions.crs import GEOGRAPHIC_CRS, transform_xy
+
+    crs_map = tiles.select("image_id", "crs")
+    pc = pixel_centroids(tiles).join(F.broadcast(crs_map), "image_id")
+    is_geo = F.col("crs").isin(*GEOGRAPHIC_CRS)
+    geo = pc.filter(is_geo)
     lon = F.when((F.col("x") >= -180.0) & (F.col("x") <= 180.0), F.col("x"))
     lat = F.when((F.col("y") >= -90.0) & (F.col("y") <= 90.0), F.col("y"))
-    return pc.select("image_id", "prow", "pcol", lon.alias("lon"), lat.alias("lat"))
+    out_geo = geo.select("image_id", "prow", "pcol", lon.alias("lon"), lat.alias("lat"))
+    proj = pc.filter(~is_geo)
+    out_proj = transform_xy(proj, src="crs", dst="EPSG:4326").select(
+        "image_id", "prow", "pcol",
+        F.col("x_t").alias("lon"), F.col("y_t").alias("lat"))
+    return out_geo.unionByName(out_proj)
 
 
 def pixel_centroids(tiles: DataFrame, drop_nodata: bool = True) -> DataFrame:

@@ -175,3 +175,36 @@ def test_band_resize_and_percentilecut(spark):
     assert len(out) == 4
     for a in out.values():
         assert np.nanmin(a) >= 0.0 and np.nanmax(a) <= 1.0
+
+
+def test_latlon_matrices_projected_crs_transforms(spark):
+    """ADVICE r02 medium: a projected grid's pixel centroids must route
+    through transform_xy to WGS84 (raster_geometry.py:340-342), not be
+    passed off as lon/lat — even when the projected values land inside
+    the ±180/±90 numeric guards."""
+    from rasters_spark import codec
+    a = np.arange(16, dtype=np.float32).reshape(4, 4)
+    aeqd = "+proj=aeqd +lat_0=10.0 +lon_0=20.0"
+    rows = [
+        # projected tile whose centroid x/y (meters: ±75, ±75) would
+        # SILENTLY pass the degree guards in the buggy version
+        ("proj", codec.encode_tile(a, "raw"), 4, 4, "raw",
+         -100.0, 100.0, 50.0, -50.0, aeqd),
+        ("geo", codec.encode_tile(a, "raw"), 4, 4, "raw",
+         10.0, 20.0, 0.5, -0.5, "EPSG:4326"),
+    ]
+    t = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int, "
+                              "fmt string, x_origin double, y_origin double, "
+                              "cell_width double, cell_height double, crs string")
+    got = V.latlon_matrices(t).toPandas().set_index(["image_id", "prow", "pcol"])
+    # geographic branch: passthrough
+    assert got.loc[("geo", 0, 0), "lon"] == pytest.approx(10.25)
+    assert got.loc[("geo", 0, 0), "lat"] == pytest.approx(19.75)
+    # projected branch: pixel (0,0) centroid = (-75, 75) meters in AEQD
+    exp_lon, exp_lat = C.transform_xy_np(
+        np.array([-75.0]), np.array([75.0]), aeqd, "EPSG:4326")
+    assert got.loc[("proj", 0, 0), "lon"] == pytest.approx(float(exp_lon[0]), rel=1e-12)
+    assert got.loc[("proj", 0, 0), "lat"] == pytest.approx(float(exp_lat[0]), rel=1e-12)
+    # near the AEQD origin lon ≈ 20, lat ≈ 10 — nothing like the raw meters
+    assert abs(got.loc[("proj", 0, 0), "lon"] - 20.0) < 0.01
+    assert abs(got.loc[("proj", 0, 0), "lat"] - 10.0) < 0.01
