@@ -137,6 +137,53 @@ def q_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.points_in_polygons(pts, polys).select("point_id", "poly_id", "x", "y", "burn_value")
 
 
+def q_multipolygon_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPolygon PIP end-to-end: rect polygons pair into MultiPolygon
+    GeoJSON STRINGS (written by vecfn.rings-writer SQL), parse back via
+    geojson_to_rings (wrap_geometry.py:74-79 Multi* dispatch), explode
+    into (poly_id, part, ring) rows, exact ray-cast join, membership in
+    ANY part by distinct. Member bounds snap to quarter+0.125 (odd
+    eighths — exact in double, %.3f round-trips, and no fixture point
+    sits on an odd eighth so half-open boundaries can't flip between
+    the ray-cast and the oracle's bbox test)."""
+    from pyspark.sql import Window
+
+    pts = load_points(spark, sf_dir)
+    polys = load_polygons(spark, sf_dir).filter("is_rect")
+
+    def snap(c):
+        return F.bround(F.col(c) * 4) / 4 + 0.125
+
+    r = polys.select(
+        "poly_id", snap("xmin").alias("x0"), snap("ymin").alias("y0"),
+        snap("xmax").alias("x1"), snap("ymax").alias("y1"),
+    ).withColumn("rn", F.row_number().over(Window.orderBy("poly_id")) - 1)
+    r = r.withColumn("mp_id", F.floor(F.col("rn") / 2))
+    member = F.format_string(
+        "[[[%.3f,%.3f],[%.3f,%.3f],[%.3f,%.3f],[%.3f,%.3f],[%.3f,%.3f]]]",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y0"),
+        F.col("x1"), F.col("y1"), F.col("x0"), F.col("y1"),
+        F.col("x0"), F.col("y0"))
+    gj = r.withColumn("m", member).groupBy("mp_id").agg(
+        F.concat(
+            F.lit('{"type": "MultiPolygon", "coordinates": ['),
+            F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rn"), F.col("m").alias("m")))),
+                lambda s: s["m"])),
+            F.lit("]}"),
+        ).alias("gj"))
+    parts = gj.select(
+        F.col("mp_id").alias("poly_id"),
+        F.posexplode(vecfn.geojson_to_rings(F.col("gj"))).alias("part", "ring"))
+    bb = vecfn.ring_bbox(F.col("ring"))
+    pp = parts.select(
+        "poly_id", "part", "ring",
+        bb["xmin"].alias("xmin"), bb["ymin"].alias("ymin"),
+        bb["xmax"].alias("xmax"), bb["ymax"].alias("ymax"))
+    out = joins.points_in_polygons(pts, pp)
+    return out.select("point_id", "poly_id").distinct()
+
+
 def q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = load_polygons(spark, sf_dir).filter("is_rect")
     return joins.rasterize(polys, RASTERIZE_TARGET, merge_alg="add")
@@ -820,7 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm": q_reproject_utm,
         "swath_twohop": q_swath_twohop,
         # -- new this round (no prior green row possible) ---------------
-        # (inserted here as they land, staying inside the 50-row window)
+        "multipolygon_pip": q_multipolygon_pip,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1217,6 +1264,17 @@ def oracle_sql() -> dict[str, str]:
             select p.point_id, g.poly_id, p.x, p.y, g.burn_value
             from {points} p cross join (select * from {polys} where is_rect) g
             where p.x >= g.xmin and p.x < g.xmax and p.y >= g.ymin and p.y < g.ymax
+        """,
+        "multipolygon_pip": f"""
+            with r as (
+              select round_even(xmin*4, 0)/4 + 0.125 as x0, round_even(ymin*4, 0)/4 + 0.125 as y0,
+                     round_even(xmax*4, 0)/4 + 0.125 as x1, round_even(ymax*4, 0)/4 + 0.125 as y1,
+                     cast(floor((row_number() over (order by poly_id) - 1) / 2.0) as bigint) as poly_id
+              from {polys} where is_rect
+            )
+            select distinct p.point_id, r.poly_id
+            from {points} p join r
+              on p.x >= r.x0 and p.x < r.x1 and p.y >= r.y0 and p.y < r.y1
         """,
         "rasterize_add": f"""
             with win as (

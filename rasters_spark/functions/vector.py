@@ -135,15 +135,36 @@ def point_buffer_ring(x, y, radius, segments: int = 16) -> Column:
 
 # --- GeoJSON (vector_geometry.py:116-123, wrap_geometry.py:19-81) ---------------
 
-def ring_to_geojson(ring: Column, decimals: int = 6) -> Column:
-    """Polygon ring → GeoJSON string. Coordinates printf-formatted to a
-    fixed precision (engine-portable float rendering)."""
+def ring_coords_json(ring: Column, decimals: int = 6) -> Column:
+    """One ring's ``[[x,y],...]`` coordinate text (printf-formatted for
+    engine-portable float rendering) — shared by the Polygon and
+    MultiPolygon writers."""
     fmt = f"%.{decimals}f"
-    coords = F.concat_ws(
-        ",",
-        F.transform(_col(ring), lambda p: F.format_string(f"[{fmt},{fmt}]", p["x"], p["y"])),
+    return F.concat(
+        F.lit("["),
+        F.concat_ws(
+            ",",
+            F.transform(_col(ring), lambda p: F.format_string(f"[{fmt},{fmt}]", p["x"], p["y"])),
+        ),
+        F.lit("]"),
     )
-    return F.concat(F.lit('{"type": "Polygon", "coordinates": [['), coords, F.lit("]]}"))
+
+
+def ring_to_geojson(ring: Column, decimals: int = 6) -> Column:
+    """Polygon ring → GeoJSON string."""
+    return F.concat(F.lit('{"type": "Polygon", "coordinates": ['),
+                    ring_coords_json(ring, decimals), F.lit("]}"))
+
+
+def rings_to_geojson(rings: Column, decimals: int = 6) -> Column:
+    """Array of exterior rings → MultiPolygon GeoJSON string
+    (multi_polygon.py via wrap_geometry.py:76-79 — each member polygon
+    is one exterior ring; the engine's geometries carry no holes)."""
+    parts = F.concat_ws(
+        ",",
+        F.transform(_col(rings), lambda r: F.concat(F.lit("["), ring_coords_json(r, decimals), F.lit("]"))),
+    )
+    return F.concat(F.lit('{"type": "MultiPolygon", "coordinates": ['), parts, F.lit("]}"))
 
 
 def point_to_geojson(x, y, decimals: int = 6) -> Column:
@@ -174,6 +195,45 @@ def geojson_to_point(js) -> Column:
         F.try_element_at(parsed["coordinates"], F.lit(1)).alias("x"),
         F.try_element_at(parsed["coordinates"], F.lit(2)).alias("y"),
     )
+
+
+GEOJSON_MULTIPOLY_SCHEMA = "struct<type:string, coordinates:array<array<array<array<double>>>>>"
+GEOJSON_MULTIPOINT_SCHEMA = "struct<type:string, coordinates:array<array<double>>>"
+
+
+def geojson_to_rings(js) -> Column:
+    """wrap_geometry's Polygon/MultiPolygon dispatch
+    (wrap_geometry.py:74-79) relationally: GeoJSON string → array of
+    exterior rings (one per member polygon; a Polygon yields a 1-array)
+    so callers ``posexplode`` into (geom_id, part, ring) rows — a
+    MultiPolygon IS just more rows through every downstream join.
+    Unknown/malformed types → NULL, never a throw."""
+    j = _col(js)
+    typ = F.from_json(j, "struct<type:string>")["type"]
+    multi = F.transform(
+        F.from_json(j, GEOJSON_MULTIPOLY_SCHEMA)["coordinates"],
+        lambda poly: F.transform(
+            F.try_element_at(poly, F.lit(1)),  # exterior ring of the member
+            lambda c: F.struct(F.try_element_at(c, F.lit(1)).alias("x"),
+                               F.try_element_at(c, F.lit(2)).alias("y")),
+        ),
+    )
+    return (F.when(typ == "MultiPolygon", multi)
+             .when(typ == "Polygon", F.array(geojson_to_ring(j))))
+
+
+def geojson_to_points(js) -> Column:
+    """Point/MultiPoint dispatch (wrap_geometry.py:72-75): GeoJSON →
+    array of point structs (a Point yields a 1-array)."""
+    j = _col(js)
+    typ = F.from_json(j, "struct<type:string>")["type"]
+    multi = F.transform(
+        F.from_json(j, GEOJSON_MULTIPOINT_SCHEMA)["coordinates"],
+        lambda c: F.struct(F.try_element_at(c, F.lit(1)).alias("x"),
+                           F.try_element_at(c, F.lit(2)).alias("y")),
+    )
+    return (F.when(typ == "MultiPoint", multi)
+             .when(typ == "Point", F.array(geojson_to_point(j))))
 
 
 # --- raster → vector (raster_geometry.py:1111-1144) -----------------------------

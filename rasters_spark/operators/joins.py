@@ -101,8 +101,13 @@ def points_in_polygons(
     # sharded kernel key (poly_id, pcell): a continent-sized polygon is
     # split across its covered coarse cells instead of pinning one task
     # (VERDICT r01 'What's wrong' #4) — the small ring replicates per
-    # shard, candidates are already cell-tagged, results union freely
-    return cand.groupBy("poly_id", "pcell").applyInPandas(kernel, schema=out_schema)
+    # shard, candidates are already cell-tagged, results union freely.
+    # MultiPolygon inputs carry a ``part`` column (one row per member
+    # ring, wrap_geometry.py:76-79): it joins the shard key so each
+    # kernel group still holds exactly ONE ring; membership in ANY part
+    # is the caller's distinct over (point, poly).
+    shard = ["poly_id", "pcell"] + (["part"] if "part" in cand.columns else [])
+    return cand.groupBy(*shard).applyInPandas(kernel, schema=out_schema)
 
 
 def rasterize(

@@ -38,3 +38,39 @@ def test_geojson_malformed_inputs_null(spark):
     assert all(r.r is None or len(r.r) == 0 for r in rings)
     pts = df.select(V.geojson_to_point("js").alias("p")).collect()
     assert all(p.p is None or p.p.x is None for p in pts)
+
+
+def test_multipolygon_geojson_roundtrip(spark):
+    r1 = [{"x": 0.0, "y": 0.0}, {"x": 2.0, "y": 0.0}, {"x": 2.0, "y": 2.0},
+          {"x": 0.0, "y": 0.0}]
+    r2 = [{"x": 10.0, "y": 10.0}, {"x": 12.5, "y": 10.0}, {"x": 12.5, "y": 11.0},
+          {"x": 10.0, "y": 10.0}]
+    df = spark.createDataFrame([([r1, r2],)],
+                               "rings array<array<struct<x:double,y:double>>>")
+    js = df.select(V.rings_to_geojson("rings").alias("j")).collect()[0].j
+    parsed = json.loads(js)
+    assert parsed["type"] == "MultiPolygon"
+    assert len(parsed["coordinates"]) == 2
+    assert parsed["coordinates"][1][0][1] == [12.5, 10.0]
+    back = df.select(V.geojson_to_rings(V.rings_to_geojson("rings")).alias("r")).collect()[0].r
+    assert len(back) == 2 and len(back[0]) == 4 and len(back[1]) == 4
+    assert back[1][1].x == pytest.approx(12.5)
+    # a plain Polygon parses to a 1-array through the same dispatcher
+    single = df.select(V.geojson_to_rings(
+        F.lit('{"type": "Polygon", "coordinates": [[[1.0,2.0],[3.0,2.0],[1.0,2.0]]]}')
+    ).alias("r")).collect()[0].r
+    assert len(single) == 1 and single[0][1].x == 3.0
+    # unknown type → NULL, never a throw (wrap_geometry raises; the
+    # relational form is NULL)
+    bad = df.select(V.geojson_to_rings(F.lit('{"type": "LineString", "coordinates": []}')).alias("r")).collect()[0].r
+    assert bad is None
+
+
+def test_multipoint_geojson_parse(spark):
+    df = spark.range(1)
+    js = '{"type": "MultiPoint", "coordinates": [[1.5,2.5],[3.0,-4.0]]}'
+    pts = df.select(V.geojson_to_points(F.lit(js)).alias("p")).collect()[0].p
+    assert [(p.x, p.y) for p in pts] == [(1.5, 2.5), (3.0, -4.0)]
+    one = df.select(V.geojson_to_points(
+        F.lit('{"type": "Point", "coordinates": [7.0,8.0]}')).alias("p")).collect()[0].p
+    assert [(p.x, p.y) for p in one] == [(7.0, 8.0)]
