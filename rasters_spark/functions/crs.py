@@ -4,7 +4,8 @@ AEQD/proj4 string builders, coordinate transforms, antimeridian test.
 No pyproj in this environment (SURVEY §7.5): the transform kernels are
 hand-written numpy implementations of the public Snyder (USGS PP 1395)
 formulas for the CRS subset the engine supports — geographic
-(EPSG:4326), UTM (transverse Mercator on WGS84), and spherical AEQD.
+(EPSG:4326), UTM (transverse Mercator on WGS84), spherical AEQD, and
+spherical sinusoidal (the MODIS grid, +R=6371007.181).
 Zone-number quirks are transcribed EXACTLY from the reference:
 
 - ``local_UTM_proj4`` uses ``int((lon+180)/6)`` WITHOUT the +1,
@@ -146,6 +147,32 @@ def _aeqd_inverse(x, y, lon0, lat0):
 GEOGRAPHIC_CRS = ("EPSG:4326", "epsg:4326", "+proj=longlat +datum=WGS84 +no_defs")
 
 
+def _sinu_forward(lon, lat, lon0, r):
+    """Spherical sinusoidal (Snyder PP 1395 eq. 30-1, 30-2) — the MODIS
+    grid projection: x = R·(λ−λ0)·cosφ, y = R·φ."""
+    phi = np.radians(lat)
+    dlam = np.radians(lon - lon0)
+    return r * dlam * np.cos(phi), r * phi
+
+
+def _sinu_inverse(x, y, lon0, r):
+    """Snyder eq. 30-6, 30-7: φ = y/R, λ = λ0 + x/(R·cosφ); the poles
+    (cosφ = 0) keep λ = λ0 (x is 0 there on the forward path)."""
+    phi = np.asarray(y, np.float64) / r
+    cosphi = np.cos(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dlam = np.where(cosphi == 0, 0.0, np.asarray(x, np.float64) / (r * cosphi))
+    return np.degrees(dlam) + lon0, np.degrees(phi)
+
+
+# MODIS sinusoidal sphere radius (the +R in the published MODIS proj4)
+_MODIS_R = 6371007.181
+
+
+def _proj4_param(c: str, key: str, default: float) -> float:
+    return float(c.split(f"+{key}=")[1].split()[0]) if f"+{key}=" in c else default
+
+
 def _parse_crs(crs: str) -> dict:
     c = crs.strip()
     if c in GEOGRAPHIC_CRS:
@@ -162,7 +189,13 @@ def _parse_crs(crs: str) -> dict:
         lat0 = float(c.split("+lat_0=")[1].split()[0])
         lon0 = float(c.split("+lon_0=")[1].split()[0])
         return {"kind": "aeqd", "lat0": lat0, "lon0": lon0}
-    raise ValueError(f"unsupported CRS: {crs!r} (supported: EPSG:4326, UTM, AEQD)")
+    if "+proj=sinu" in c:
+        # the MODIS grid proj4 is "+proj=sinu +R=6371007.181 +nadgrids=@null
+        # +wktext" (lon_0 defaults 0); accept +R / +a sphere overrides
+        return {"kind": "sinu",
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "r": _proj4_param(c, "R", _proj4_param(c, "a", _MODIS_R))}
+    raise ValueError(f"unsupported CRS: {crs!r} (supported: EPSG:4326, UTM, AEQD, sinusoidal)")
 
 
 def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
@@ -175,6 +208,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
     elif s["kind"] == "utm":
         yy = np.asarray(y, np.float64) - (10000000.0 if s["south"] else 0.0)
         lon, lat = _tm_inverse(np.asarray(x, np.float64), yy, s["lon0"])
+    elif s["kind"] == "sinu":
+        lon, lat = _sinu_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["r"])
     else:
         lon, lat = _aeqd_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["lat0"])
     # geographic → target
@@ -188,6 +223,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         if d["south"]:
             yt = yt + 10000000.0
         return xt, yt
+    if d["kind"] == "sinu":
+        return _sinu_forward(lon, lat, d["lon0"], d["r"])
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])
 
 

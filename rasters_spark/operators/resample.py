@@ -489,21 +489,27 @@ def to_grid_average(tiles: DataFrame, target: dict) -> DataFrame:
 
 
 def reproject_utm(tiles: DataFrame, epsg: int, cell_size_m: float = 2000.0) -> DataFrame:
-    """Raster.reproject / Raster.UTM (raster.py:1878-1915): derive a UTM
-    target grid from the tiles' union extent (nanmin/max ± half-cell
-    padding per grid_to_crs, raster_geometry.py:895-941) and warp every
-    pixel center into it (nearest assignment).
+    """Raster.UTM (raster.py:1908-1915) — reproject to a UTM zone."""
+    return reproject(tiles, f"EPSG:{epsg}", cell_size_m)
 
-    Pipeline: pixel_centroids → transform_xy kernel (numpy TM) → target
-    cell assignment → first-per-cell composite. Output long form
-    (trow, tcol, value, n_sources) on the UTM grid; the grid descriptor
-    is emitted alongside as crossJoin-able metadata.
+
+def reproject(tiles: DataFrame, dst_crs: str, cell_size_m: float = 2000.0) -> DataFrame:
+    """Raster.reproject (raster.py:1878-1915): derive a metric target
+    grid in ``dst_crs`` (any CRS functions.crs supports: UTM, AEQD,
+    sinusoidal/MODIS) from the tiles' union extent (nanmin/max ±
+    half-cell padding per grid_to_crs, raster_geometry.py:895-941) and
+    warp every pixel center into it (nearest assignment).
+
+    Pipeline: pixel_centroids → transform_xy kernel (numpy Snyder) →
+    target cell assignment → first-per-cell composite. Output long form
+    (trow, tcol, value, n_sources) on the target grid; the grid
+    descriptor is emitted alongside as crossJoin-able metadata.
     """
     from rasters_spark.functions.crs import transform_xy
     from rasters_spark.functions.vector import pixel_centroids
 
     pc = pixel_centroids(tiles).withColumn("crs", F.lit("EPSG:4326"))
-    utm = transform_xy(pc, dst=f"EPSG:{epsg}")
+    utm = transform_xy(pc, dst=dst_crs)
     ext = utm.agg(
         F.min("x_t").alias("xmin"), F.min("y_t").alias("ymin"),
         F.max("x_t").alias("xmax"), F.max("y_t").alias("ymax"),
@@ -516,7 +522,7 @@ def reproject_utm(tiles: DataFrame, epsg: int, cell_size_m: float = 2000.0) -> D
     cols = int(np.ceil((ext.xmax + cell_size_m / 2 - x0) / cell_size_m))
     rows = int(np.ceil((y0 - (ext.ymin - cell_size_m / 2)) / cell_size_m))
     tg = dict(x_origin=x0, y_origin=y0, cell_width=cell_size_m, cell_height=-cell_size_m,
-              rows=rows, cols=cols, crs=f"EPSG:{epsg}")
+              rows=rows, cols=cols, crs=dst_crs)
     g = grid.grid_struct(**tg)
     assigned = (
         utm.withColumn("trow", grid.point_row(g, F.col("y_t")))

@@ -208,3 +208,43 @@ def test_latlon_matrices_projected_crs_transforms(spark):
     # near the AEQD origin lon ≈ 20, lat ≈ 10 — nothing like the raw meters
     assert abs(got.loc[("proj", 0, 0), "lon"] - 20.0) < 0.01
     assert abs(got.loc[("proj", 0, 0), "lat"] - 10.0) < 0.01
+
+
+def test_transform_roundtrip_sinusoidal():
+    """Snyder sinusoidal (the MODIS grid): forward formulas pinned
+    exactly, round trip to 1e-8°, equator/meridian anchors, and the
+    published MODIS tile-corner scale (the projection spans
+    ±20015109.354 m at the equator for R=6371007.181)."""
+    modis = "+proj=sinu +R=6371007.181 +nadgrids=@null +wktext"
+    lon = np.array([0.0, -100.0, 45.5, 179.999])
+    lat = np.array([0.0, 40.0, -33.25, -89.9])
+    x, y = C.transform_xy_np(lon, lat, "EPSG:4326", modis)
+    # pinned forward values: x = R·Δλ·cosφ, y = R·φ
+    R = 6371007.181
+    np.testing.assert_allclose(x, R * np.radians(lon) * np.cos(np.radians(lat)), rtol=1e-14)
+    np.testing.assert_allclose(y, R * np.radians(lat), rtol=1e-14)
+    assert x[0] == 0.0 and y[0] == 0.0
+    assert abs(R * np.radians(180.0)) == pytest.approx(20015109.354, abs=1e-2)
+    lon2, lat2 = C.transform_xy_np(x, y, modis, "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    # lon_0 shift honored
+    shifted = "+proj=sinu +lon_0=10 +R=6371007.181"
+    xs, _ = C.transform_xy_np(np.array([10.0]), np.array([20.0]), "EPSG:4326", shifted)
+    assert xs[0] == pytest.approx(0.0, abs=1e-9)
+    # sinu → UTM chains through geographic like every other pair
+    xu, yu = C.transform_xy_np(x[1:2], y[1:2], modis, "EPSG:32614")
+    eu, ev = C.transform_xy_np(lon[1:2], lat[1:2], "EPSG:4326", "EPSG:32614")
+    assert xu[0] == pytest.approx(eu[0], abs=1e-6) and yu[0] == pytest.approx(ev[0], abs=1e-6)
+
+
+def test_reproject_sinusoidal_accepts_modis_grid(spark):
+    from rasters_spark.operators import resample
+    from rasters_spark.tiles import load_tiles
+    t = load_tiles(spark, "/root/testdata/sf0.001").filter(
+        "image_id < 'img000000000004' and fmt = 'raw'")
+    out = resample.reproject(t, "+proj=sinu +R=6371007.181", cell_size_m=25000.0)
+    rows = out.select("trow", "tcol", "value").collect()
+    assert len(rows) > 0
+    g = out.select("grid").first().grid
+    assert "sinu" in g.crs and g.cell_width == 25000.0
