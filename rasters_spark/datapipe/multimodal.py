@@ -100,12 +100,13 @@ def resize_nearest(tiles: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def resize_spline(tiles: DataFrame, out_w: int, out_h: int, order: int = 1) -> DataFrame:
-    """Per-item spline resize, orders 0–3 (raster.py:1262-1281 /
-    constants.py SKIMAGE_RESAMPLING_METHODS nearest/linear/quadratic/
-    cubic; orders 4–5 unimplemented — 2-pole prefilters, niche). True
-    interpolating splines via the Unser prefilter (rasters_spark.spline;
-    scipy/skimage absent from this environment). Center-aligned mapping,
-    NaN propagates. → re-encoded raw tiles (image_id, bytes, w, h, fmt).
+    """Per-item spline resize, all six reference orders 0–5
+    (raster.py:1262-1281 / constants.py:30-37 nearest/linear/quadratic/
+    cubic/quartic/quintic — name dispatch via spline.order_for_method).
+    True interpolating splines via the Unser prefilter
+    (rasters_spark.spline; scipy/skimage absent from this environment).
+    Center-aligned mapping, NaN propagates. → re-encoded raw tiles
+    (image_id, bytes, w, h, fmt).
     """
     from rasters_spark import spline
 
@@ -130,7 +131,7 @@ def raster_rescale(tiles: DataFrame, target_cell_size: float, order: int = 1) ->
     size, ceil shape — RasterGrid.resolution semantics,
     raster_grid.py:576-615) and spline-resize the pixels to ITS shape;
     method↔order per SKIMAGE_RESAMPLING_METHODS (constants.py:30-37,
-    orders 0–3 supported).
+    all six orders 0–5 via spline.order_for_method).
 
     DOCUMENTED DEVIATION from raster.py:1265-1281: the reference calls
     ``skimage.transform.resize(self.array, (self.rows, self.cols))`` —

@@ -1,4 +1,4 @@
-"""Spline resize (orders 0-3) + RasterGeolocation.resize pins.
+"""Spline resize (orders 0-5) + RasterGeolocation.resize pins.
 
 scipy/skimage are absent, so the Unser prefilter implementation in
 rasters_spark/spline.py is pinned by its mathematical contracts
@@ -16,7 +16,7 @@ from rasters_spark.datapipe import multimodal
 from rasters_spark.operators import swath as swathops
 
 
-@pytest.mark.parametrize("order", [2, 3])
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
 def test_interpolation_condition(order):
     rng = np.random.default_rng(3)
     arr = rng.uniform(0, 100, (17, 23))
@@ -26,7 +26,7 @@ def test_interpolation_condition(order):
     assert np.abs(got - arr).max() < 1e-6
 
 
-@pytest.mark.parametrize("order", [0, 1, 2, 3])
+@pytest.mark.parametrize("order", [0, 1, 2, 3, 4, 5])
 def test_identity_resize(order):
     rng = np.random.default_rng(4)
     arr = rng.uniform(0, 50, (16, 16))
@@ -53,7 +53,30 @@ def test_order1_matches_naive_bilinear():
 def test_unsupported_orders_raise():
     arr = np.zeros((4, 4))
     with pytest.raises(ValueError):
-        spline.resize(arr, 2, 2, 4)
+        spline.resize(arr, 2, 2, 6)
+    # name map: all six reference names resolve; unknown names get a
+    # DISTINCT error, not a KeyError (constants.py:30-37)
+    assert [spline.order_for_method(m) for m in
+            ["nearest", "linear", "quadratic", "cubic", "quartic", "quintic"]] == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="unsupported resampling method"):
+        spline.order_for_method("lanczos")
+
+
+@pytest.mark.parametrize("order", [4, 5])
+def test_quartic_quintic_polynomial_reproduction(order):
+    """Spline interpolation of order n reproduces polynomials of degree
+    ≤ 3 exactly away from the boundary (mirror effects decay as |z|^d;
+    at 56 px margin they are < 1e-11 relative)."""
+    x = np.arange(128, dtype=float)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    f = 0.5 * X**3 - 2 * X * Y + Y**2 + 3
+    g = spline.resize(f, 256, 256, order)
+    xs = (np.arange(256) + 0.5) * 128 / 256 - 0.5
+    XS, YS = np.meshgrid(xs, xs, indexing="ij")
+    exact = 0.5 * XS**3 - 2 * XS * YS + YS**2 + 3
+    sl = (slice(112, 144), slice(112, 144))
+    rel = np.abs(g - exact)[sl].max() / np.abs(exact[sl]).max()
+    assert rel < 1e-11
 
 
 def test_resize_spline_spark_roundtrip(spark):
