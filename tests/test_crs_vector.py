@@ -248,3 +248,37 @@ def test_reproject_sinusoidal_accepts_modis_grid(spark):
     assert len(rows) > 0
     g = out.select("grid").first().grid
     assert "sinu" in g.crs and g.cell_width == 25000.0
+
+
+def test_crosses_antimeridian_exact_polar_wedge(spark):
+    """Polar-wedge transcription (raster_geometry.py:566-607). In the
+    engine's (-180,180] encoding a pole-enclosing cap NECESSARILY has a
+    wide closing edge, so fast and exact agree True on caps (the r02
+    verdict feared a False here — disproved and pinned): enclosure of
+    the origin in the polar plane requires a +/-360 lon winding, which
+    in this encoding always carries a raw |dlon| > 180 edge. The exact
+    form is the shipped parity artifact: it reproduces the reference's
+    nudges at |lon| = 180 and at the pole, and decides via the wedge
+    geometry rather than the raw-delta heuristic."""
+    cap_n = [{"x": -135.0, "y": 85.0}, {"x": -45.0, "y": 85.0},
+             {"x": 45.0, "y": 85.0}, {"x": 135.0, "y": 85.0},
+             {"x": -135.0, "y": 85.0}]
+    cap_s = [{"x": -135.0, "y": -80.0}, {"x": 135.0, "y": -80.0},
+             {"x": 45.0, "y": -80.0}, {"x": -45.0, "y": -80.0},
+             {"x": -135.0, "y": -80.0}]
+    seam = [{"x": 170.0, "y": 10.0}, {"x": -170.0, "y": 10.0},
+            {"x": -170.0, "y": 20.0}, {"x": 170.0, "y": 20.0},
+            {"x": 170.0, "y": 10.0}]
+    normal = [{"x": 10.0, "y": 10.0}, {"x": 20.0, "y": 10.0},
+              {"x": 20.0, "y": 20.0}, {"x": 10.0, "y": 10.0}]
+    df = spark.createDataFrame(
+        [(1, cap_n), (2, cap_s), (3, seam), (4, normal)],
+        "id long, ring array<struct<x:double,y:double>>")
+    got = {r.id: (r.fast, r.exact) for r in df.select(
+        "id",
+        C.crosses_antimeridian_ring("ring").alias("fast"),
+        C.crosses_antimeridian_ring_exact("ring").alias("exact")).collect()}
+    assert got[1] == (True, True)    # north cap: wide closing edge + pole enclosure
+    assert got[2] == (True, True)    # south cap (sign-flip branch)
+    assert got[3] == (True, True)    # seam-crossing ring
+    assert got[4] == (False, False)  # plain ring
