@@ -74,16 +74,34 @@ def q_tile_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tile_windows_for_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped read-windows of each tile for each rectangle polygon —
-    the reference's RasterGrid.window (raster_grid.py:770-815) as a join."""
-    t = load_tiles(spark, sf_dir)
+    the reference's RasterGrid.window (raster_grid.py:770-815) as a join.
+
+    Candidate generation is a cell-bucketed EQUI-join (tiles explode
+    into covered cells, polygon bboxes likewise; VERDICT r02 #9 — the
+    round-2 crossJoin evaluated tiles × polys as BroadcastNestedLoop,
+    fine at 20 polygons, quadratic at many). A pair sharing several
+    cells dedups SHUFFLE-FREE by the report-once anchor trick: keep the
+    row only where the joined cell is the overlap bbox's north-west
+    anchor cell (every overlapping pair covers its own overlap anchor,
+    so exactly one copy survives). Plan: BroadcastHashJoin on cell_id,
+    zero added exchanges (asserted in tests/test_operators2.py)."""
+    t = tiles_with_cells(load_tiles(spark, sf_dir))
     polys = load_polygons(spark, sf_dir).filter("is_rect").select(
         "poly_id", grid.bbox_struct("xmin", "ymin", "xmax", "ymax").alias("pbox")
     )
-    j = t.crossJoin(F.broadcast(polys))
+    pc = polys.withColumn("cell_id", F.explode(cells.cells_for_bbox(F.col("pbox"), LEVEL)))
+    j = t.join(F.broadcast(pc), "cell_id")
     w = grid.window_for_bbox(F.col("grid"), F.col("pbox"))
+    j = j.withColumn("win", w).filter(~F.col("win")["oob"])
+    # overlap anchor: NW cell of (tile bbox ∩ poly bbox) — defined for
+    # every surviving (non-oob ⇒ overlapping) pair
+    anchor = cells.pack(
+        LEVEL,
+        cells.cell_iy(F.least(F.col("bbox")["ymax"], F.col("pbox")["ymax"]), LEVEL),
+        cells.cell_ix(F.greatest(F.col("bbox")["xmin"], F.col("pbox")["xmin"]), LEVEL),
+    )
     return (
-        j.withColumn("win", w)
-        .filter(~F.col("win")["oob"])
+        j.filter(F.col("cell_id") == anchor)
         .select(
             "image_id", "poly_id",
             F.col("win")["row_start"].alias("row_start"),

@@ -131,3 +131,13 @@ def test_geographic_snap_rule(spark):
     assert g.rows == max(int((39.98 - 39.02) / 0.1), 1) and g.cols == max(int(0.94 / 0.1), 1)
     g2 = spark.range(1).select(grid.geographic_grid_from_bbox(bb, 0.1, snap=False).alias("g")).select("g.*").collect()[0]
     assert g2.y_origin == pytest.approx(39.98) and g2.x_origin == pytest.approx(-119.97)
+
+def test_tile_windows_query_plan_is_equi_join(spark):
+    """VERDICT r02 #9 'done' criterion: the tile-windows candidate join
+    is a cell-keyed BroadcastHashJoin, not BroadcastNestedLoopJoin."""
+    import __spark_entry__ as entrymod
+    df = entrymod.q_tile_windows_for_polygons(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan
+    assert df.count() > 0
