@@ -2,9 +2,10 @@
 
 The Spark-side contract (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested; the codec layer is pluggable:
-``raw``/``q8`` decode is the engine's own pure-numpy codec, while
+``raw``/``q8`` decode is the engine's own pure-numpy codec and ``png``
+is REAL too (the stdlib zlib codec in functions/render.py), while
 container formats that need external libs absent from this environment
-(jpeg/png/wav/mp4) are STUBS that raise NotImplementedError — swap in
+(jpeg/wav/mp4) are STUBS that raise NotImplementedError — swap in
 PIL/ffmpeg decoders behind the same interface on a real cluster.
 
 Design for 100 TB: binary payloads never enter a shuffle — metadata
