@@ -612,6 +612,51 @@ def q_snap_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VectorGeometry → GeoPackage → parse back (functions/geopackage.py,
+    stdlib-sqlite3 OGC 1.2 container + WKB). Each Arrow batch encodes
+    its polygons into a complete in-memory .gpkg, decodes it, and emits
+    per-feature facts recomputed FROM THE DECODED BYTES (vertex count,
+    first-vertex coords, ring bbox, attribute round-trip) — the oracle
+    recomputes them from the polygons table, so a hash match proves the
+    container encode AND decode are real."""
+    import pandas as pd
+
+    from rasters_spark.functions import geopackage as gpkg
+
+    polys = load_polygons(spark, sf_dir).select("poly_id", "ring", "burn_value")
+    schema = ("poly_id long, n_points int, x0 double, y0 double, "
+              "rxmin double, rymax double, burn_value double")
+
+    def run(batches):
+        for pdf in batches:
+            feats = [{"wkb": gpkg.polygon_wkb([[(p["x"], p["y"]) for p in r.ring]]),
+                      "poly_id": int(r.poly_id), "burn_value": float(r.burn_value)}
+                     for r in pdf.itertuples(index=False)]
+            if not feats:
+                yield pd.DataFrame({k: [] for k in
+                                    ["poly_id", "n_points", "x0", "y0",
+                                     "rxmin", "rymax", "burn_value"]})
+                continue
+            blob = gpkg.encode_gpkg("polys", "POLYGON", feats,
+                                    [("poly_id", "INTEGER"), ("burn_value", "REAL")])
+            rows = []
+            for f in gpkg.decode_gpkg(blob)["polys"]:
+                kind, rings = f["geom"]
+                assert kind == "Polygon"
+                xs = [p[0] for p in rings[0]]
+                ys = [p[1] for p in rings[0]]
+                rows.append({
+                    "poly_id": f["poly_id"], "n_points": len(rings[0]),
+                    "x0": rings[0][0][0], "y0": rings[0][0][1],
+                    "rxmin": min(xs), "rymax": max(ys),
+                    "burn_value": f["burn_value"],
+                })
+            yield pd.DataFrame(rows)
+
+    return polys.mapInPandas(run, schema=schema)
+
+
 def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster.to_geotiff → decode back (functions/geotiff.py, pure-python
     TIFF 6.0 + GeoTIFF 1.1 subset). Output carries the deterministic
@@ -886,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swath_twohop": q_swath_twohop,
         # -- new this round (no prior green row possible) ---------------
         "multipolygon_pip": q_multipolygon_pip,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1282,6 +1328,15 @@ def oracle_sql() -> dict[str, str]:
             select p.point_id, g.poly_id, p.x, p.y, g.burn_value
             from {points} p cross join (select * from {polys} where is_rect) g
             where p.x >= g.xmin and p.x < g.xmax and p.y >= g.ymin and p.y < g.ymax
+        """,
+        "gpkg_roundtrip": f"""
+            select poly_id,
+                   cast(len(ring) as int) as n_points,
+                   ring[1].x as x0, ring[1].y as y0,
+                   list_min(list_transform(ring, p -> p.x)) as rxmin,
+                   list_max(list_transform(ring, p -> p.y)) as rymax,
+                   burn_value
+            from {polys}
         """,
         "multipolygon_pip": f"""
             with r as (
