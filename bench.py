@@ -66,6 +66,14 @@ def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
     timed("to_grid_med", lambda: force(e.q_to_grid_med(spark, sf_dir)))
     # q9: banded image near-dup over the full tile set
     timed("phash_near_dups", lambda: force(e.q_phash_near_dups(spark, sf_dir)))
+    # q10: IDW sampling — per-tile cogrouped decode (blob crosses the
+    # shuffle once per tile, r03 replan); 10k-point slice keeps the
+    # stage comparable across rounds
+    idw_pts = load_points(spark, sf_dir).filter(F.col("point_id") < 10000)
+    timed("point_sample_idw", lambda: force(
+        sample.sample_idw(point_join.point_in_tile_join(idw_pts, load_tiles(spark, sf_dir)),
+                          tiles=load_tiles(spark, sf_dir))
+        .select("point_id", "image_id", "value")))
 
     total = round(sum(timings.values()), 3)
     sf = fixtures.scale_of(sf_dir)
