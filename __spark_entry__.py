@@ -773,6 +773,28 @@ def q_polygons_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship join as stream-static (oracle-checked: availableNow
+    drain of the points stream ⋈ static tiles equals the batch query
+    bit-for-bit — the oracle IS point_sample_join's SQL)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from rasters_spark.streaming import stream_point_sample_join_available_now
+    from rasters_spark.tableio import TableIO
+
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    work = Path(tempfile.mkdtemp(prefix="stream_join_q_"))
+    src = work / "in"
+    src.mkdir()
+    shutil.copy(fdir / "points.parquet", src / "points.parquet")
+    tiles = tiles_with_cells(load_tiles(spark, sf_dir))
+    tbl = TableIO(str(work / "tbl"))
+    return stream_point_sample_join_available_now(
+        spark, str(src), tiles, tbl, str(work / "ckpt"))
+
+
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest smoke (rows-only): drain the fixture
     tiles through readStream→foreachBatch→TableIO and return the
@@ -932,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (no prior green row possible) ---------------
         "multipolygon_pip": q_multipolygon_pip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "stream_point_join": q_stream_point_join,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1254,7 +1277,7 @@ def oracle_sql() -> dict[str, str]:
     def pcol(x="p.x"):
         return f"cast(round_even(({x} - t.x_origin)/t.cell_width - 0.5, 0) as bigint)"
 
-    return {
+    sql = {
         "point_sample_join": f"""
             with j as (
               select p.point_id, t.image_id, {prow()} as prow, {pcol()} as pcol, t.caption
@@ -1991,3 +2014,7 @@ def oracle_sql() -> dict[str, str]:
             from e group by 1
         """,
     }
+    # the streamed flagship drains to the identical row set (see
+    # streaming.stream_point_sample_join_available_now) — same oracle
+    sql["stream_point_join"] = sql["point_sample_join"]
+    return sql

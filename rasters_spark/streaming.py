@@ -131,6 +131,44 @@ def stateful_user_counts_available_now(
         F.max("n_events").alias("n_events"))
 
 
+def stream_point_sample_join_available_now(
+    spark: SparkSession,
+    points_path: str,
+    tiles: DataFrame,
+    table: TableIO,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """The flagship spatial join as a STREAM-STATIC pipeline: points
+    arrive as a file stream, each micro-batch runs the identical batch
+    join + nearest-sampling operators against the static tile table,
+    and foreachBatch commits the matched rows as one TableIO snapshot
+    (exactly-once per batch on top of the source checkpoint — the
+    streaming face of the north rule's resumable, lineage-tracked job).
+    Drained with availableNow, the union of snapshots equals the batch
+    query bit-for-bit, so the DuckDB oracle is the SAME SQL as
+    ``point_sample_join``. Returns the committed rows."""
+    from rasters_spark.operators import point_join, sample
+
+    schema = spark.read.parquet(points_path).schema
+    pts = spark.readStream.schema(schema).parquet(points_path)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        j = point_join.point_in_tile_join(batch_df.dropDuplicates(["point_id"]), tiles)
+        out = sample.sample_nearest(j).select(
+            "point_id", "image_id", "prow", "pcol", "value", "caption")
+        table.write(out, operation="stream-join", job_id="stream_join",
+                    chunk_id=f"batch-{batch_id}", inputs=[points_path])
+
+    q = (
+        pts.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark)
+
+
 def ingest_available_now(
     spark: SparkSession,
     src_dir: str,

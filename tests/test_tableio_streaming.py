@@ -196,3 +196,38 @@ def test_stateful_counts_accumulate_across_microbatches(spark, tmp_path):
            emitted.groupBy("user_id").agg(F2.max("n_events").alias("n_events")).collect()}
     exp = {r.user_id: r.cnt for r in ev.groupBy("user_id").agg(F2.count("*").alias("cnt")).collect()}
     assert got == exp
+
+
+def test_stream_point_join_exactly_once(spark, tmp_path):
+    """Streamed flagship join: drain equals the batch query, and a
+    re-drain with the same checkpoint commits NOTHING new."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from rasters_spark import fixtures, tableio
+    from rasters_spark.operators import point_join, sample
+    from rasters_spark.streaming import stream_point_sample_join_available_now
+    from rasters_spark.tiles import load_points, load_tiles, tiles_with_cells
+
+    sf = "/root/testdata/sf0.001"
+    fdir = fixtures.ensure_fixtures(sf)
+    src = tmp_path / "pts_in"
+    src.mkdir()
+    shutil.copy(fdir / "points.parquet", src / "points.parquet")
+    tiles = tiles_with_cells(load_tiles(spark, sf))
+    tbl = tableio.TableIO(str(tmp_path / "tbl"))
+    out = stream_point_sample_join_available_now(
+        spark, str(src), tiles, tbl, str(tmp_path / "ckpt"))
+    got = {(r.point_id, r.image_id): (r.prow, r.pcol, r.value, r.caption)
+           for r in out.collect()}
+    batch = sample.sample_nearest(point_join.point_in_tile_join(
+        load_points(spark, sf), tiles)).select(
+        "point_id", "image_id", "prow", "pcol", "value", "caption")
+    exp = {(r.point_id, r.image_id): (r.prow, r.pcol, r.value, r.caption)
+           for r in batch.collect()}
+    assert got == exp and len(got) > 0
+    n_snaps = tbl.current_snapshot()
+    # re-drain: checkpoint says everything is consumed → zero new commits
+    stream_point_sample_join_available_now(
+        spark, str(src), tiles, tbl, str(tmp_path / "ckpt"))
+    assert tbl.current_snapshot() == n_snaps
