@@ -256,6 +256,16 @@ def transform_xy(df, x="x", y="y", src="crs", dst="EPSG:4326", out_x="x_t", out_
     return df.withColumn(out_x, t.getField("x_t")).withColumn(out_y, t.getField("y_t"))
 
 
+def transform_xyz(df, x="x", y="y", z="z", src="crs", dst="EPSG:4326",
+                  out_x="x_t", out_y="y_t", out_z="z_t"):
+    """3-D to_crs (multi_point.py:423-428): the engine's CRS subset is
+    purely horizontal, so z passes through UNCHANGED alongside the
+    transformed x/y — pyproj's 2D+1 behavior for non-vertical CRS
+    pairs. NULL z rows stay NULL (a 2-D point in a 3-D column)."""
+    out = transform_xy(df, x=x, y=y, src=src, dst=dst, out_x=out_x, out_y=out_y)
+    return out.withColumn(out_z, _col(z).cast("double"))
+
+
 def crosses_antimeridian_ring(ring_col) -> Column:
     """Antimeridian crossing of a lon/lat ring — FAST PATH: any edge
     whose lon step exceeds 180° wraps the seam. Agrees with the

@@ -282,3 +282,15 @@ def test_crosses_antimeridian_exact_polar_wedge(spark):
     assert got[2] == (True, True)    # south cap (sign-flip branch)
     assert got[3] == (True, True)    # seam-crossing ring
     assert got[4] == (False, False)  # plain ring
+
+
+def test_transform_xyz_z_passthrough(spark):
+    """3-D to_crs (multi_point.py:423-428): z rides along unchanged."""
+    df = spark.createDataFrame(
+        [(1, -120.0, 37.0, 250.5, "EPSG:4326"), (2, -119.0, 36.0, None, "EPSG:4326")],
+        "id long, x double, y double, z double, crs string")
+    got = {r.id: r for r in C.transform_xyz(df, dst="EPSG:32610").collect()}
+    ex, ey = C.transform_xy_np(np.array([-120.0]), np.array([37.0]), "EPSG:4326", "EPSG:32610")
+    assert got[1].x_t == pytest.approx(ex[0]) and got[1].y_t == pytest.approx(ey[0])
+    assert got[1].z_t == 250.5
+    assert got[2].z_t is None
