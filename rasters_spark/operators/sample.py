@@ -85,10 +85,11 @@ def _idw_group_fn(power: float, value_name: str = "value"):
         for s in range(0, len(pts), step):
             e = min(s + step, len(pts))
             d = np.hypot(X[None, :] - qx[s:e, None], Y[None, :] - qy[s:e, None])
-            with np.errstate(divide="ignore"):
+            # inf weights at d==0 flow through the matmuls (rows
+            # overwritten by the exact-hit branch below) — silence both
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
                 wgt = 1.0 / d**power
-            denom = wgt @ valid.astype(np.float64)
-            with np.errstate(invalid="ignore"):
+                denom = wgt @ valid.astype(np.float64)
                 out[s:e] = (wgt @ Vz) / denom
             hit = (d == 0).any(axis=1)
             if hit.any():
@@ -173,7 +174,20 @@ def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
             *[F.first(c).alias(c) for c in _TILE_PAYLOAD])
         pkey = "_img"
     else:
-        payload = tiles.select(F.col("image_id").alias("_img"), *_TILE_PAYLOAD)
+        # every column re-aliased → fresh attribute ids: tiles and
+        # joined share lineage (joined = point_in_tile_join(pts, tiles))
+        # and reused ids would trip the ambiguous-self-join check in
+        # the semi-join below and in the cogroup
+        payload = tiles.select(
+            F.col("image_id").alias("_img"),
+            *[F.col(c).alias(c) for c in _TILE_PAYLOAD])
+        # fetch ONLY matched tiles: without this semi-join every tile
+        # blob rides the cogroup exchange (plus an empty Python group)
+        # even when no point touched it — at 10^12 tiles that's the
+        # whole table through the shuffle for a handful of points
+        matched = joined.select(F.col("image_id").alias("_mimg")).distinct()
+        payload = payload.join(matched, payload["_img"] == matched["_mimg"],
+                               "leftsemi")
         pkey = "_img"
     skinny = joined.drop("bytes")
     # list() copy: StructType.add mutates in place
