@@ -71,8 +71,10 @@ def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
     # stage comparable across rounds
     idw_pts = load_points(spark, sf_dir).filter(F.col("point_id") < 10000)
     timed("point_sample_idw", lambda: force(
-        sample.sample_idw(point_join.point_in_tile_join(idw_pts, load_tiles(spark, sf_dir)),
-                          tiles=load_tiles(spark, sf_dir))
+        sample.sample_idw(
+            point_join.point_in_tile_join(idw_pts, load_tiles(spark, sf_dir))
+            .select("point_id", "image_id", "x", "y"),
+            tiles=load_tiles(spark, sf_dir))
         .select("point_id", "image_id", "value")))
 
     total = round(sum(timings.values()), 3)

@@ -58,45 +58,36 @@ def _nearest_slice_kernel(sl: pd.Series, fmt: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def _idw_group_fn(power: float, value_name: str = "value"):
-    """Cogrouped kernel: (points of ONE tile, that tile's single payload
-    row) → per-point IDW values (raster.py:1494-1545: w = 1/d^p,
-    nansum(v·w)/Σ of valid w; d==0 → the exact pixel, NaN included).
-    The tile decodes ONCE per group and the distance math runs as a
-    chunked (points × pixels) matrix — pure numpy, no per-point loop."""
+def _idw_tile(arr: np.ndarray, t, qx: np.ndarray, qy: np.ndarray,
+              power: float) -> np.ndarray:
+    """IDW of one decoded tile at query points (raster.py:1494-1545:
+    w = 1/d^p, nansum(v·w)/Σ of valid w; d==0 → the exact pixel, NaN
+    included) — chunked (points × pixels) matrices, no per-point loop."""
+    hh, ww = arr.shape
+    px = t["x_origin"] + t["cell_width"] * (np.arange(ww) + 0.5)
+    py = t["y_origin"] + t["cell_height"] * (np.arange(hh) + 0.5)
+    PX, PY = np.meshgrid(px, py)
+    X, Y, V = PX.ravel(), PY.ravel(), arr.ravel()
+    valid = np.isfinite(V)
+    Vz = np.where(valid, V, 0.0)
+    out = np.empty(len(qx), dtype=np.float64)
+    # bound the (chunk × npix) matrix at ~32 MB of doubles
+    step = max(1, 4_000_000 // max(V.size, 1))
+    for s in range(0, len(qx), step):
+        e = min(s + step, len(qx))
+        d = np.hypot(X[None, :] - qx[s:e, None], Y[None, :] - qy[s:e, None])
+        # inf weights at d==0 flow through the matmuls (rows overwritten
+        # by the exact-hit branch below) — silence them
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            wgt = 1.0 / d**power
+            denom = wgt @ valid.astype(np.float64)
+            out[s:e] = (wgt @ Vz) / denom
+        hit = (d == 0).any(axis=1)
+        if hit.any():
+            out[s:e][hit] = V[np.argmin(d[hit], axis=1)]
+    return out
 
-    def fn(pts: pd.DataFrame, tile: pd.DataFrame) -> pd.DataFrame:
-        if pts.empty or tile.empty:
-            return pts.assign(**{value_name: pd.Series([], dtype="float64")}).iloc[:0]
-        t = tile.iloc[0]
-        arr = codec.decode_tile(t["bytes"], int(t["w"]), int(t["h"]), t["fmt"])
-        hh, ww = arr.shape
-        px = t["x_origin"] + t["cell_width"] * (np.arange(ww) + 0.5)
-        py = t["y_origin"] + t["cell_height"] * (np.arange(hh) + 0.5)
-        PX, PY = np.meshgrid(px, py)
-        X, Y, V = PX.ravel(), PY.ravel(), arr.ravel()
-        valid = np.isfinite(V)
-        Vz = np.where(valid, V, 0.0)
-        qx = pts["x"].to_numpy(np.float64)
-        qy = pts["y"].to_numpy(np.float64)
-        out = np.empty(len(pts), dtype=np.float64)
-        # bound the (chunk × npix) matrix at ~32 MB of doubles
-        step = max(1, 4_000_000 // max(V.size, 1))
-        for s in range(0, len(pts), step):
-            e = min(s + step, len(pts))
-            d = np.hypot(X[None, :] - qx[s:e, None], Y[None, :] - qy[s:e, None])
-            # inf weights at d==0 flow through the matmuls (rows
-            # overwritten by the exact-hit branch below) — silence both
-            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-                wgt = 1.0 / d**power
-                denom = wgt @ valid.astype(np.float64)
-                out[s:e] = (wgt @ Vz) / denom
-            hit = (d == 0).any(axis=1)
-            if hit.any():
-                out[s:e][hit] = V[np.argmin(d[hit], axis=1)]
-        return pts.assign(**{value_name: out})
 
-    return fn
 
 
 def slice_pixel(row_col: str, col_col: str):
@@ -145,53 +136,81 @@ def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
     IDW legitimately needs every pixel of the matched tile
     (raster.py:1494-1545), so unlike nearest-sampling there is no byte
     slice to push JVM-side — the scale lever is SHAPE: the tile blob
-    must cross the exchange once per TILE, never once per (point, tile)
-    pair. Points cogroup with the tile payload on ``image_id``
-    (skinny point rows shuffle; each blob ships exactly once), the
-    kernel decodes once per tile and vectorizes the IDW over all of
-    that tile's points, and the values join back to the skinny
-    ``joined`` rows. No ``bytes`` column exists downstream of the point
-    join (plan-asserted in tests/test_point_join.py).
+    must never replicate per (point, tile) pair. Plan:
+
+    1. the skinny joined rows (NO bytes) aggregate into one
+       points-array row per matched tile (``collect_list`` — map-side
+       partial combine, the only exchange in the stage carries point
+       structs);
+    2. the tile payload joins to that aggregate on image_id — one row
+       per MATCHED tile, so each blob appears exactly once, and when
+       the point aggregate broadcasts the blobs never cross any
+       exchange at all (they stream scan-side);
+    3. a mapInPandas kernel decodes each tile once and evaluates the
+       vectorized IDW over that tile's whole point array, re-exploding
+       to the original rows + ``value``.
+
+    No ``bytes`` column exists in any point-carrying Exchange
+    (plan-asserted in tests/test_point_join.py).
 
     ``tiles``: the tile payload table (one row per image_id with
     bytes/w/h/fmt + grid origin/cell columns). When omitted it is
     recovered from ``joined`` via a first()-aggregation (map-side
     partial combine bounds blob transfer to one per image per map
-    partition) — correct, but passing the source tile table keeps
-    blobs out of the matched-pair stream entirely."""
+    partition)."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     g = F.col("grid")
     if tiles is None:
-        # self-cogroup (both sides derive from `joined`): key the payload
-        # side by a RENAMED group column so the grouping attributes are
-        # disjoint (cogroup keys match positionally, not by name)
         payload = joined.select(
             F.col("image_id").alias("_img"), "bytes", "w", "h", "fmt",
             g["x_origin"].alias("x_origin"), g["y_origin"].alias("y_origin"),
             g["cell_width"].alias("cell_width"), g["cell_height"].alias("cell_height"),
         ).groupBy("_img").agg(
             *[F.first(c).alias(c) for c in _TILE_PAYLOAD])
-        pkey = "_img"
     else:
         # every column re-aliased → fresh attribute ids: tiles and
         # joined share lineage (joined = point_in_tile_join(pts, tiles))
-        # and reused ids would trip the ambiguous-self-join check in
-        # the semi-join below and in the cogroup
+        # and reused ids would trip the ambiguous-self-join check
         payload = tiles.select(
             F.col("image_id").alias("_img"),
             *[F.col(c).alias(c) for c in _TILE_PAYLOAD])
-        # fetch ONLY matched tiles: without this semi-join every tile
-        # blob rides the cogroup exchange (plus an empty Python group)
-        # even when no point touched it — at 10^12 tiles that's the
-        # whole table through the shuffle for a handful of points
-        matched = joined.select(F.col("image_id").alias("_mimg")).distinct()
-        payload = payload.join(matched, payload["_img"] == matched["_mimg"],
-                               "leftsemi")
-        pkey = "_img"
     skinny = joined.drop("bytes")
+    out_cols = list(skinny.columns)
+    agg = skinny.groupBy(F.col("image_id").alias("_aimg")).agg(
+        F.collect_list(F.struct(*[F.col(c).alias(c) for c in out_cols])).alias("_rows"))
+    withp = payload.join(agg, payload["_img"] == agg["_aimg"]).drop("_img", "_aimg")
     # list() copy: StructType.add mutates in place
     out_schema = StructType(
         list(skinny.schema.fields) + [StructField(value_name, DoubleType())])
-    return skinny.groupBy("image_id").cogroup(payload.groupBy(pkey)).applyInPandas(
-        _idw_group_fn(power, value_name), schema=out_schema)
+
+    def run(batches):
+        for pdf in batches:
+            # ONE output DataFrame per Arrow batch: per-tile frames +
+            # concat cost ~0.2 ms × n_tiles and dominated the stage at
+            # 171k matched tiles
+            cols = {c: pdf[c].values for c in
+                    ("_rows", "bytes", "w", "h", "fmt",
+                     "x_origin", "y_origin", "cell_width", "cell_height")}
+            all_rows: list = []
+            vals_parts: list = []
+            for i in range(len(pdf)):
+                rows = cols["_rows"][i]
+                arr = codec.decode_tile(cols["bytes"][i], int(cols["w"][i]),
+                                        int(cols["h"][i]), cols["fmt"][i])
+                qx = np.fromiter((d["x"] for d in rows), np.float64, len(rows))
+                qy = np.fromiter((d["y"] for d in rows), np.float64, len(rows))
+                vals_parts.append(_idw_tile(
+                    arr,
+                    {"x_origin": cols["x_origin"][i], "y_origin": cols["y_origin"][i],
+                     "cell_width": cols["cell_width"][i], "cell_height": cols["cell_height"][i]},
+                    qx, qy, power))
+                all_rows.extend(rows)
+            if all_rows:
+                out = pd.DataFrame(all_rows)
+                out[value_name] = np.concatenate(vals_parts)
+                yield out
+            else:
+                yield pd.DataFrame({c: [] for c in out_cols + [value_name]})
+
+    return withp.mapInPandas(run, schema=out_schema)

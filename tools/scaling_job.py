@@ -68,8 +68,10 @@ def main() -> None:
     # in the reference): full per-tile weighted aggregation per matched pair
     idw_pts = pts.filter(F.col("point_id") < idw_points)
     timed("point_sample_idw",
-          lambda: force(sample.sample_idw(point_join.point_in_tile_join(
-              idw_pts, tiles), tiles=tiles).select("point_id", "image_id", "value")))
+          lambda: force(sample.sample_idw(
+              point_join.point_in_tile_join(idw_pts, tiles)
+              .select("point_id", "image_id", "x", "y"),
+              tiles=tiles).select("point_id", "image_id", "value")))
     timed("tile_stats", lambda: force(stats.tile_stats(tiles)))
     timed("raster_algebra",
           lambda: force(stats.tile_stats(rm.elementwise(tiles, rm.compose(
