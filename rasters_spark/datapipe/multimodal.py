@@ -2,11 +2,12 @@
 
 The Spark-side contract (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested; the codec layer is pluggable:
-``raw``/``q8`` decode is the engine's own pure-numpy codec and ``png``
-is REAL too (the stdlib zlib codec in functions/render.py), while
+``raw``/``q8`` decode is the engine's own pure-numpy codec, ``png`` is
+REAL (stdlib zlib codec, functions/render.py) and ``jpeg`` is REAL too
+(pure-numpy baseline ITU T.81 codec, functions/jpeg.py); audio/video
 container formats that need external libs absent from this environment
-(jpeg/wav/mp4) are STUBS that raise NotImplementedError — swap in
-PIL/ffmpeg decoders behind the same interface on a real cluster.
+(wav/mp4/webp/…) are STUBS that raise NotImplementedError — swap in
+ffmpeg/libvips decoders behind the same interface on a real cluster.
 
 Design for 100 TB: binary payloads never enter a shuffle — metadata
 extraction and feature kernels are scan-side mapInPandas stages, and
@@ -41,9 +42,19 @@ def _decode_media(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if img.ndim == 3:
             img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2])
         return img.astype(np.float32)
-    if fmt in ("jpeg", "webp"):
+    if fmt == "jpeg":
+        # real pure-numpy baseline decoder (functions/jpeg.py, ITU T.81);
+        # RGB collapses to luma so downstream feature kernels stay
+        # single-channel
+        from rasters_spark.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(data).astype(np.float64)
+        if img.ndim == 3:
+            img = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        return img.astype(np.float32)
+    if fmt == "webp":
         raise NotImplementedError(
-            f"container format {fmt!r}: plug a PIL/libvips decoder into "
+            "container format 'webp': plug a PIL/libvips decoder into "
             "rasters_spark.datapipe.multimodal._decode_media on a cluster with image libs"
         )
     if fmt in ("wav", "mp3", "flac", "mp4", "webm"):
@@ -71,7 +82,7 @@ def extract_features(tiles: DataFrame, on_error: str = "null") -> DataFrame:
                                  "mean": float(valid.mean()) if valid.size else None,
                                  "std": float(valid.std()) if valid.size else None,
                                  "phash": codec.phash64(arr)})
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     if on_error == "raise":
                         raise
                     rows.append({**base, "width": None, "height": None,

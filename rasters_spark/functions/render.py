@@ -97,3 +97,77 @@ def render_png(tiles: DataFrame, mode: str = "rgb", lo_pct: float = 2.0, hi_pct:
             yield pd.DataFrame(rows)
 
     return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema=schema)
+
+
+def render_jpeg(tiles: DataFrame, mode: str = "rgb", quality: int = 95,
+                lo_pct: float = 2.0, hi_pct: float = 98.0) -> DataFrame:
+    """Raster.to_geojpeg's render half (raster.py:1832-1865 family):
+    percentile stretch → LUT (rgb) or linear gray → baseline JPEG
+    (functions/jpeg.py, pure numpy). → (image_id, jpeg binary, w, h)."""
+    from rasters_spark.functions.jpeg import encode_jpeg
+
+    schema = "image_id string, jpeg binary, w int, h int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                lo = np.nanpercentile(arr, lo_pct)
+                hi = np.nanpercentile(arr, hi_pct)
+                span = (hi - lo) or 1.0
+                norm = (arr - lo) / span
+                if mode == "gray":
+                    img = np.clip(np.rint(np.nan_to_num(norm, nan=0.0) * 255), 0, 255).astype(np.uint8)
+                else:
+                    img = _apply_lut(norm)
+                rows.append({"image_id": pdf["image_id"].iloc[i],
+                             "jpeg": encode_jpeg(img, quality=quality),
+                             "w": int(arr.shape[1]), "h": int(arr.shape[0])})
+            yield pd.DataFrame(rows)
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema=schema)
+
+
+def world_file(x_origin: float, y_origin: float,
+               cell_width: float, cell_height: float) -> str:
+    """The 6-line ESRI world file (.jgw/.pgw — public format) that
+    georeferences a rendered JPEG/PNG: pixel sizes, rotation terms,
+    CENTER-of-top-left-pixel coordinates."""
+    return "\n".join(f"{v:.10f}" for v in (
+        cell_width, 0.0, 0.0, cell_height,
+        x_origin + cell_width / 2.0, y_origin + cell_height / 2.0)) + "\n"
+
+
+def save_geojpegs(tiles: DataFrame, out_dir: str, mode: str = "rgb",
+                  quality: int = 95) -> None:
+    """Raster.to_geojpeg (raster.py:1832-1865): executor-side sink —
+    each rendered tile lands as ``<image_id>.jpg`` + ``<image_id>.jgw``
+    world file (the lib-free georeferencing sidecar). Same distributed
+    shape as save_geotiffs: no driver funnel."""
+    import os
+
+    from rasters_spark.functions.jpeg import encode_jpeg
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                lo = np.nanpercentile(arr, 2.0)
+                hi = np.nanpercentile(arr, 98.0)
+                span = (hi - lo) or 1.0
+                img = _apply_lut((arr - lo) / span) if mode == "rgb" else np.clip(
+                    np.rint(np.nan_to_num((arr - lo) / span, nan=0.0) * 255), 0, 255).astype(np.uint8)
+                iid = pdf["image_id"].iloc[i]
+                with open(os.path.join(out_dir, f"{iid}.jpg"), "wb") as fh:
+                    fh.write(encode_jpeg(img, quality=quality))
+                with open(os.path.join(out_dir, f"{iid}.jgw"), "w") as fh:
+                    fh.write(world_file(pdf["x_origin"].iloc[i], pdf["y_origin"].iloc[i],
+                                        pdf["cell_width"].iloc[i], pdf["cell_height"].iloc[i]))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    (tiles.select("image_id", "bytes", "w", "h", "fmt",
+                  "x_origin", "y_origin", "cell_width", "cell_height")
+     .mapInPandas(run, schema="n long").agg({"n": "sum"}).collect())
