@@ -657,6 +657,44 @@ def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polys.mapInPandas(run, schema=schema)
 
 
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_geojpeg's codec under the gate: per raw tile, stretch to a
+    gray image, encode with the pure-numpy T.81 codec, decode the bytes
+    back, and emit dims + the BASELINE lossy invariant (PSNR ≥ 40 dB)
+    as a recomputed boolean. The oracle pins dims and asserts the gate
+    held for every row — a hash match proves the encode AND decode ran
+    and met the fidelity contract (exact pixel equality is impossible
+    for a lossy codec by design, so the CONTRACT is the oracle)."""
+    import pandas as pd
+
+    from rasters_spark import codec
+    from rasters_spark.functions import jpeg as jpeglib
+
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw' and image_id < 'img000000000200'")
+    schema = "image_id string, width int, height int, psnr_ge_40 boolean"
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode_tile(r.bytes, int(r.w), int(r.h), r.fmt)
+                lo, hi = np.nanmin(arr), np.nanmax(arr)
+                span = (hi - lo) or 1.0
+                img = np.clip(np.rint(np.nan_to_num((arr - lo) / span, nan=0.0) * 255),
+                              0, 255).astype(np.uint8)
+                back = jpeglib.decode_jpeg(jpeglib.encode_jpeg(img, quality=95))
+                rows.append({
+                    "image_id": r.image_id,
+                    "width": int(back.shape[1]), "height": int(back.shape[0]),
+                    "psnr_ge_40": bool(jpeglib.psnr(img, back) >= 40.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return t.mapInPandas(run, schema=schema)
+
+
 def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster.to_geotiff → decode back (functions/geotiff.py, pure-python
     TIFF 6.0 + GeoTIFF 1.1 subset). Output carries the deterministic
@@ -955,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipolygon_pip": q_multipolygon_pip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "stream_point_join": q_stream_point_join,
+        "jpeg_roundtrip": q_jpeg_roundtrip,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1351,6 +1390,10 @@ def oracle_sql() -> dict[str, str]:
             select p.point_id, g.poly_id, p.x, p.y, g.burn_value
             from {points} p cross join (select * from {polys} where is_rect) g
             where p.x >= g.xmin and p.x < g.xmax and p.y >= g.ymin and p.y < g.ymax
+        """,
+        "jpeg_roundtrip": f"""
+            select image_id, w as width, h as height, true as psnr_ge_40
+            from {tiles} where fmt = 'raw' and image_id < 'img000000000200'
         """,
         "gpkg_roundtrip": f"""
             select poly_id,
