@@ -4,8 +4,10 @@ AEQD/proj4 string builders, coordinate transforms, antimeridian test.
 No pyproj in this environment (SURVEY §7.5): the transform kernels are
 hand-written numpy implementations of the public Snyder (USGS PP 1395)
 formulas for the CRS subset the engine supports — geographic
-(EPSG:4326), UTM (transverse Mercator on WGS84), spherical AEQD, and
-spherical sinusoidal (the MODIS grid, +R=6371007.181).
+(EPSG:4326), UTM (transverse Mercator on WGS84), spherical AEQD,
+spherical sinusoidal (the MODIS grid, +R=6371007.181), spherical
+Albers equal-area conic (+proj=aea, the CONUS grids), and spherical
+Lambert azimuthal equal-area (+proj=laea, the EASE grids).
 Zone-number quirks are transcribed EXACTLY from the reference:
 
 - ``local_UTM_proj4`` uses ``int((lon+180)/6)`` WITHOUT the +1,
@@ -169,6 +171,63 @@ def _sinu_inverse(x, y, lon0, r):
 _MODIS_R = 6371007.181
 
 
+def _aea_forward(lon, lat, p):
+    """Spherical Albers equal-area conic (Snyder PP 1395 eq. 14-1..14-4):
+    n = (sinφ1+sinφ2)/2, C = cos²φ1+2n·sinφ1, ρ = R√(C−2n·sinφ)/n,
+    θ = n(λ−λ0); x = ρ·sinθ, y = ρ0 − ρ·cosθ."""
+    phi = np.radians(lat)
+    n, c0, rho0, r = p["n"], p["c0"], p["rho0"], p["r"]
+    rho = r * np.sqrt(np.maximum(c0 - 2.0 * n * np.sin(phi), 0.0)) / n
+    theta = n * np.radians(lon - p["lon0"])
+    return rho * np.sin(theta) + p["x0"], rho0 - rho * np.cos(theta) + p["y0"]
+
+
+def _aea_inverse(x, y, p):
+    """Snyder eq. 14-8..14-11; for n<0 the signs of x, ρ0−y, ρ flip
+    before the arctan (Snyder p. 100 note)."""
+    n, c0, rho0, r = p["n"], p["c0"], p["rho0"], p["r"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = rho0 - (np.asarray(y, np.float64) - p["y0"])
+    rho = np.hypot(xx, yy)
+    sgn = 1.0 if n >= 0 else -1.0
+    theta = np.arctan2(sgn * xx, sgn * yy)
+    phi = np.arcsin(np.clip((c0 - (rho * n / r) ** 2) / (2.0 * n), -1.0, 1.0))
+    return p["lon0"] + np.degrees(theta / n), np.degrees(phi)
+
+
+def _laea_forward(lon, lat, p):
+    """Spherical Lambert azimuthal equal-area, the EASE-Grid projection
+    (Snyder eq. 24-2, 22-4): k' = √(2/(1+sinφ0·sinφ+cosφ0·cosφ·cosΔλ)),
+    x = R·k'·cosφ·sinΔλ, y = R·k'·(cosφ0·sinφ − sinφ0·cosφ·cosΔλ).
+    The antipode of the center (denominator → 0) maps to ±inf."""
+    phi = np.radians(lat)
+    dlam = np.radians(lon - p["lon0"])
+    phi0, r = np.radians(p["lat0"]), p["r"]
+    denom = 1.0 + np.sin(phi0) * np.sin(phi) + np.cos(phi0) * np.cos(phi) * np.cos(dlam)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kp = np.sqrt(2.0 / denom)
+    x = r * kp * np.cos(phi) * np.sin(dlam)
+    y = r * kp * (np.cos(phi0) * np.sin(phi) - np.sin(phi0) * np.cos(phi) * np.cos(dlam))
+    return x + p["x0"], y + p["y0"]
+
+
+def _laea_inverse(x, y, p):
+    """Snyder eq. 20-14..20-18 with c = 2·arcsin(ρ/2R) (eq. 24-16)."""
+    phi0, lam0, r = np.radians(p["lat0"]), np.radians(p["lon0"]), p["r"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = np.asarray(y, np.float64) - p["y0"]
+    rho = np.hypot(xx, yy)
+    c = 2.0 * np.arcsin(np.clip(rho / (2.0 * r), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = np.where(rho == 0, phi0,
+                       np.arcsin(np.clip(np.cos(c) * np.sin(phi0)
+                                         + yy * np.sin(c) * np.cos(phi0)
+                                         / np.where(rho == 0, 1, rho), -1.0, 1.0)))
+    lam = lam0 + np.arctan2(xx * np.sin(c),
+                            rho * np.cos(phi0) * np.cos(c) - yy * np.sin(phi0) * np.sin(c))
+    return np.degrees(lam), np.degrees(phi)
+
+
 def _proj4_param(c: str, key: str, default: float) -> float:
     return float(c.split(f"+{key}=")[1].split()[0]) if f"+{key}=" in c else default
 
@@ -195,7 +254,30 @@ def _parse_crs(crs: str) -> dict:
         return {"kind": "sinu",
                 "lon0": _proj4_param(c, "lon_0", 0.0),
                 "r": _proj4_param(c, "R", _proj4_param(c, "a", _MODIS_R))}
-    raise ValueError(f"unsupported CRS: {crs!r} (supported: EPSG:4326, UTM, AEQD, sinusoidal)")
+    if "+proj=aea" in c:
+        # Albers equal-area conic (spherical): precompute the cone
+        # constants once per CRS string, not per row
+        lat1 = _proj4_param(c, "lat_1", 29.5)
+        lat2 = _proj4_param(c, "lat_2", 45.5)
+        lat0 = _proj4_param(c, "lat_0", 0.0)
+        r = _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))
+        n = (np.sin(np.radians(lat1)) + np.sin(np.radians(lat2))) / 2.0
+        if n == 0:
+            raise ValueError(f"degenerate Albers cone (lat_1 = -lat_2): {crs!r}")
+        c0 = np.cos(np.radians(lat1)) ** 2 + 2.0 * n * np.sin(np.radians(lat1))
+        rho0 = r * np.sqrt(max(c0 - 2.0 * n * np.sin(np.radians(lat0)), 0.0)) / n
+        return {"kind": "aea", "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+                "r": r, "n": n, "c0": c0, "rho0": rho0}
+    if "+proj=laea" in c:
+        return {"kind": "laea",
+                "lat0": _proj4_param(c, "lat_0", 0.0),
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+                "r": _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))}
+    raise ValueError(
+        f"unsupported CRS: {crs!r} (supported: EPSG:4326, UTM, AEQD, sinusoidal, "
+        f"Albers equal-area conic, Lambert azimuthal equal-area)")
 
 
 def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
@@ -210,6 +292,10 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _tm_inverse(np.asarray(x, np.float64), yy, s["lon0"])
     elif s["kind"] == "sinu":
         lon, lat = _sinu_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["r"])
+    elif s["kind"] == "aea":
+        lon, lat = _aea_inverse(x, y, s)
+    elif s["kind"] == "laea":
+        lon, lat = _laea_inverse(x, y, s)
     else:
         lon, lat = _aeqd_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["lat0"])
     # geographic → target
@@ -225,6 +311,10 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return xt, yt
     if d["kind"] == "sinu":
         return _sinu_forward(lon, lat, d["lon0"], d["r"])
+    if d["kind"] == "aea":
+        return _aea_forward(lon, lat, d)
+    if d["kind"] == "laea":
+        return _laea_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])
 
 

@@ -238,6 +238,102 @@ def test_transform_roundtrip_sinusoidal():
     assert xu[0] == pytest.approx(eu[0], abs=1e-6) and yu[0] == pytest.approx(ev[0], abs=1e-6)
 
 
+def _area_scale(crs: str, lon: float, lat: float) -> float:
+    """Numerical Jacobian determinant of the forward map over the sphere
+    area element R²·cosφ·dλ·dφ — exactly 1 for an equal-area projection."""
+    h = 1e-5
+    xe, ye = C.transform_xy_np(np.array([lon + h, lon - h]), np.array([lat, lat]),
+                               "EPSG:4326", crs)
+    xn, yn = C.transform_xy_np(np.array([lon, lon]), np.array([lat + h, lat - h]),
+                               "EPSG:4326", crs)
+    dx_dlam = (xe[0] - xe[1]) / np.radians(2 * h)
+    dy_dlam = (ye[0] - ye[1]) / np.radians(2 * h)
+    dx_dphi = (xn[0] - xn[1]) / np.radians(2 * h)
+    dy_dphi = (yn[0] - yn[1]) / np.radians(2 * h)
+    jac = abs(dx_dlam * dy_dphi - dx_dphi * dy_dlam)
+    return jac / (6371000.0 ** 2 * np.cos(np.radians(lat)))
+
+
+def test_transform_roundtrip_albers():
+    """Spherical Albers equal-area conic (Snyder eq. 14-1..14-11):
+    pinned forward values from the transcribed cone constants, 1e-8°
+    round trip, origin anchor, false easting/northing, unit area scale,
+    and a southern-hemisphere cone (n < 0)."""
+    conus = "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +R=6371000"
+    lon = np.array([-96.0, -75.0, -122.5, -67.1])
+    lat = np.array([23.0, 35.0, 48.7, 45.0])
+    x, y = C.transform_xy_np(lon, lat, "EPSG:4326", conus)
+    # pinned forward: independent transcription of the same equations
+    R = 6371000.0
+    n = (np.sin(np.radians(29.5)) + np.sin(np.radians(45.5))) / 2
+    C0 = np.cos(np.radians(29.5)) ** 2 + 2 * n * np.sin(np.radians(29.5))
+    rho = R * np.sqrt(C0 - 2 * n * np.sin(np.radians(lat))) / n
+    rho0 = R * np.sqrt(C0 - 2 * n * np.sin(np.radians(23.0))) / n
+    th = n * np.radians(lon + 96.0)
+    np.testing.assert_allclose(x, rho * np.sin(th), rtol=1e-13)
+    np.testing.assert_allclose(y, rho0 - rho * np.cos(th), rtol=1e-13)
+    assert x[0] == 0.0 and y[0] == 0.0  # projection origin
+    lon2, lat2 = C.transform_xy_np(x, y, conus, "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    # equal-area: numerical Jacobian over the sphere area element = 1
+    for lo, la in [(-75.0, 35.0), (-122.5, 48.7)]:
+        assert _area_scale(conus, lo, la) == pytest.approx(1.0, abs=1e-6)
+    # false easting/northing shift outputs and invert cleanly
+    off = conus + " +x_0=2000000 +y_0=500000"
+    xo, yo = C.transform_xy_np(lon[:2], lat[:2], "EPSG:4326", off)
+    np.testing.assert_allclose(xo, x[:2] + 2000000.0, rtol=1e-13)
+    np.testing.assert_allclose(yo, y[:2] + 500000.0, rtol=1e-13)
+    lo2, la2 = C.transform_xy_np(xo, yo, off, "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon[:2], atol=1e-8)
+    # southern cone (n < 0) — the sign-flip branch of the inverse arctan
+    south = "+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=-30 +lon_0=135 +R=6371000"
+    xs, ys = C.transform_xy_np(np.array([120.0, 150.0]), np.array([-25.0, -40.0]),
+                               "EPSG:4326", south)
+    ls, ps = C.transform_xy_np(xs, ys, south, "EPSG:4326")
+    np.testing.assert_allclose(ls, [120.0, 150.0], atol=1e-8)
+    np.testing.assert_allclose(ps, [-25.0, -40.0], atol=1e-8)
+
+
+def test_transform_roundtrip_laea():
+    """Spherical Lambert azimuthal equal-area, the EASE-Grid projection
+    (Snyder eq. 24-2/22-4 forward, 20-14..20-18 + 24-16 inverse):
+    pinned forward k', 1e-8° round trip, center anchor, unit area
+    scale, polar aspect, and chaining through geographic to UTM."""
+    ease_n = "+proj=laea +lat_0=90 +lon_0=0 +R=6371000"  # EASE north aspect
+    oblique = "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +R=6371000"
+    lon = np.array([10.0, -5.5, 31.0, 24.8])
+    lat = np.array([52.0, 40.1, 64.9, 45.0])
+    x, y = C.transform_xy_np(lon, lat, "EPSG:4326", oblique)
+    # center maps exactly to the false origin
+    assert x[0] == pytest.approx(4321000.0, abs=1e-9)
+    assert y[0] == pytest.approx(3210000.0, abs=1e-9)
+    # pinned forward via independently transcribed k'
+    R, phi0 = 6371000.0, np.radians(52.0)
+    phi, dlam = np.radians(lat), np.radians(lon - 10.0)
+    kp = np.sqrt(2.0 / (1 + np.sin(phi0) * np.sin(phi)
+                        + np.cos(phi0) * np.cos(phi) * np.cos(dlam)))
+    np.testing.assert_allclose(x - 4321000.0, R * kp * np.cos(phi) * np.sin(dlam),
+                               rtol=1e-13, atol=1e-6)
+    np.testing.assert_allclose(
+        y - 3210000.0,
+        R * kp * (np.cos(phi0) * np.sin(phi) - np.sin(phi0) * np.cos(phi) * np.cos(dlam)),
+        rtol=1e-13, atol=1e-6)
+    lon2, lat2 = C.transform_xy_np(x, y, oblique, "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    for lo, la in [(-5.5, 40.1), (31.0, 64.9)]:
+        assert _area_scale(oblique, lo, la) == pytest.approx(1.0, abs=1e-6)
+    # polar aspect: the pole is the origin; round trip at high latitude
+    xp, yp = C.transform_xy_np(np.array([45.0]), np.array([75.0]), "EPSG:4326", ease_n)
+    lp, pp = C.transform_xy_np(xp, yp, ease_n, "EPSG:4326")
+    assert lp[0] == pytest.approx(45.0, abs=1e-8) and pp[0] == pytest.approx(75.0, abs=1e-8)
+    # laea → UTM chains through geographic like every other pair
+    xu, yu = C.transform_xy_np(x[1:2], y[1:2], oblique, "EPSG:32630")
+    eu, ev = C.transform_xy_np(lon[1:2], lat[1:2], "EPSG:4326", "EPSG:32630")
+    assert xu[0] == pytest.approx(eu[0], abs=1e-6) and yu[0] == pytest.approx(ev[0], abs=1e-6)
+
+
 def test_reproject_sinusoidal_accepts_modis_grid(spark):
     from rasters_spark.operators import resample
     from rasters_spark.tiles import load_tiles
