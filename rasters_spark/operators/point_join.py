@@ -49,12 +49,12 @@ def point_in_tile_join(
     exploded = "cell_id" in tiles_cells.columns
     if exploded:
         index = tiles_cells.drop(*payload_cols)
-        payload_src = tiles_cells.select("image_id", *payload_cols).dropDuplicates(["image_id"]) if payload_cols else None
+        payload_src = tiles_cells.drop("cell_id").dropDuplicates(["image_id"]) if payload_cols else None
     else:
         from rasters_spark.tiles import tiles_with_cells
 
         index = tiles_with_cells(tiles_cells.drop(*payload_cols), level)
-        payload_src = tiles_cells.select("image_id", *payload_cols) if payload_cols else None
+        payload_src = tiles_cells if payload_cols else None
     pts = points.withColumn("cell_id", cells.cell_id(F.col("x"), F.col("y"), level))
     if n_salts:
         index = index.withColumn(
@@ -78,7 +78,16 @@ def point_in_tile_join(
         # was broadcast-able → broadcast them and STREAM the payload scan
         # (no shuffle of pixel bytes). With a huge point side, fall back to
         # an AQE-planned equi-join on image_id.
-        matched = F.broadcast(j) if broadcast_points else j
-        cols = [c for c in j.columns] + list(payload_cols)
-        j = payload_src.join(matched, "image_id").select(*cols)
+        #
+        # The broadcast is SLIMMED to the per-match facts (point columns +
+        # image_id/cell_id + prow/pcol): tile geometry (grid/bbox/origins)
+        # is re-derived from the streamed payload scan instead of riding
+        # the serial driver collect — a few-MB hash relation instead of
+        # tens of MB of repeated structs (the measured ~1 s Amdahl term
+        # of the 2→8 scaling pair at sf1).
+        out_cols = [c for c in j.columns] + list(payload_cols)
+        tile_side = [c for c in index.columns if c not in ("image_id", "cell_id", key)]
+        slim = j.drop(*[c for c in tile_side if c in j.columns])
+        matched = F.broadcast(slim) if broadcast_points else slim
+        j = payload_src.join(matched, "image_id").select(*out_cols)
     return j
