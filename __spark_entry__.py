@@ -323,9 +323,19 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc (rows-only check: no portable 64-bit hash
-    exists across Spark/DuckDB; pinned by pytest recomputation)."""
+    """64-bit SimHash per doc (rows-only check: xxhash64 exists only in
+    Spark; pinned by pytest recomputation — see q_simhash_md5 for the
+    fully oracle-checked md5-bit variant of the same operator)."""
     return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with md5-derived bits (dedup.simhash_md5): the one hash
+    both engines compute identically, so the per-bit majority votes and
+    the packed 60-bit signature are exact-integer oracle-checked — the
+    cross-engine witness for the SimHash family's vote/pack semantics
+    (SURVEY §2 dedup row)."""
+    return dedup.simhash_md5(_docs(spark, sf_dir))
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,11 +799,34 @@ def q_grid_to_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG colormap render (rows-only: binary output pinned by the
-    round-trip decoder in pytest)."""
+    """PNG colormap render (raster.py:2158-2219 pipeline), oracle-checked
+    via the lossless-codec invariant: decode the rendered PNG back and
+    re-encode it — `roundtrip_exact` is true iff the bytes are identical
+    (PNG is lossless and the encoder is deterministic, so this proves
+    the encode AND decode ran correctly per row). The oracle pins dims
+    and asserts the flag for every row; a hash match certifies the whole
+    render→encode→decode→encode chain (was rows-only before r3)."""
+    import pandas as pd
+
     t = load_tiles(spark, sf_dir).filter("image_id < 'img000000000050'")
     out = renderfn.render_png(t)
-    return out.select("image_id", "w", "h", F.length("png").alias("png_bytes"))
+    schema = "image_id string, width int, height int, roundtrip_exact boolean"
+
+    def check(batches):
+        from rasters_spark.functions.render import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_png(r.png)
+                rows.append({
+                    "image_id": r.image_id,
+                    "width": int(img.shape[1]), "height": int(img.shape[0]),
+                    "roundtrip_exact": bool(encode_png(img) == bytes(r.png)),
+                })
+            yield pd.DataFrame(rows)
+
+    return out.mapInPandas(check, schema=schema)
 
 
 def q_polygons_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "stream_point_join": q_stream_point_join,
         "jpeg_roundtrip": q_jpeg_roundtrip,
+        "simhash_md5": q_simhash_md5,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1395,6 +1429,10 @@ def oracle_sql() -> dict[str, str]:
             select image_id, w as width, h as height, true as psnr_ge_40
             from {tiles} where fmt = 'raw' and image_id < 'img000000000200'
         """,
+        "media_render": f"""
+            select image_id, w as width, h as height, true as roundtrip_exact
+            from {tiles} where image_id < 'img000000000050'
+        """,
         "gpkg_roundtrip": f"""
             select poly_id,
                    cast(len(ring) as int) as n_points,
@@ -1614,6 +1652,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_dedup_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _JACCARD_SQL,
+        "simhash_md5": """
+            with tok as (
+              select doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) as tok
+              from documents
+            ),
+            th as (
+              select doc_id, cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h from tok
+            ),
+            vote as (
+              select doc_id, b.range as b,
+                     sum(case when (h >> b.range) & 1 = 1 then 1 else -1 end) as s
+              from th cross join range(60) b
+              group by doc_id, b.range
+            )
+            select doc_id,
+                   cast(sum(case when s > 0 then (cast(1 as bigint) << b) else cast(0 as bigint) end) as bigint) as simhash
+            from vote group by doc_id
+        """,
         "doc_stats": """
             select doc_id,
               cast(len(text) as int) as n_chars,

@@ -249,3 +249,28 @@ def simhash64(docs: DataFrame) -> DataFrame:
         for b in range(64)
     )
     return votes.select("doc_id", F.expr(packed_expr).alias("simhash"))
+
+
+def simhash_md5(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """Cross-engine-verifiable SimHash: identical to :func:`simhash64`
+    but the per-token hash is the first 15 hex chars of md5 (60 bits —
+    the widest hex slice that fits a signed bigint), which Spark and
+    DuckDB compute identically (`md5` is the one 128-bit hash both
+    engines ship). All math is exact integer → the signature has a full
+    SQL oracle twin, unlike the xxhash64 production variant whose hash
+    exists only in Spark. Same one-aggregation plan shape: ``bits``
+    compact SUMs with map-side combine, no per-bit explode."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(F.length("tok") > 0)
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.encode("tok", "utf-8")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = th.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"case when (shiftright(h, {b}) & 1) = 1 then 1 else -1 end")).alias(f"s{b}")
+        for b in range(bits)
+    ])
+    packed_expr = " | ".join(
+        f"(case when s{b} > 0 then shiftleft(cast(1 as bigint), {b}) else cast(0 as bigint) end)"
+        for b in range(bits)
+    )
+    return votes.select("doc_id", F.expr(packed_expr).alias("simhash"))

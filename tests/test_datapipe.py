@@ -49,6 +49,32 @@ def test_simhash_matches_python_recomputation(spark, docs):
         assert got[row.doc_id] == sig
 
 
+def test_simhash_md5_matches_python_recomputation(spark, docs):
+    """The md5-bit SimHash variant is fully portable: recompute whole
+    signatures in pure python hashlib (no Spark primitive needed, unlike
+    xxhash64 above) — this is exactly what makes it oracle-checkable."""
+    import hashlib
+
+    got = {r.doc_id: r.simhash for r in dedup.simhash_md5(docs).collect()}
+    for row in docs.limit(5).collect():
+        toks = [t for t in row.text.split(" ") if t]
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        sig = 0
+        for bit in range(60):
+            if sum(1 if (h >> bit) & 1 else -1 for h in hs) > 0:
+                sig |= 1 << bit
+        assert got[row.doc_id] == sig
+
+    # near-identical docs agree on most bits; unrelated docs don't
+    near = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog " * 8),
+         (1, "the quick brown fox jumps over the lazy cat " + "the quick brown fox jumps over the lazy dog " * 7),
+         (2, "completely different words entirely unrelated corpus tokens here now " * 8)],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_md5(near).collect()}
+    assert bin(sigs[0] ^ sigs[1]).count("1") < bin(sigs[0] ^ sigs[2]).count("1")
+
+
 def test_lsh_cosine_recall(spark, emb):
     q = emb.filter("vec_id < 20")
     exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, q, k=5).collect()}
