@@ -41,23 +41,37 @@ def knn_tiles(
     flagship. Points with fewer than k candidates return what exists
     (reference: fill_value for misses, kdtree.py:300-310).
     """
-    payload_free = tiles.select("image_id", "grid", "bbox")
+    # Ring expansion rides the STREAMED tile index, not the broadcast:
+    # point p (cell c) matches tile t iff some footprint cell of t is
+    # within Chebyshev R of c ⟺ c lies in the union of R-rings around
+    # t's footprint cells — the same candidate set either way (dups
+    # collapse in collect_set below). Exploding the big side is a
+    # parallel map over the scan; exploding the point side ×(2R+1)²
+    # before F.broadcast made the serial driver collect 25× fatter.
+    # (the tile CENTROID is flattened to two doubles BEFORE any explode —
+    # nested grid-field extraction through stacked Generate nodes trips
+    # Spark's INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND schema-pruning bug, and
+    # two doubles are narrower than the grid struct anyway)
+    g = F.col("grid")
+    flat = tiles.select(
+        "image_id",
+        (g["x_origin"] + g["cell_width"] * g["cols"].cast("double") / 2.0).alias("_cx"),
+        (g["y_origin"] + g["cell_height"] * g["rows"].cast("double") / 2.0).alias("_cy"),
+        *(["cell_id"] if "cell_id" in tiles.columns else ["bbox"]),
+    )
     if "cell_id" not in tiles.columns:
-        from rasters_spark.tiles import tiles_with_cells
-
-        index = tiles_with_cells(payload_free, level)
-    else:
-        index = tiles.select("image_id", "grid", "bbox", "cell_id")
-
+        flat = flat.withColumn(
+            "cell_id", F.explode(cells.cells_for_bbox(F.col("bbox"), level))).drop("bbox")
+    index = flat.select(
+        "image_id", "_cx", "_cy",
+        F.explode(cells.ring_cells(F.col("cell_id"), level, ring)).alias("cell_id"),
+    )
     pts = points.select(
         "point_id", "x", "y",
-        F.explode(cells.ring_cells(cells.cell_id(F.col("x"), F.col("y"), level), level, ring)).alias("cell_id"),
+        cells.cell_id(F.col("x"), F.col("y"), level).alias("cell_id"),
     )
-    g = F.col("grid")
-    cx = g["x_origin"] + g["cell_width"] * g["cols"].cast("double") / 2.0
-    cy = g["y_origin"] + g["cell_height"] * g["rows"].cast("double") / 2.0
-    dx = cx - F.col("x")
-    dy = cy - F.col("y")
+    dx = F.col("_cx") - F.col("x")
+    dy = F.col("_cy") - F.col("y")
     j = (
         index.join(F.broadcast(pts), "cell_id")
         # dx*dx, not pow(dx,2): plain multiplication is bit-identical across
