@@ -362,6 +362,19 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk(e, e.filter("vec_id < 20"), k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-k-means coarse quantizer (deterministic
+    id-prefix init, fixed Lloyd rounds) → probe nprobe/nlist of the
+    corpus per query, exact cosine within. Rows-only: the centroid
+    means are float sums whose accumulation order differs across
+    engines (CLAUDE.md oracle rule — never oracle a float SUM over
+    inexact products); recall ≥0.7 vs the exact brute force and full
+    determinism are asserted in tests/test_datapipe.py instead."""
+    e = _emb(spark, sf_dir)
+    return similarity.ivf_cosine_topk(e, e.filter("vec_id < 20"), k=5,
+                                      nlist=16, nprobe=4, iters=3)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at cos ≥ 0.999 via BANDED
     sign-LSH (4 bands × 12 planes) + exact verify, over the embeddings
@@ -1028,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_point_join": q_stream_point_join,
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "simhash_md5": q_simhash_md5,
+        "ivf_topk": q_ivf_topk,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,

@@ -217,3 +217,102 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     # identical (negcos, vec_id, cos) structs → collect_set collapses
     # them inside the same single aggregation that ranks
     return _topk_by_cos(j.withColumn("cos", cos), k, dedup=True)
+
+
+def ivf_fit(embeddings: DataFrame, nlist: int = 16, iters: int = 4,
+            dims: int = 64, fit_ids: int | None = None) -> DataFrame:
+    """Spherical k-means coarse quantizer for an IVF index →
+    (cluster long, centroid array<double>), fully deterministic.
+
+    - init: the first ``nlist`` vectors by vec_id order (id-range
+      filter, not .sample() — byte-deterministic across runs/engines);
+    - ``iters`` Lloyd rounds: assign by max cosine vs broadcast
+      centroids (map-only O(N·nlist) scan), update by element-wise mean
+      via posexplode → groupBy(cluster, pos) — ``dims``× row fanout
+      through ONE exchange per round, the standard distributed-k-means
+      shape;
+    - ``fit_ids``: train on the deterministic id-prefix sample of this
+      many vectors (the 10^12-row story: fit the quantizer on a sample,
+      assign the full corpus once — training cost decouples from corpus
+      size). None = fit on everything.
+
+    Empty clusters keep their previous centroid (localCheckpoint per
+    round cuts the lineage like dup_groups' label propagation).
+    """
+    e = embeddings.select("vec_id", "embedding")
+    if fit_ids is not None:
+        e = e.filter(F.col("vec_id") < fit_ids)
+    from pyspark.sql import Window
+
+    cents = (
+        e.orderBy("vec_id").limit(nlist)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("long").alias("cluster"),
+            F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _ivf_assign(e, cents)
+        sums = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos").agg(F.sum(F.col("v").cast("double")).alias("s"),
+                                           F.count("v").alias("n"))
+        )
+        new = (
+            sums.withColumn("m", F.col("s") / F.col("n"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform(F.col("pm"), lambda t: t["m"]).alias("centroid"))
+        )
+        # empty clusters: keep previous centroid
+        cents = (
+            cents.alias("old").join(new.alias("new"), "cluster", "left")
+            .select("cluster", F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _ivf_assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Each vector → its max-cosine cluster (broadcast centroids,
+    map-only; ONE fused aggregation picks the argmax)."""
+    j = embeddings.crossJoin(F.broadcast(cents))
+    cos = _dot(F.col("embedding"), F.col("centroid")) / (
+        _norm(F.col("embedding")) * _norm(F.col("centroid")))
+    best = j.select("vec_id", "embedding", "cluster", cos.alias("cos")).groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cluster")).alias("negc"))).alias("b"),
+        F.first("embedding").alias("embedding"),
+    )
+    return best.select("vec_id", "embedding", (-F.col("b")["negc"]).cast("long").alias("cluster"))
+
+
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    nlist: int = 16, nprobe: int = 4, iters: int = 4,
+                    dims: int = 64, fit_ids: int | None = None) -> DataFrame:
+    """IVF ANN (the reference-free scale path the brief names beside
+    LSH): coarse-quantize the corpus into ``nlist`` inverted lists,
+    probe the ``nprobe`` nearest lists per query, exact cosine within.
+
+    Scale shape: probed fraction ≈ nprobe/nlist of the corpus per query
+    — with nlist ~ √N the candidate scan is O(Q·√N·nprobe); the posting
+    lists are the natural bucketed-write partitioning (tableio) at rest.
+    Rows-only contract entry: centroid means are float sums whose
+    accumulation order differs across engines (CLAUDE.md oracle rule),
+    so recall is asserted against the exact brute force in tests
+    instead. → (query_id, vec_id, rank, cos)."""
+    cents = ivf_fit(embeddings, nlist, iters, dims, fit_ids)
+    inv = _ivf_assign(embeddings.select("vec_id", "embedding"), cents)
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    qj = q.crossJoin(F.broadcast(cents))
+    qcos = _dot(F.col("qe"), F.col("centroid")) / (_norm(F.col("qe")) * _norm(F.col("centroid")))
+    probes = (
+        qj.select("query_id", "qe", "cluster", qcos.alias("cos"))
+        .groupBy("query_id").agg(
+            F.slice(F.array_sort(F.collect_list(F.struct(
+                (-F.col("cos")).alias("negcos"), F.col("cluster").alias("cluster")))), 1, nprobe).alias("p"),
+            F.first("qe").alias("qe"))
+        .select("query_id", "qe", F.explode(F.transform(F.col("p"), lambda t: t["cluster"])).alias("cluster"))
+    )
+    j = inv.join(F.broadcast(probes), "cluster").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
+    return _topk_by_cos(j.withColumn("cos", cos), k)

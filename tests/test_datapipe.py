@@ -49,6 +49,23 @@ def test_simhash_matches_python_recomputation(spark, docs):
         assert got[row.doc_id] == sig
 
 
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    """IVF ANN: recall vs exact brute force on the near-orthogonal
+    fixtures (the hard case for any coarse quantizer) and bit-exact
+    determinism across two full fits (id-prefix init, fixed rounds)."""
+    q = emb.filter("vec_id < 20")
+    brute = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    got = similarity.ivf_cosine_topk(emb, q, k=5, nlist=16, nprobe=4, iters=3).collect()
+    hits = sum(1 for r in got if (r.query_id, r.vec_id) in brute)
+    assert hits / len(brute) >= 0.7  # measured 0.82 probing 4/16 lists
+    again = similarity.ivf_cosine_topk(emb, q, k=5, nlist=16, nprobe=4, iters=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # the quantizer itself: nlist centroids, every corpus vector assigned
+    cents = similarity.ivf_fit(emb, nlist=16, iters=3)
+    assert cents.count() == 16
+    assert similarity._ivf_assign(emb.select("vec_id", "embedding"), cents).count() == emb.count()
+
+
 def test_simhash_md5_matches_python_recomputation(spark, docs):
     """The md5-bit SimHash variant is fully portable: recompute whole
     signatures in pure python hashlib (no Spark primitive needed, unlike
