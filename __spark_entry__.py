@@ -72,6 +72,22 @@ def q_tile_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_with_cells(load_tiles(spark, sf_dir)).select("image_id", "cell_id")
 
 
+def q_tile_z_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) id of each tile's center — the data-LAYOUT key
+    (cells.z_cell_id): sorting/bucketing the 10^12-row table by this id
+    keeps spatial neighborhoods in O(1) contiguous id ranges so
+    parquet/Iceberg min-max stats prune range scans (Delta/Iceberg
+    Z-ORDER clustering, re-expressed as closed-form magic-mask integer
+    SQL). Oracle: the identical bit math in DuckDB (cells.z_cell_id_sql)
+    — bit-for-bit, all 56 interleaved bits hash-checked."""
+    from rasters_spark import cells as C
+
+    t = load_tiles(spark, sf_dir)
+    cx = F.col("x_origin") + F.col("cell_width") * F.col("w").cast("double") / 2.0
+    cy = F.col("y_origin") + F.col("cell_height") * F.col("h").cast("double") / 2.0
+    return t.select("image_id", C.z_cell_id(cx, cy, fixtures.CELL_LEVEL).alias("z_id"))
+
+
 def q_tile_windows_for_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped read-windows of each tile for each rectangle polygon —
     the reference's RasterGrid.window (raster_grid.py:770-815) as a join.
@@ -1042,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "simhash_md5": q_simhash_md5,
         "ivf_topk": q_ivf_topk,
+        "tile_z_order": q_tile_z_order,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1388,6 +1405,12 @@ def oracle_sql() -> dict[str, str]:
             )
             select image_id, ({LEVEL} * {PACK} + iy * {IYS} + ix) as cell_id
             from t, unnest(range(t.iy0, t.iy1 + 1)) as ry(iy), unnest(range(t.ix0, t.ix1 + 1)) as rx(ix)
+        """,
+        "tile_z_order": f"""
+            select image_id,
+                   {cells.z_cell_id_sql("x_origin + cell_width * w / 2.0",
+                                        "y_origin + cell_height * h / 2.0", LEVEL)} as z_id
+            from {tiles}
         """,
         "tile_windows_for_polygons": f"""
             with w as (

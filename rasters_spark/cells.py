@@ -166,3 +166,59 @@ def salted(cid, n_salts: int) -> Column:
 
 def salt_of(unique_col, n_salts: int) -> Column:
     return F.pmod(F.xxhash64(_col(unique_col)), F.lit(n_salts))
+
+
+# --- Z-order (Morton) ids: file-level spatial clustering ----------------------
+#
+# The (level, iy, ix) packing above is the JOIN key; its row-major layout
+# gives contiguous id ranges only along x. For DATA LAYOUT at 10^12 rows
+# — sorting/bucketing the tile table so parquet/Iceberg min-max stats
+# prune spatial range scans — interleave the bits instead: Morton order
+# keeps any 2-D neighborhood inside O(1) short id ranges (the same
+# trick as Delta/Iceberg Z-ORDER clustering). Pure integer magic-mask
+# math → identical in Spark SQL and the DuckDB oracle, no UDFs.
+
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(c: Column) -> Column:
+    """Spread the low 28 bits of ``c`` into the even bit positions
+    (classic magic-mask bit dilation, public domain)."""
+    out = _col(c)
+    for shift, mask in _SPREAD_MASKS:
+        out = F.shiftleft(out, shift).bitwiseOR(out).bitwiseAND(F.lit(mask))
+    return out
+
+
+def z_cell_id(lon, lat, level: int) -> Column:
+    """(lon, lat) → Morton-interleaved cell id at ``level``:
+    ``(level << 57) | interleave(iy, ix)`` (x in even bits, y in odd;
+    56 interleaved bits + 5 level bits fit a signed int64)."""
+    zx = _spread_bits(cell_ix(lon, level))
+    zy = _spread_bits(cell_iy(lat, level))
+    return (
+        F.lit(level).cast("long") * F.lit(1 << 57)
+        + F.shiftleft(zy, 1).bitwiseOR(zx)
+    )
+
+
+def z_cell_id_sql(lon_expr: str, lat_expr: str, level: int) -> str:
+    """The same Morton id as an ANSI-SQL string (DuckDB oracle twin —
+    bit-identical integer math, same masks)."""
+    size = repr(cell_size_deg(level))
+    nx, ny = 2 * (1 << level), 1 << level
+    ix = f"greatest(0, least({nx - 1}, cast(floor((({lon_expr}) + 180.0) / {size}) as bigint)))"
+    iy = f"greatest(0, least({ny - 1}, cast(floor((90.0 - ({lat_expr})) / {size}) as bigint)))"
+
+    def spread(e: str) -> str:
+        for shift, mask in _SPREAD_MASKS:
+            e = f"((({e}) << {shift} | ({e})) & {mask})"
+        return e
+
+    return f"({level} * {1 << 57} + (({spread(iy)}) << 1 | {spread(ix)}))"
