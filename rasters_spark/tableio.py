@@ -167,3 +167,29 @@ def partition_metrics(df: DataFrame) -> list[dict]:
 
     rows = df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     return [{"partition": r.pid, "rows": r["count"]} for r in sorted(rows, key=lambda r: r.pid)]
+
+
+def write_zordered(df: DataFrame, path: str, level: int | None = None,
+                   n_files: int = 8) -> None:
+    """Rewrite a tile table CLUSTERED by Morton id (cells.z_cell_id of
+    the tile center) — the spatial-layout lever complementing
+    write_bucketed's join lever: after a range-repartition + in-file
+    sort on the interleaved id, any bbox query touches O(1) contiguous
+    id ranges, so parquet row-group min/max stats (and an Iceberg
+    manifest's partition bounds) prune the scan instead of reading the
+    world. The Iceberg analogue is `sort_order(z)` table maintenance /
+    Delta Z-ORDER compaction.
+
+    Tests pin the measurable property: mean per-row-group z-id SPAN
+    shrinks by orders of magnitude vs insertion order
+    (tests/test_tableio_streaming.py)."""
+    from rasters_spark import cells, fixtures
+    from pyspark.sql import functions as F
+
+    lv = fixtures.CELL_LEVEL if level is None else level
+    cx = F.col("x_origin") + F.col("cell_width") * F.col("w").cast("double") / 2.0
+    cy = F.col("y_origin") + F.col("cell_height") * F.col("h").cast("double") / 2.0
+    z = df.withColumn("z_id", cells.z_cell_id(cx, cy, lv))
+    (z.repartitionByRange(n_files, "z_id")
+      .sortWithinPartitions("z_id")
+      .write.mode("overwrite").parquet(path))
