@@ -734,6 +734,60 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.mapInPandas(run, schema=schema)
 
 
+def q_gpkg_tiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster.to_geopackage (raster.py:1715-1741) as a tiles-type OGC
+    container: render each raw tile to PNG, write a one-tile GeoPackage
+    pyramid (zoom 0, 1×1 matrix, bbox from the grid), decode the
+    container back. Oracle pins the bbox doubles (exact grid arithmetic,
+    same order both engines) and the lossless png_exact/meta_ok flags —
+    a hash match certifies the sqlite container + tile-matrix metadata +
+    PNG payload all survived the round trip."""
+    import pandas as pd
+
+    from rasters_spark.functions import geopackage as gpkg
+
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw' and image_id < 'img000000000100'")
+    schema = ("image_id string, xmin double, ymin double, xmax double, ymax double, "
+              "meta_ok boolean, png_exact boolean")
+
+    def run(batches):
+        import numpy as np
+
+        from rasters_spark import codec
+        from rasters_spark.functions.render import encode_png
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode_tile(r.bytes, int(r.w), int(r.h), r.fmt)
+                lo, hi = np.nanmin(arr), np.nanmax(arr)
+                span = (hi - lo) or 1.0
+                img = np.clip(np.rint(np.nan_to_num((arr - lo) / span, nan=0.0) * 255),
+                              0, 255).astype(np.uint8)
+                png = encode_png(img)
+                xmin, ymax = r.x_origin, r.y_origin
+                xmax = r.x_origin + r.cell_width * int(r.w)
+                ymin = r.y_origin + r.cell_height * int(r.h)
+                blob = gpkg.encode_gpkg_tiles(
+                    "tiles", [{"tile_column": 0, "tile_row": 0, "png": png}],
+                    (xmin, ymin, xmax, ymax), zoom=0, matrix_w=1, matrix_h=1,
+                    tile_w=int(r.w), tile_h=int(r.h),
+                    pixel_x=abs(r.cell_width), pixel_y=abs(r.cell_height))
+                back = gpkg.decode_gpkg_tiles(blob)
+                rows.append({
+                    "image_id": r.image_id,
+                    "xmin": back["bbox"][0], "ymin": back["bbox"][1],
+                    "xmax": back["bbox"][2], "ymax": back["bbox"][3],
+                    "meta_ok": bool(back["zoom"] == 0 and back["matrix"] == (1, 1)
+                                    and back["tile_size"] == (int(r.w), int(r.h))),
+                    "png_exact": bool(len(back["tiles"]) == 1
+                                      and bytes(back["tiles"][0]["png"]) == png),
+                })
+            yield pd.DataFrame(rows)
+
+    return t.mapInPandas(run, schema=schema)
+
+
 def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster.to_geotiff → decode back (functions/geotiff.py, pure-python
     TIFF 6.0 + GeoTIFF 1.1 subset). Output carries the deterministic
@@ -1059,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5": q_simhash_md5,
         "ivf_topk": q_ivf_topk,
         "tile_z_order": q_tile_z_order,
+        "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1469,6 +1524,15 @@ def oracle_sql() -> dict[str, str]:
         "media_render": f"""
             select image_id, w as width, h as height, true as roundtrip_exact
             from {tiles} where image_id < 'img000000000050'
+        """,
+        "gpkg_tiles_roundtrip": f"""
+            select image_id,
+                   x_origin as xmin,
+                   y_origin + cell_height * h as ymin,
+                   x_origin + cell_width * w as xmax,
+                   y_origin as ymax,
+                   true as meta_ok, true as png_exact
+            from {tiles} where fmt = 'raw' and image_id < 'img000000000100'
         """,
         "gpkg_roundtrip": f"""
             select poly_id,

@@ -235,3 +235,100 @@ def save_geopackage(df, out_dir: str, layer: str = "features",
         yield pd.DataFrame({"n": [len(feats)]})
 
     df.mapInPandas(run, schema="n long").agg({"n": "sum"}).collect()
+
+
+# --- raster tiles (OGC GeoPackage `tiles` data type) --------------------------
+#
+# Reference: Raster.to_geopackage (raster.py:1715-1741) delegates to the
+# GPKG rasterio driver; here the tile pyramid tables are written with the
+# same stdlib-sqlite machinery as the vector side and the tile payload is
+# the engine's own PNG codec (functions/render.py).
+
+def _init_tile_tables(con: sqlite3.Connection, table: str, srs_id: int,
+                      bbox: tuple[float, float, float, float],
+                      zoom: int, mw: int, mh: int, tw: int, th: int,
+                      px: float, py: float) -> None:
+    con.execute("""CREATE TABLE IF NOT EXISTS gpkg_tile_matrix_set (
+        table_name TEXT PRIMARY KEY, srs_id INTEGER NOT NULL,
+        min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL,
+        max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)""")
+    con.execute("""CREATE TABLE IF NOT EXISTS gpkg_tile_matrix (
+        table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL,
+        matrix_width INTEGER NOT NULL, matrix_height INTEGER NOT NULL,
+        tile_width INTEGER NOT NULL, tile_height INTEGER NOT NULL,
+        pixel_x_size DOUBLE NOT NULL, pixel_y_size DOUBLE NOT NULL,
+        CONSTRAINT pk_ttm PRIMARY KEY (table_name, zoom_level))""")
+    con.execute("INSERT INTO gpkg_tile_matrix_set VALUES (?,?,?,?,?,?)",
+                (table, srs_id, *bbox))
+    con.execute("INSERT INTO gpkg_tile_matrix VALUES (?,?,?,?,?,?,?,?)",
+                (table, zoom, mw, mh, tw, th, px, py))
+    con.execute(f'''CREATE TABLE "{table}" (
+        id INTEGER PRIMARY KEY, zoom_level INTEGER NOT NULL,
+        tile_column INTEGER NOT NULL, tile_row INTEGER NOT NULL,
+        tile_data BLOB NOT NULL,
+        UNIQUE (zoom_level, tile_column, tile_row))''')
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+        "min_x, min_y, max_x, max_y, srs_id) VALUES (?, 'tiles', ?, ?, ?, ?, ?, ?)",
+        (table, table, *bbox, srs_id))
+
+
+def encode_gpkg_tiles(table: str, tiles: list[dict],
+                      bbox: tuple[float, float, float, float],
+                      zoom: int, matrix_w: int, matrix_h: int,
+                      tile_w: int, tile_h: int,
+                      pixel_x: float, pixel_y: float,
+                      srs_id: int = 4326) -> bytes:
+    """Single-pyramid GeoPackage → bytes. ``tiles``: dicts with
+    tile_column, tile_row, png (the encoded payload). Deterministic
+    for deterministic input (fixed rowids by (row, col) order)."""
+    fd, path = tempfile.mkstemp(suffix=".gpkg")
+    os.close(fd)
+    try:
+        con = sqlite3.connect(path)
+        with con:
+            _init_gpkg(con)
+            _init_tile_tables(con, table, srs_id, bbox, zoom,
+                              matrix_w, matrix_h, tile_w, tile_h, pixel_x, pixel_y)
+            ordered = sorted(tiles, key=lambda t: (t["tile_row"], t["tile_column"]))
+            con.executemany(
+                f'INSERT INTO "{table}" VALUES (?,?,?,?,?)',
+                [(i + 1, zoom, t["tile_column"], t["tile_row"], t["png"])
+                 for i, t in enumerate(ordered)])
+        con.close()
+        with open(path, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(path)
+
+
+def decode_gpkg_tiles(blob: bytes) -> dict:
+    """.gpkg bytes → {'table', 'bbox', 'zoom', 'matrix': (w,h),
+    'tile_size': (w,h), 'pixel_size': (x,y), 'tiles': [{row, col, png}]}."""
+    fd, path = tempfile.mkstemp(suffix=".gpkg")
+    os.close(fd)
+    try:
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        con = sqlite3.connect(path)
+        con.row_factory = sqlite3.Row
+        c = dict(con.execute(
+            "SELECT * FROM gpkg_contents WHERE data_type = 'tiles'").fetchone())
+        m = dict(con.execute(
+            "SELECT * FROM gpkg_tile_matrix WHERE table_name = ?",
+            (c["table_name"],)).fetchone())
+        rows = [
+            {"row": r["tile_row"], "col": r["tile_column"], "png": r["tile_data"]}
+            for r in con.execute(
+                f'SELECT * FROM "{c["table_name"]}" ORDER BY tile_row, tile_column')]
+        con.close()
+        return {
+            "table": c["table_name"],
+            "bbox": (c["min_x"], c["min_y"], c["max_x"], c["max_y"]),
+            "zoom": m["zoom_level"], "matrix": (m["matrix_width"], m["matrix_height"]),
+            "tile_size": (m["tile_width"], m["tile_height"]),
+            "pixel_size": (m["pixel_x_size"], m["pixel_y_size"]),
+            "tiles": rows,
+        }
+    finally:
+        os.unlink(path)

@@ -70,3 +70,37 @@ def test_save_geopackage_distributed_sink(spark, tmp_path):
                 got[feat["poly_id"]] = (len(rings[0]), feat["burn_value"])
     exp = {r.poly_id: (len(r.ring), r.burn_value) for r in polys.collect()}
     assert got == exp
+
+
+def test_gpkg_tiles_pyramid_roundtrip():
+    """Raster tiles container (raster.py:1715-1741 semantics): a 2x2
+    pyramid of PNG tiles survives encode->decode with metadata and
+    payload intact, in deterministic (row, col) order."""
+    import numpy as np
+
+    from rasters_spark.functions.geopackage import decode_gpkg_tiles, encode_gpkg_tiles
+    from rasters_spark.functions.render import decode_png, encode_png
+
+    pngs = {}
+    tiles = []
+    for row in (0, 1):
+        for col in (0, 1):
+            img = np.full((8, 8), 40 * (2 * row + col), dtype=np.uint8)
+            png = encode_png(img)
+            pngs[(row, col)] = png
+            tiles.append({"tile_column": col, "tile_row": row, "png": png})
+    blob = encode_gpkg_tiles("pyr", tiles, (-10.0, 40.0, -8.0, 42.0),
+                             zoom=0, matrix_w=2, matrix_h=2, tile_w=8, tile_h=8,
+                             pixel_x=0.125, pixel_y=0.125)
+    back = decode_gpkg_tiles(blob)
+    assert back["table"] == "pyr" and back["bbox"] == (-10.0, 40.0, -8.0, 42.0)
+    assert back["zoom"] == 0 and back["matrix"] == (2, 2)
+    assert back["tile_size"] == (8, 8) and back["pixel_size"] == (0.125, 0.125)
+    assert [(t["row"], t["col"]) for t in back["tiles"]] == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    for t in back["tiles"]:
+        assert bytes(t["png"]) == pngs[(t["row"], t["col"])]
+        assert decode_png(bytes(t["png"])).shape == (8, 8)
+    # deterministic container for deterministic input
+    assert encode_gpkg_tiles("pyr", tiles, (-10.0, 40.0, -8.0, 42.0),
+                             zoom=0, matrix_w=2, matrix_h=2, tile_w=8, tile_h=8,
+                             pixel_x=0.125, pixel_y=0.125) == blob
