@@ -345,6 +345,38 @@ def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
+def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV audio path (multimodal.decode_wav — stdlib RIFF/PCM):
+    synthesize a deterministic 800-sample PCM16 waveform per doc_id
+    (s_i = ((i·(3+d%7) + 11d) mod 65536) − 32768), run it through
+    encode_wav → decode_wav → audio_features. Every feature is exact
+    int64 arithmetic (plus two exact divisions), so the oracle
+    recomputes them from the same closed form in SQL — a hash match
+    certifies the WAV container round trip AND the feature kernel."""
+    import pandas as pd
+
+    from rasters_spark.datapipe.multimodal import audio_features, encode_wav
+
+    d = _docs(spark, sf_dir).select("doc_id").filter("doc_id < 100")
+
+    def make(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = np.arange(800, dtype=np.int64)
+                s = ((i * (3 + int(did) % 7) + int(did) * 11) % 65536 - 32768).astype(np.int16)
+                rows.append({"image_id": str(did), "bytes": encode_wav(s, 16000)})
+            yield pd.DataFrame(rows)
+
+    wav = d.mapInPandas(make, schema="image_id string, bytes binary")
+    out = audio_features(wav)
+    return out.select(F.col("image_id").cast("long").alias("doc_id"),
+                      "sample_rate", "n_samples", "duration_s",
+                      "mean_amp", "sum_sq", "zero_crossings")
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with md5-derived bits (dedup.simhash_md5): the one hash
     both engines compute identically, so the per-bit majority votes and
@@ -1114,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "tile_z_order": q_tile_z_order,
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
+        "audio_wav_features": q_audio_wav_features,
         # -- certified green by the driver in r01/r02 -------------------
         "point_sample_join": q_point_sample_join,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1753,6 +1786,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_dedup_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _JACCARD_SQL,
+        "audio_wav_features": """
+            with d as (select doc_id from documents where doc_id < 100),
+            s as (
+              select d.doc_id, i.range as i,
+                     ((i.range * (3 + d.doc_id % 7) + d.doc_id * 11) % 65536) - 32768 as v
+              from d cross join range(800) i
+            ),
+            s2 as (
+              select doc_id, i, v,
+                     lead(v) over (partition by doc_id order by i) as nv
+              from s
+            )
+            select doc_id,
+                   16000 as sample_rate,
+                   cast(800 as bigint) as n_samples,
+                   800 / 16000.0 as duration_s,
+                   sum(v) / 800.0 as mean_amp,
+                   cast(sum(v * v) as bigint) as sum_sq,
+                   cast(sum(case when nv is not null and ((v < 0) <> (nv < 0))
+                            then 1 else 0 end) as bigint) as zero_crossings
+            from s2 group by doc_id
+        """,
         "simhash_md5": """
             with tok as (
               select doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) as tok

@@ -3,11 +3,13 @@
 The Spark-side contract (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested; the codec layer is pluggable:
 ``raw``/``q8`` decode is the engine's own pure-numpy codec, ``png`` is
-REAL (stdlib zlib codec, functions/render.py) and ``jpeg`` is REAL too
-(pure-numpy baseline ITU T.81 codec, functions/jpeg.py); audio/video
-container formats that need external libs absent from this environment
-(wav/mp4/webp/…) are STUBS that raise NotImplementedError — swap in
-ffmpeg/libvips decoders behind the same interface on a real cluster.
+REAL (stdlib zlib codec, functions/render.py), ``jpeg`` is REAL
+(pure-numpy baseline ITU T.81 codec, functions/jpeg.py), and ``wav``
+audio is REAL (stdlib RIFF/PCM codec below, `decode_wav`/`encode_wav` +
+`audio_features`); compressed audio/video containers that need external
+libs absent from this environment (mp3/mp4/webm/webp) are STUBS that
+raise NotImplementedError — swap in ffmpeg/libvips decoders behind the
+same interface on a real cluster.
 
 Design for 100 TB: binary payloads never enter a shuffle — metadata
 extraction and feature kernels are scan-side mapInPandas stages, and
@@ -57,9 +59,83 @@ def _decode_media(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             "container format 'webp': plug a PIL/libvips decoder into "
             "rasters_spark.datapipe.multimodal._decode_media on a cluster with image libs"
         )
-    if fmt in ("wav", "mp3", "flac", "mp4", "webm"):
+    if fmt == "wav":
+        raise ValueError("wav is 1-D audio — use decode_wav/audio_features, not the image path")
+    if fmt in ("mp3", "flac", "mp4", "webm"):
         raise NotImplementedError(f"audio/video format {fmt!r}: plug ffmpeg/torchaudio here")
     raise ValueError(f"unknown fmt: {fmt}")
+
+
+# --- audio: real stdlib WAV (RIFF/PCM) codec ----------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes (spec: 'fmt ' chunk with
+    audio_format 1, little-endian — pure struct, no external libs)."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → (mono int16 samples, sample_rate). Handles
+    PCM16 mono/stereo (stereo collapses by exact integer mean) and
+    skips unknown chunks per the RIFF spec."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, nch, pcm = 12, None, 1, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, nch, rate = struct.unpack("<HHI", body[:8])
+            if audio_fmt != 1:
+                raise NotImplementedError(f"WAV audio_format {audio_fmt}: only PCM here")
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt /data chunk")
+    s = np.frombuffer(pcm, dtype="<i2")
+    if nch > 1:
+        s = (s.reshape(-1, nch).astype(np.int32).sum(axis=1) // nch).astype(np.int16)
+    return s, rate
+
+
+def audio_features(audio: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """WAV column → (id, sample_rate, n_samples, duration_s, mean_amp,
+    sum_sq, zero_crossings) in one scan-side Arrow pass. All features
+    are exact-integer arithmetic (int64 sums of int16 samples/squares)
+    so they are bit-reproducible in a SQL oracle — only duration_s is a
+    (exact) division."""
+    schema = (f"{id_col} string, sample_rate int, n_samples long, duration_s double, "
+              "mean_amp double, sum_sq long, zero_crossings long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s, rate = decode_wav(getattr(r, bytes_col))
+                s64 = s.astype(np.int64)
+                rows.append({
+                    id_col: getattr(r, id_col),
+                    "sample_rate": rate,
+                    "n_samples": int(s.size),
+                    "duration_s": float(s.size / rate),
+                    "mean_amp": float(s64.sum()) / s.size if s.size else None,
+                    "sum_sq": int((s64 * s64).sum()),
+                    "zero_crossings": int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if s.size > 1 else 0,
+                })
+            yield pd.DataFrame(rows)
+
+    return audio.select(id_col, bytes_col).mapInPandas(run, schema=schema)
 
 
 def extract_features(tiles: DataFrame, on_error: str = "null") -> DataFrame:

@@ -289,3 +289,34 @@ def test_minhash_band_join_prebucketed_zero_exchange(spark, docs):
         assert got == exp and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_wav_codec_roundtrip_and_features(spark):
+    """Stdlib RIFF/PCM codec: int16 round trip, stereo collapse by
+    exact integer mean, unknown chunks skipped per spec."""
+    import struct
+
+    s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    blob = multimodal.encode_wav(s, 8000)
+    back, rate = multimodal.decode_wav(blob)
+    assert rate == 8000 and np.array_equal(back, s)
+
+    # stereo: interleave L/R, decode collapses to integer-mean mono
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2] = [10, 20, 30]
+    inter[1::2] = [30, 40, 51]
+    pcm = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd len → padded
+    body = (b"WAVE" + junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+    mono, rate2 = multimodal.decode_wav(stereo)
+    assert rate2 == 8000 and list(mono) == [20, 30, 40]  # (10+30)/2, (20+40)/2, (30+51)//2
+
+    # features over a Spark column
+    df = spark.createDataFrame([("a", bytearray(blob))], "image_id string, bytes binary")
+    row = multimodal.audio_features(df).collect()[0]
+    assert row.sample_rate == 8000 and row.n_samples == 6
+    assert row.sum_sq == int((s.astype(np.int64) ** 2).sum())
+    assert row.zero_crossings == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
