@@ -103,3 +103,49 @@ def test_segment_stat_properties(vals, keys):
         for kk, vv in zip(gk, gv):
             seg = v[k == kk]
             assert seg.min() - 1e-12 <= vv <= seg.max() + 1e-12
+
+
+def _spread(v: int) -> int:
+    out = 0
+    for i in range(28):
+        out |= ((v >> i) & 1) << (2 * i)
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(ix=st.integers(min_value=0, max_value=(1 << 28) - 1),
+       iy=st.integers(min_value=0, max_value=(1 << 28) - 1))
+def test_morton_magic_masks_equal_per_bit_interleave(ix, iy):
+    """The 5-step magic-mask dilation (cells._SPREAD_MASKS) equals the
+    per-bit definition for the full 28-bit domain, and the interleave
+    is a bijection (deinterleave recovers both inputs)."""
+    def magic(v: int) -> int:
+        for shift, mask in [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                            (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                            (1, 0x5555555555555555)]:
+            v = (v << shift | v) & mask
+        return v
+
+    assert magic(ix) == _spread(ix)
+    z = (magic(iy) << 1) | magic(ix)
+    # deinterleave by bit extraction
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(28))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(28))
+    assert (rx, ry) == (ix, iy)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ix=st.integers(min_value=0, max_value=(1 << 27) - 2),
+       iy=st.integers(min_value=0, max_value=(1 << 26) - 2),
+       k=st.integers(min_value=1, max_value=8))
+def test_morton_block_prefix_property(ix, iy, k):
+    """Cells sharing the same (ix>>k, iy>>k) block share the z-id high
+    bits (the 2k low interleaved bits vary) — the hierarchical-range
+    property min-max pruning exploits at every granularity."""
+    z = (_spread(iy) << 1) | _spread(ix)
+    z_base = (_spread((iy >> k) << k) << 1) | _spread((ix >> k) << k)
+    # every cell of the block shares the base cell's z-prefix above 2k bits
+    assert z >> (2 * k) == z_base >> (2 * k)
+    # and a cell from the NEXT x-block does not
+    z_next = (_spread(iy) << 1) | _spread(((ix >> k) + 1) << k)
+    assert z_next >> (2 * k) != z >> (2 * k)
