@@ -6,8 +6,9 @@ hand-written numpy implementations of the public Snyder (USGS PP 1395)
 formulas for the CRS subset the engine supports — geographic
 (EPSG:4326), UTM (transverse Mercator on WGS84), spherical AEQD,
 spherical sinusoidal (the MODIS grid, +R=6371007.181), spherical
-Albers equal-area conic (+proj=aea, the CONUS grids), and spherical
-Lambert azimuthal equal-area (+proj=laea, the EASE grids).
+Albers equal-area conic (+proj=aea, the CONUS grids), spherical
+Lambert conformal conic (+proj=lcc, state planes / Euro LCC), and
+spherical Lambert azimuthal equal-area (+proj=laea, the EASE grids).
 Zone-number quirks are transcribed EXACTLY from the reference:
 
 - ``local_UTM_proj4`` uses ``int((lon+180)/6)`` WITHOUT the +1,
@@ -195,6 +196,35 @@ def _aea_inverse(x, y, p):
     return p["lon0"] + np.degrees(theta / n), np.degrees(phi)
 
 
+def _lcc_forward(lon, lat, p):
+    """Spherical Lambert conformal conic (Snyder PP 1395 eq. 15-1..15-4):
+    n = ln(cosφ1/cosφ2)/ln(tan(π/4+φ2/2)/tan(π/4+φ1/2)) (or sinφ1 when
+    φ1=φ2), F = cosφ1·tanⁿ(π/4+φ1/2)/n, ρ = R·F/tanⁿ(π/4+φ/2),
+    θ = n(λ−λ0); x = ρ·sinθ, y = ρ0 − ρ·cosθ. The pole on the cone's
+    side maps to ρ=0; the opposite pole diverges (ρ→∞)."""
+    phi = np.radians(lat)
+    n, Fc, rho0, r = p["n"], p["F"], p["rho0"], p["r"]
+    with np.errstate(divide="ignore", over="ignore"):
+        rho = r * Fc / np.tan(np.pi / 4 + phi / 2) ** n
+    theta = n * np.radians(lon - p["lon0"])
+    return rho * np.sin(theta) + p["x0"], rho0 - rho * np.cos(theta) + p["y0"]
+
+
+def _lcc_inverse(x, y, p):
+    """Snyder eq. 15-5 inverse: φ = 2·arctan((R·F/ρ)^(1/n)) − π/2,
+    λ = λ0 + θ/n (signs of x, ρ0−y, ρ flip for n<0 like Albers)."""
+    n, Fc, rho0, r = p["n"], p["F"], p["rho0"], p["r"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = rho0 - (np.asarray(y, np.float64) - p["y0"])
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(xx, yy)
+    theta = np.arctan2(sgn * xx, sgn * yy)
+    with np.errstate(divide="ignore"):
+        phi = 2.0 * np.arctan((r * Fc / np.where(rho == 0, np.inf, rho)) ** (1.0 / n)) - np.pi / 2
+    phi = np.where(rho == 0, np.pi / 2 * sgn, phi)
+    return p["lon0"] + np.degrees(theta / n), np.degrees(phi)
+
+
 def _laea_forward(lon, lat, p):
     """Spherical Lambert azimuthal equal-area, the EASE-Grid projection
     (Snyder eq. 24-2, 22-4): k' = √(2/(1+sinφ0·sinφ+cosφ0·cosφ·cosΔλ)),
@@ -269,6 +299,24 @@ def _parse_crs(crs: str) -> dict:
         return {"kind": "aea", "lon0": _proj4_param(c, "lon_0", 0.0),
                 "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
                 "r": r, "n": n, "c0": c0, "rho0": rho0}
+    if "+proj=lcc" in c:
+        lat1 = _proj4_param(c, "lat_1", 33.0)
+        lat2 = _proj4_param(c, "lat_2", lat1)
+        lat0 = _proj4_param(c, "lat_0", 0.0)
+        r = _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        if lat1 == lat2:
+            n = np.sin(p1)  # tangent-cone limit (Snyder p. 105)
+        else:
+            n = (np.log(np.cos(p1) / np.cos(p2))
+                 / np.log(np.tan(np.pi / 4 + p2 / 2) / np.tan(np.pi / 4 + p1 / 2)))
+        if n == 0:
+            raise ValueError(f"degenerate LCC cone (lat_1 = -lat_2): {crs!r}")
+        Fc = np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** n / n
+        rho0 = r * Fc / np.tan(np.pi / 4 + np.radians(lat0) / 2) ** n
+        return {"kind": "lcc", "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+                "r": r, "n": float(n), "F": float(Fc), "rho0": float(rho0)}
     if "+proj=laea" in c:
         return {"kind": "laea",
                 "lat0": _proj4_param(c, "lat_0", 0.0),
@@ -277,7 +325,7 @@ def _parse_crs(crs: str) -> dict:
                 "r": _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))}
     raise ValueError(
         f"unsupported CRS: {crs!r} (supported: EPSG:4326, UTM, AEQD, sinusoidal, "
-        f"Albers equal-area conic, Lambert azimuthal equal-area)")
+        f"Albers equal-area conic, Lambert conformal conic, Lambert azimuthal equal-area)")
 
 
 def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
@@ -294,6 +342,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _sinu_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["r"])
     elif s["kind"] == "aea":
         lon, lat = _aea_inverse(x, y, s)
+    elif s["kind"] == "lcc":
+        lon, lat = _lcc_inverse(x, y, s)
     elif s["kind"] == "laea":
         lon, lat = _laea_inverse(x, y, s)
     else:
@@ -313,6 +363,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _sinu_forward(lon, lat, d["lon0"], d["r"])
     if d["kind"] == "aea":
         return _aea_forward(lon, lat, d)
+    if d["kind"] == "lcc":
+        return _lcc_forward(lon, lat, d)
     if d["kind"] == "laea":
         return _laea_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])

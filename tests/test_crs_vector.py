@@ -295,6 +295,55 @@ def test_transform_roundtrip_albers():
     np.testing.assert_allclose(ps, [-25.0, -40.0], atol=1e-8)
 
 
+def test_transform_roundtrip_lcc():
+    """Spherical Lambert conformal conic (Snyder eq. 15-1..15-5):
+    pinned forward from independently transcribed cone constants,
+    1e-8° round trip, conformality (the Jacobian's local scale is
+    ISOTROPIC — equal in every direction), the tangent-cone lat_1=lat_2
+    limit, and a southern cone."""
+    lcc = "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +R=6371000"
+    lon = np.array([-96.0, -75.3, -122.0, -90.0])
+    lat = np.array([39.0, 41.1, 47.6, 25.0])
+    x, y = C.transform_xy_np(lon, lat, "EPSG:4326", lcc)
+    R = 6371000.0
+    p1, p2 = np.radians(33.0), np.radians(45.0)
+    n = np.log(np.cos(p1) / np.cos(p2)) / np.log(np.tan(np.pi / 4 + p2 / 2) / np.tan(np.pi / 4 + p1 / 2))
+    Fc = np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** n / n
+    rho = R * Fc / np.tan(np.pi / 4 + np.radians(lat) / 2) ** n
+    rho0 = R * Fc / np.tan(np.pi / 4 + np.radians(39.0) / 2) ** n
+    th = n * np.radians(lon + 96.0)
+    np.testing.assert_allclose(x, rho * np.sin(th), rtol=1e-13)
+    np.testing.assert_allclose(y, rho0 - rho * np.cos(th), rtol=1e-12, atol=1e-6)
+    assert x[0] == 0.0 and y[0] == 0.0
+    lon2, lat2 = C.transform_xy_np(x, y, lcc, "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    # conformal: scale east-west equals scale north-south at every point
+    h = 1e-6
+    for lo, la in [(-75.3, 41.1), (-122.0, 47.6)]:
+        xe, ye = C.transform_xy_np(np.array([lo + h, lo - h]), np.array([la, la]), "EPSG:4326", lcc)
+        xn, yn = C.transform_xy_np(np.array([lo, lo]), np.array([la + h, la - h]), "EPSG:4326", lcc)
+        k_ew = np.hypot(xe[0] - xe[1], ye[0] - ye[1]) / (np.radians(2 * h) * R * np.cos(np.radians(la)))
+        k_ns = np.hypot(xn[0] - xn[1], yn[0] - yn[1]) / (np.radians(2 * h) * R)
+        assert k_ew == pytest.approx(k_ns, rel=1e-6)
+    # scale is true (k=1) on both standard parallels
+    for la in (33.0, 45.0):
+        xe, ye = C.transform_xy_np(np.array([-90.0 + h, -90.0 - h]), np.array([la, la]), "EPSG:4326", lcc)
+        k = np.hypot(xe[0] - xe[1], ye[0] - ye[1]) / (np.radians(2 * h) * R * np.cos(np.radians(la)))
+        assert k == pytest.approx(1.0, rel=1e-6)
+    # tangent cone (lat_1 = lat_2): n = sin(lat_1) limit, still round-trips
+    tan1 = "+proj=lcc +lat_1=40 +lat_2=40 +lat_0=40 +lon_0=10 +R=6371000"
+    xt, yt = C.transform_xy_np(np.array([12.5]), np.array([44.0]), "EPSG:4326", tan1)
+    lt, pt = C.transform_xy_np(xt, yt, tan1, "EPSG:4326")
+    assert lt[0] == pytest.approx(12.5, abs=1e-8) and pt[0] == pytest.approx(44.0, abs=1e-8)
+    # southern cone with false offsets
+    south = "+proj=lcc +lat_1=-10 +lat_2=-40 +lat_0=-25 +lon_0=135 +x_0=1000000 +y_0=2000000 +R=6371000"
+    xs, ys = C.transform_xy_np(np.array([115.0, 150.0]), np.array([-20.0, -42.0]), "EPSG:4326", south)
+    ls, ps = C.transform_xy_np(xs, ys, south, "EPSG:4326")
+    np.testing.assert_allclose(ls, [115.0, 150.0], atol=1e-8)
+    np.testing.assert_allclose(ps, [-20.0, -42.0], atol=1e-8)
+
+
 def test_transform_roundtrip_laea():
     """Spherical Lambert azimuthal equal-area, the EASE-Grid projection
     (Snyder eq. 24-2/22-4 forward, 20-14..20-18 + 24-16 inverse):
