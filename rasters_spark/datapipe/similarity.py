@@ -274,16 +274,28 @@ def ivf_fit(embeddings: DataFrame, nlist: int = 16, iters: int = 4,
 
 
 def _ivf_assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
-    """Each vector → its max-cosine cluster (broadcast centroids,
-    map-only; ONE fused aggregation picks the argmax)."""
-    j = embeddings.crossJoin(F.broadcast(cents))
-    cos = _dot(F.col("embedding"), F.col("centroid")) / (
-        _norm(F.col("embedding")) * _norm(F.col("centroid")))
-    best = j.select("vec_id", "embedding", "cluster", cos.alias("cos")).groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos"), (-F.col("cluster")).alias("negc"))).alias("b"),
-        F.first("embedding").alias("embedding"),
+    """Each vector → its max-cosine cluster with ZERO exchanges: the
+    nlist centroids collapse to a literal array column (a few KB of
+    plan constants) and the argmax is a scalar fold per row — the
+    corpus never shuffles for assignment, which is the whole game at
+    10^12 vectors. Ties break to the smaller cluster id (strict > in
+    an ascending-cluster fold)."""
+    rows = sorted(cents.collect(), key=lambda r: r.cluster)  # nlist rows — tiny
+    carr = F.array(*[
+        F.struct(F.lit(int(r.cluster)).cast("long").alias("cluster"),
+                 F.array(*[F.lit(float(v)) for v in r.centroid]).alias("centroid"))
+        for r in rows])
+    e = F.col("embedding")
+    best = F.aggregate(
+        carr,
+        F.struct(F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("long").alias("cluster")),
+        lambda acc, c: F.when(
+            (_dot(e, c["centroid"]) / (_norm(e) * _norm(c["centroid"]))) > acc["cos"],
+            F.struct((_dot(e, c["centroid"]) / (_norm(e) * _norm(c["centroid"]))).alias("cos"),
+                     c["cluster"].alias("cluster")),
+        ).otherwise(acc),
     )
-    return best.select("vec_id", "embedding", (-F.col("b")["negc"]).cast("long").alias("cluster"))
+    return embeddings.select("vec_id", "embedding", best["cluster"].alias("cluster"))
 
 
 def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
