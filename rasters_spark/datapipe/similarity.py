@@ -253,16 +253,16 @@ def ivf_fit(embeddings: DataFrame, nlist: int = 16, iters: int = 4,
     )
     for _ in range(iters):
         assigned = _ivf_assign(e, cents)
-        sums = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cluster", "pos").agg(F.sum(F.col("v").cast("double")).alias("s"),
-                                           F.count("v").alias("n"))
-        )
-        new = (
-            sums.withColumn("m", F.col("s") / F.col("n"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cluster", F.transform(F.col("pm"), lambda t: t["m"]).alias("centroid"))
+        # centroid update in ONE hash aggregation with dims compact SUM
+        # columns (map-side combine; the same no-per-element-explode
+        # shape as simhash64) — the exchange carries nlist×(dims+1)
+        # aggregates, not dims×N exploded rows
+        new = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}") for i in range(dims)],
+        ).select(
+            "cluster",
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dims)]).alias("centroid"),
         )
         # empty clusters: keep previous centroid
         cents = (
