@@ -332,3 +332,45 @@ def decode_gpkg_tiles(blob: bytes) -> dict:
         }
     finally:
         os.unlink(path)
+
+
+def save_geopackage_tiles(df, out_dir: str, table: str = "tiles",
+                          zoom: int = 0, tile_w: int = 16, tile_h: int = 16,
+                          pixel_x: float = 0.0625, pixel_y: float = 0.0625,
+                          srs_id: int = 4326) -> None:
+    """Executor-side raster-tiles sink: each partition writes ONE
+    ``part-<pid>.gpkg`` pyramid under ``out_dir`` (same distributed
+    shape as ``save_geopackage`` — no driver funnel, no per-row sqlite
+    files). Expects columns (tile_column, tile_row, png) plus the
+    per-partition bbox derivable columns xmin/ymin/xmax/ymax; the
+    partition's matrix is sized from its max row/col."""
+    import pandas as pd  # noqa: F401
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        feats, bbox = [], [None, None, None, None]
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                feats.append({"tile_column": int(r.tile_column),
+                              "tile_row": int(r.tile_row), "png": bytes(r.png)})
+                vals = (r.xmin, r.ymin, r.xmax, r.ymax)
+                for i, v in enumerate(vals):
+                    if bbox[i] is None:
+                        bbox[i] = v
+                    else:
+                        bbox[i] = min(bbox[i], v) if i < 2 else max(bbox[i], v)
+        if feats:
+            pid = TaskContext.get().partitionId()
+            mw = max(f["tile_column"] for f in feats) + 1
+            mh = max(f["tile_row"] for f in feats) + 1
+            blob = encode_gpkg_tiles(table, feats, tuple(bbox), zoom, mw, mh,
+                                     tile_w, tile_h, pixel_x, pixel_y, srs_id)
+            with open(os.path.join(out_dir, f"part-{pid:05d}.gpkg"), "wb") as fh:
+                fh.write(blob)
+        import pandas as pd
+        yield pd.DataFrame({"n": [len(feats)]})
+
+    df.mapInPandas(run, schema="n long").agg({"n": "sum"}).collect()

@@ -104,3 +104,33 @@ def test_gpkg_tiles_pyramid_roundtrip():
     assert encode_gpkg_tiles("pyr", tiles, (-10.0, 40.0, -8.0, 42.0),
                              zoom=0, matrix_w=2, matrix_h=2, tile_w=8, tile_h=8,
                              pixel_x=0.125, pixel_y=0.125) == blob
+
+
+def test_save_geopackage_tiles_distributed_sink(spark, tmp_path):
+    """Partition-level pyramid sink: every partition writes one .gpkg,
+    all tiles land exactly once, payload decodes back."""
+    import numpy as np
+    from pathlib import Path
+
+    from rasters_spark.functions.geopackage import decode_gpkg_tiles, save_geopackage_tiles
+    from rasters_spark.functions.render import encode_png
+
+    rows = []
+    for row in range(2):
+        for col in range(3):
+            png = encode_png(np.full((4, 4), 10 * (3 * row + col), dtype=np.uint8))
+            rows.append((col, row, bytearray(png),
+                         -10.0 + col, 40.0 - row - 1, -10.0 + col + 1, 40.0 - row))
+    df = spark.createDataFrame(
+        rows, "tile_column int, tile_row int, png binary, "
+              "xmin double, ymin double, xmax double, ymax double").repartition(2)
+    out = str(tmp_path / "pyr")
+    save_geopackage_tiles(df, out, tile_w=4, tile_h=4, pixel_x=0.25, pixel_y=0.25)
+    parts = sorted(Path(out).glob("part-*.gpkg"))
+    assert parts
+    seen = []
+    for p in parts:
+        back = decode_gpkg_tiles(p.read_bytes())
+        assert back["tile_size"] == (4, 4)
+        seen += [(t["row"], t["col"]) for t in back["tiles"]]
+    assert sorted(seen) == sorted((r, c) for c, r, *_ in rows)
