@@ -149,3 +149,16 @@ def test_morton_block_prefix_property(ix, iy, k):
     # and a cell from the NEXT x-block does not
     z_next = (_spread(iy) << 1) | _spread(((ix >> k) + 1) << k)
     assert z_next >> (2 * k) != z >> (2 * k)
+
+
+@settings(max_examples=200, deadline=None)
+@given(samples=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64),
+       rate=st.sampled_from([8000, 16000, 44100, 48000]))
+def test_wav_codec_roundtrip_property(samples, rate):
+    """encode_wav∘decode_wav is the identity on any int16 signal at any
+    rate (container framing is lossless, including the empty signal)."""
+    from rasters_spark.datapipe.multimodal import decode_wav, encode_wav
+
+    s = np.array(samples, dtype=np.int16)
+    back, r2 = decode_wav(encode_wav(s, rate))
+    assert r2 == rate and np.array_equal(back, s)
