@@ -5,9 +5,10 @@ and prints one JSON line with per-stage walls and tiles/sec. The
 master comes from spark-submit (--master local[N]); the same script on
 a real cluster takes --master yarn/k8s unchanged.
 
-Workload = the four pipeline stages that dominate production use:
+Workload = the six pipeline stages that dominate production use:
 cell registration (tiling), point-in-tile join + nearest sampling,
-full decode + per-tile stats, fused raster algebra. A warmup pass
+IDW sampling, kNN tile lookup, full decode + per-tile stats, fused
+raster algebra. A warmup pass
 spins up the Python worker pool so the timed numbers measure compute,
 not process forks.
 """
@@ -72,6 +73,13 @@ def main() -> None:
               point_join.point_in_tile_join(idw_pts, tiles)
               .select("point_id", "image_id", "x", "y"),
               tiles=tiles).select("point_id", "image_id", "value")))
+    # kNN via cell-ring expansion — the north-rule lookup operator (r3
+    # replan: ring-explode on the streamed tile index, one-row-per-point
+    # broadcast, fused single-agg top-k)
+    from rasters_spark.operators import knn
+
+    knn_pts = pts.filter(F.col("point_id") < idw_points)
+    timed("knn_tiles", lambda: force(knn.knn_tiles(knn_pts, tiles, k=3, ring=2)))
     timed("tile_stats", lambda: force(stats.tile_stats(tiles)))
     timed("raster_algebra",
           lambda: force(stats.tile_stats(rm.elementwise(tiles, rm.compose(
@@ -85,7 +93,7 @@ def main() -> None:
         "n_tiles": n_tiles,
         "queries": timings,
         "total_sec": total,
-        "tiles_per_sec": round(n_tiles * 5 / total, 1),  # 5 pipeline stages over the table
+        "tiles_per_sec": round(n_tiles * 6 / total, 1),  # 6 pipeline stages over the table
         "repeats": repeats,
     }))
     spark.stop()
