@@ -37,7 +37,7 @@ from rasters_spark.operators import bands, neighbors
 from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
 from rasters_spark.operators import swath as swathops
 from rasters_spark.operators import rastermath as rm
-from rasters_spark.tiles import load_points, load_polygons, load_tiles, tiles_with_cells
+from rasters_spark.tiles import load_points, load_polygons, load_tiles, tiles_with_cells, with_grid
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
@@ -66,6 +66,34 @@ def q_point_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.sample_nearest(j).select(
         "point_id", "image_id", "prow", "pcol", "value", "caption"
     )
+
+
+def q_point_sample_join_i32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer tile family end-to-end (VERDICT r03 #2): raw tiles cast
+    to i32 (pixels ×4 — exact quarter-integers → exact ints), NaN
+    filled with the I32_NODATA sentinel (NaN nodata forbidden for int
+    rasters, raster.py:1217-1218), then the flagship point join +
+    nearest sampling OVER THE INT TILES (integer rasters always sample
+    nearest, raster.py:1295-1322). Values surface as exact BIGINT with
+    sentinel → NULL — an exact-integer oracle, no float parity caveats."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    it = with_grid(rm.astype_tiles(t, "i32", rm.mul(4.0)))
+    p = load_points(spark, sf_dir)
+    j = point_join.point_in_tile_join(p, it)
+    return sample.sample_nearest(j).select(
+        "point_id", "image_id", "prow", "pcol",
+        F.col("value").cast("long").alias("ivalue"))
+
+
+def q_bool_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bool tile family: threshold mask (pixel > 500, NaN→False like
+    numpy) cast to b1, decoded back through the uint16 shim
+    (kdtree.py:293-310) and reduced per tile — vsum over 0/1 pixels IS
+    the true-count; bool tiles carry no nodata so n_valid ≡ n_pixels."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    bt = rm.astype_tiles(t, "b1", rm.gt(500.0))
+    s = stats.tile_stats(bt)
+    return s.select("image_id", "n_pixels", F.col("vsum").cast("long").alias("n_true"))
 
 
 def q_tile_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1115,6 +1143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     policy recorded in CLAUDE.md). Every entry stays green under
     tools/check_contract.py regardless of position."""
     return {
+        # -- new this round (round 4) -----------------------------------
+        "point_sample_join_i32": q_point_sample_join_i32,
+        "bool_mask_counts": q_bool_mask_counts,
         # -- driver-unwitnessed in r01/r02 (registry positions 51-70 last
         #    round) — lead so CORRECTNESS_r03 certifies them ------------
         "resize_bilinear": q_resize_bilinear,
@@ -1481,6 +1512,26 @@ def oracle_sql() -> dict[str, str]:
                    j.caption
             from j join {pixels} px
               on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
+        """,
+        "point_sample_join_i32": f"""
+            with j as (
+              select p.point_id, t.image_id, {prow()} as prow, {pcol()} as pcol
+              from {points} p cross join {tiles} t
+              where t.fmt = 'raw'
+                and {prow()} between 0 and t.h - 1 and {pcol()} between 0 and t.w - 1
+            )
+            select j.point_id, j.image_id, j.prow, j.pcol,
+                   case when isnan(px.value) then NULL
+                        else cast(round_even(px.value * 4, 0) as bigint) end as ivalue
+            from j join {pixels} px
+              on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
+        """,
+        "bool_mask_counts": f"""
+            select t.image_id, count(*) as n_pixels,
+                   count(*) filter (not isnan(px.value) and px.value > 500.0) as n_true
+            from {tiles} t join {pixels} px using (image_id)
+            where t.fmt = 'raw'
+            group by t.image_id
         """,
         "tile_cell_assignment": f"""
             with t as (

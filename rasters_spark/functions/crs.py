@@ -7,8 +7,11 @@ formulas for the CRS subset the engine supports — geographic
 (EPSG:4326), UTM (transverse Mercator on WGS84), spherical AEQD,
 spherical sinusoidal (the MODIS grid, +R=6371007.181), spherical
 Albers equal-area conic (+proj=aea, the CONUS grids), spherical
-Lambert conformal conic (+proj=lcc, state planes / Euro LCC), and
-spherical Lambert azimuthal equal-area (+proj=laea, the EASE grids).
+Lambert conformal conic (+proj=lcc, state planes / Euro LCC),
+spherical Lambert azimuthal equal-area (+proj=laea, the EASE grids),
+and ELLIPSOIDAL polar stereographic (+proj=stere at lat_0=±90;
+EPSG:3413 NSIDC Sea Ice North / EPSG:3031 Antarctic — the sea-ice and
+ice-sheet grids, Snyder PP 1395 §21).
 Zone-number quirks are transcribed EXACTLY from the reference:
 
 - ``local_UTM_proj4`` uses ``int((lon+180)/6)`` WITHOUT the +1,
@@ -149,6 +152,58 @@ def _aeqd_inverse(x, y, lon0, lat0):
 # spellings accepted as plain WGS84 lon/lat (shared with latlon_matrices)
 GEOGRAPHIC_CRS = ("EPSG:4326", "epsg:4326", "+proj=longlat +datum=WGS84 +no_defs")
 
+_E = float(np.sqrt(_E2))  # WGS84 first eccentricity
+
+
+def _ps_t(phi):
+    """Snyder PP 1395 eq. 15-9: the conformal-latitude half-angle
+    t = tan(π/4 − φ/2) / ((1 − e·sinφ)/(1 + e·sinφ))^(e/2)."""
+    e = _E
+    return np.tan(np.pi / 4 - phi / 2) / ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
+
+
+def _ps_forward(lon, lat, p):
+    """ELLIPSOIDAL polar stereographic forward (Snyder PP 1395 §21):
+    north aspect x = ρ·sin(λ−λ0), y = −ρ·cos(λ−λ0) (eq. 21-30/31) with
+    ρ = a·m_c·t/t_c at a standard parallel (eq. 21-34) or
+    ρ = 2·a·k0·t/√((1+e)^(1+e)(1−e)^(1−e)) at the pole (eq. 21-33) —
+    ``p["rf"]`` precomputes the per-CRS factor so ρ = rf·t. The south
+    aspect reverses the signs of φ, λ, λ0, x, y (Snyder p. 161) —
+    EPSG:3413 (NSIDC Sea Ice North, lat_ts=70, lon_0=−45) and
+    EPSG:3031 (Antarctic Polar Stereographic, lat_ts=−71)."""
+    s = p["sgn"]
+    phi = np.radians(s * np.asarray(lat, np.float64))
+    lam = np.radians(s * np.asarray(lon, np.float64)) - np.radians(s * p["lon0"])
+    rho = p["rf"] * _ps_t(phi)
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    return s * x + p["x0"], s * y + p["y0"]
+
+
+def _ps_inverse(x, y, p):
+    """Snyder §21 inverse: t = ρ/rf (eq. 21-39/40), χ = π/2 − 2·arctan t
+    (eq. 7-13), then the χ→φ series (eq. 3-5); λ = λ0 + arctan2(x, −y)
+    (eq. 20-16). ρ=0 → the pole at λ0."""
+    s = p["sgn"]
+    xx = s * (np.asarray(x, np.float64) - p["x0"])
+    yy = s * (np.asarray(y, np.float64) - p["y0"])
+    rho = np.hypot(xx, yy)
+    t = rho / p["rf"]
+    chi = np.pi / 2 - 2.0 * np.arctan(t)
+    e2 = _E2
+    phi = (chi
+           + (e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360) * np.sin(2 * chi)
+           + (7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520) * np.sin(4 * chi)
+           + (7 * e2**3 / 120 + 81 * e2**4 / 1120) * np.sin(6 * chi)
+           + (4279 * e2**4 / 161280) * np.sin(8 * chi))
+    lam = np.where(rho == 0, 0.0, np.arctan2(xx, -yy))
+    lon = s * np.degrees(lam) + p["lon0"]
+    # λ0 ≠ 0 can spell the result on the wrong revolution (e.g. −216.4°
+    # for the 143.6° meridian with λ0=−45) — wrap to [−180, 180) so the
+    # geographic range rule doesn't NaN a valid meridian
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, s * np.degrees(phi)
+
 
 def _sinu_forward(lon, lat, lon0, r):
     """Spherical sinusoidal (Snyder PP 1395 eq. 30-1, 30-2) — the MODIS
@@ -262,10 +317,44 @@ def _proj4_param(c: str, key: str, default: float) -> float:
     return float(c.split(f"+{key}=")[1].split()[0]) if f"+{key}=" in c else default
 
 
+#: published proj4 definitions of the two polar-stereographic EPSG
+#: workhorses (sea-ice / ice-sheet grids)
+_EPSG_STERE = {
+    "EPSG:3413": "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs",
+    "EPSG:3031": "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs",
+}
+
+
+def _parse_stere(c: str, orig: str) -> dict:
+    """Precompute the per-CRS ρ-factor once (not per row): ρ = rf·t with
+    rf = a·m_c/t_c at a standard parallel (Snyder eq. 21-34) or
+    rf = 2·a·k0/√((1+e)^(1+e)(1−e)^(1−e)) at the pole (eq. 21-33)."""
+    lat0 = _proj4_param(c, "lat_0", 90.0)
+    if abs(lat0) != 90.0:
+        raise ValueError(f"only polar stereographic aspects supported (lat_0=±90): {orig!r}")
+    lat_ts = _proj4_param(c, "lat_ts", lat0)
+    k0 = _proj4_param(c, "k_0", _proj4_param(c, "k", 1.0))
+    e = _E
+    phits = np.radians(abs(lat_ts))
+    if abs(lat_ts) == 90.0:
+        rf = 2.0 * _A * k0 / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    else:
+        mc = np.cos(phits) / np.sqrt(1 - _E2 * np.sin(phits) ** 2)
+        rf = _A * mc / _ps_t(phits)
+    return {"kind": "ps", "sgn": 1.0 if lat0 > 0 else -1.0,
+            "lon0": _proj4_param(c, "lon_0", 0.0),
+            "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+            "rf": float(rf)}
+
+
 def _parse_crs(crs: str) -> dict:
     c = crs.strip()
     if c in GEOGRAPHIC_CRS:
         return {"kind": "geographic"}
+    if c.upper() in _EPSG_STERE:
+        return _parse_stere(_EPSG_STERE[c.upper()], c)
+    if "+proj=stere" in c:
+        return _parse_stere(c, c)
     if c.upper().startswith("EPSG:32"):
         code = int(c.split(":")[1])
         zone = code % 100
@@ -325,7 +414,8 @@ def _parse_crs(crs: str) -> dict:
                 "r": _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))}
     raise ValueError(
         f"unsupported CRS: {crs!r} (supported: EPSG:4326, UTM, AEQD, sinusoidal, "
-        f"Albers equal-area conic, Lambert conformal conic, Lambert azimuthal equal-area)")
+        f"Albers equal-area conic, Lambert conformal conic, Lambert azimuthal equal-area, "
+        f"polar stereographic EPSG:3413/3031 / +proj=stere lat_0=±90)")
 
 
 def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
@@ -346,6 +436,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _lcc_inverse(x, y, s)
     elif s["kind"] == "laea":
         lon, lat = _laea_inverse(x, y, s)
+    elif s["kind"] == "ps":
+        lon, lat = _ps_inverse(x, y, s)
     else:
         lon, lat = _aeqd_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["lat0"])
     # geographic → target
@@ -367,6 +459,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _lcc_forward(lon, lat, d)
     if d["kind"] == "laea":
         return _laea_forward(lon, lat, d)
+    if d["kind"] == "ps":
+        return _ps_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])
 
 

@@ -153,6 +153,42 @@ def elementwise(tiles: DataFrame, kernel: Kernel) -> DataFrame:
     return tiles.select(*dict.fromkeys(cols + ["bytes", "w", "h", "fmt"])).mapInPandas(run, schema=schema)
 
 
+def astype_tiles(tiles: DataFrame, fmt: str, kernel: Kernel | None = None,
+                 nodata_fill: float | None = None) -> DataFrame:
+    """Dtype cast at the tile level — the engine's ``astype`` into the
+    integer/bool family (``i32``/``b1``) or back to float formats.
+
+    Integer-family rules transcribed from the reference: NaN nodata is
+    forbidden for int rasters (raster.py:1217-1218), so NaN pixels are
+    filled with ``nodata_fill`` BEFORE the cast (default: the engine's
+    I32_NODATA sentinel for i32, 0 for b1 — numpy's NaN→False rule);
+    values are rounded rint like numpy's astype-after-rint narrowing
+    (raster.py:1559-1567 narrows write-time dtypes the same way).
+    ``kernel``: optional fused element-wise step applied pre-cast (e.g.
+    a threshold for a bool mask) — one Arrow pass total."""
+    keep = [c for c in PASSTHROUGH if c in tiles.columns]
+    schema = _out_schema(tiles)
+    if nodata_fill is None:
+        nodata_fill = float(codec.I32_NODATA) if fmt == "i32" else 0.0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for arr in codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = kernel(arr) if kernel is not None else arr
+                if fmt in codec.INT_FMTS:
+                    out = np.where(np.isnan(out), nodata_fill, out)
+                blobs.append(codec.encode_tile(out, fmt))
+            res = pdf[keep].copy()
+            res["bytes"] = blobs
+            res["fmt"] = fmt
+            yield res
+
+    cols = keep + ["bytes", "fmt"]
+    return tiles.select(*dict.fromkeys(cols + ["bytes", "w", "h", "fmt"])).mapInPandas(run, schema=schema)
+
+
 def tile_binary(a: DataFrame, b: DataFrame, fn: Callable[[np.ndarray, np.ndarray], np.ndarray]) -> DataFrame:
     """Raster⊗raster element-wise op between two same-grid tile tables,
     joined on image_id (reference shape check raster.py:1921-1923)."""

@@ -36,16 +36,28 @@ def _nearest_kernel(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
 
 @pandas_udf(DoubleType())
 def _nearest_slice_kernel(sl: pd.Series, fmt: pd.Series) -> pd.Series:
-    """Decode pre-sliced pixel payloads: 4 bytes (raw) or 9 bytes
-    (q8 header+byte) per row — fully vectorized numpy, no per-pixel math
-    left in Python beyond frombuffer."""
+    """Decode pre-sliced pixel payloads: 4 bytes (raw/i32), 1 byte (b1)
+    or 9 bytes (q8 header+byte) per row — fully vectorized numpy, no
+    per-pixel math left in Python beyond frombuffer. i32's INT32_MIN
+    sentinel → NaN → SQL NULL (the integer-family nodata rule)."""
     out = np.empty(len(sl), dtype=np.float64)
-    is_raw = (fmt == "raw").to_numpy()
+    fv = fmt.to_numpy()
+    is_raw = fv == "raw"
+    is_i32 = fv == "i32"
+    is_b1 = fv == "b1"
     if is_raw.any():
         raw = b"".join(sl[is_raw])
         out[is_raw] = np.frombuffer(raw, dtype="<f4")
-    if (~is_raw).any():
-        qi = np.flatnonzero(~is_raw)
+    if is_i32.any():
+        iv = np.frombuffer(b"".join(sl[is_i32]), dtype="<i4")
+        fvv = iv.astype(np.float64)
+        fvv[iv == codec.I32_NODATA] = np.nan
+        out[is_i32] = fvv
+    if is_b1.any():
+        out[is_b1] = np.frombuffer(b"".join(sl[is_b1]), dtype=np.uint8).astype(np.float64)
+    rest = ~(is_raw | is_i32 | is_b1)
+    if rest.any():
+        qi = np.flatnonzero(rest)
         for i in qi:
             b = sl.iloc[i]
             vmin, vmax = np.frombuffer(b, dtype="<f4", count=2)
@@ -92,15 +104,18 @@ def _idw_tile(arr: np.ndarray, t, qx: np.ndarray, qy: np.ndarray,
 
 def slice_pixel(row_col: str, col_col: str):
     """JVM-side single-pixel byte slice for a (bytes, w, fmt) row given
-    pixel coordinates in columns ``row_col``/``col_col``: 4 bytes (raw)
-    or 9 bytes (q8 header+byte). Decode the result with
-    ``_nearest_slice_kernel`` — Arrow then ships ~8 B/row to Python
-    instead of the whole tile blob (CLAUDE.md: never carry bytes
-    through join fanout)."""
+    pixel coordinates in columns ``row_col``/``col_col``: 4 bytes
+    (raw/i32), 1 byte (b1) or 9 bytes (q8 header+byte). Decode the
+    result with ``_nearest_slice_kernel`` — Arrow then ships ~8 B/row
+    to Python instead of the whole tile blob (CLAUDE.md: never carry
+    bytes through join fanout)."""
     off = f"({row_col}*w+{col_col})"
     return F.when(
-        F.col("fmt") == "raw",
+        F.col("fmt").isin("raw", "i32"),
         F.expr(f"substring(bytes, cast(4*{off} as int) + 1, 4)"),
+    ).when(
+        F.col("fmt") == "b1",
+        F.expr(f"substring(bytes, cast({off} as int) + 1, 1)"),
     ).otherwise(
         F.concat(F.expr("substring(bytes, 1, 8)"),
                  F.expr(f"substring(bytes, cast({off} as int) + 9, 1)"))
@@ -214,3 +229,21 @@ def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
                 yield pd.DataFrame({c: [] for c in out_cols + [value_name]})
 
     return withp.mapInPandas(run, schema=out_schema)
+
+
+def sample_auto(joined: DataFrame, tiles: DataFrame | None = None,
+                value_name: str = "value", power: float = 2.0) -> DataFrame:
+    """Dtype-dispatched sampling (raster.py:1295-1322): integer-family
+    tiles (i32/b1 — ``codec.INT_FMTS``) always sample NEAREST, float
+    tiles sample IDW. The split is a cheap fmt predicate on the joined
+    rows, so each branch keeps its own optimal plan (JVM byte-slice vs
+    per-tile cogrouped decode) and the union preserves the per-row
+    semantics of a mixed-dtype tile stack."""
+    int_rows = joined.filter(F.col("fmt").isin(*codec.INT_FMTS))
+    flt_rows = joined.filter(~F.col("fmt").isin(*codec.INT_FMTS))
+    near = sample_nearest(int_rows, value_name)
+    flt_tiles = None
+    if tiles is not None:
+        flt_tiles = tiles.filter(~F.col("fmt").isin(*codec.INT_FMTS))
+    idw = sample_idw(flt_rows, flt_tiles, value_name, power)
+    return near.select(*idw.columns).unionByName(idw)

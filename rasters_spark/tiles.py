@@ -20,12 +20,19 @@ from pyspark.sql import functions as F
 from rasters_spark import cells, fixtures, grid
 
 
-def load_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fdir = fixtures.ensure_fixtures(sf_dir)
-    df = spark.read.parquet(str(fdir / "tiles.parquet"))
+def with_grid(df: DataFrame) -> DataFrame:
+    """Attach the derived ``grid``/``bbox`` structs to any tile-shaped
+    DataFrame (flat x_origin/y_origin/cell_width/cell_height/w/h/crs
+    columns) — pure projection, re-derivable after any tile transform
+    that strips them (e.g. rastermath.astype_tiles)."""
     g = grid.grid_struct("x_origin", "y_origin", "cell_width", "cell_height", F.col("h"), F.col("w"), "crs")
     df = df.withColumn("grid", g)
     return df.withColumn("bbox", grid.grid_bbox(F.col("grid")))
+
+
+def load_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    return with_grid(spark.read.parquet(str(fdir / "tiles.parquet")))
 
 
 def tiles_with_cells(tiles: DataFrame, level: int = fixtures.CELL_LEVEL) -> DataFrame:

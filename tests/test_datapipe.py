@@ -66,6 +66,73 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     assert similarity._ivf_assign(emb.select("vec_id", "embedding"), cents).count() == emb.count()
 
 
+def test_ivf_assign_kernel_path_matches_literal_fold(spark, emb):
+    """Above IVF_LITERAL_MAX the assignment switches to the broadcast
+    numpy argmax kernel (VERDICT r03 #1). Forcing the kernel path onto
+    the same small centroid set must reproduce the literal fold's
+    assignment exactly (same strict-> / first-max tie rule)."""
+    cents = similarity.ivf_fit(emb, nlist=16, iters=2)
+    lit = {r.vec_id: r.cluster
+           for r in similarity._ivf_assign(emb.select("vec_id", "embedding"), cents).collect()}
+    old = similarity.IVF_LITERAL_MAX
+    try:
+        similarity.IVF_LITERAL_MAX = 0  # force the mapInPandas path
+        ker_df = similarity._ivf_assign(emb.select("vec_id", "embedding"), cents)
+        assert "MapInPandas" in ker_df._jdf.queryExecution().executedPlan().toString()
+        ker = {r.vec_id: r.cluster for r in ker_df.collect()}
+    finally:
+        similarity.IVF_LITERAL_MAX = old
+    assert ker == lit
+
+
+def test_ivf_nlist_1024_no_plan_blowup(spark):
+    """VERDICT r03 #1 'done' criterion: nlist=1024 end-to-end without
+    plan explosion. 2048 deterministic 8-dim vectors → fit 1 Lloyd
+    round at nlist=1024, assign the corpus, run a query — the physical
+    plan stays kernel-shaped (MapInPandas), no 1024×8 literal fold."""
+    n, dims = 2048, 8
+    rows = [(i, [float(((i * 2654435761 + d * 97) % 1000) - 500) / 500.0
+                 for d in range(dims)]) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_fit(e, nlist=1024, iters=1, dims=dims)
+    assert cents.count() == 1024
+    adf = similarity._ivf_assign(e, cents)
+    plan = adf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert len(plan) < 200_000  # a 1024×8 literal fold would be MBs of plan text
+    assert adf.count() == n
+    assert adf.select("cluster").distinct().count() > 64
+    q = e.filter("vec_id < 5")
+    got = similarity.ivf_cosine_topk(e, q, k=3, nlist=1024, nprobe=32, iters=1, dims=dims)
+    assert got.count() == 15
+
+
+def test_ivf_params_probed_fraction_shrinks():
+    """nlist ~ √N, nprobe ~ √nlist ⇒ probed fraction ≈ N^(-1/4)."""
+    assert similarity.ivf_params(256) == (16, 4)
+    nlist6, nprobe6 = similarity.ivf_params(10**6)
+    assert nlist6 == 1000 and nprobe6 == 32
+    fr = [similarity.ivf_params(n)[1] / similarity.ivf_params(n)[0]
+          for n in (10**3, 10**6, 10**9, 10**12)]
+    assert all(a > b for a, b in zip(fr, fr[1:]))
+    assert fr[-1] <= 1e-3  # N^(-1/4) = 0.1% of a 10^12 corpus probed per query
+
+
+def test_embedding_near_dups_no_job_during_planning(spark, emb):
+    """VERDICT r03 #2: with a corpus_size hint, building the near-dup
+    plan must not trigger any Spark job (the old default ran a full
+    count() before planning)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-only", "near-dup planning")
+    try:
+        df = similarity.embedding_near_dup_pairs(emb, threshold=0.999, corpus_size=500)
+        df.schema  # force analysis
+        assert sc.statusTracker().getJobIdsForGroup("plan-only") == []
+    finally:
+        sc.setJobGroup(None, None)
+    assert df.columns == ["id_a", "id_b", "cos"]
+
+
 def test_simhash_md5_matches_python_recomputation(spark, docs):
     """The md5-bit SimHash variant is fully portable: recompute whole
     signatures in pure python hashlib (no Spark primitive needed, unlike
