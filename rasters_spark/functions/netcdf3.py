@@ -1,0 +1,337 @@
+"""Classic NetCDF-3 container — pure-stdlib codec + distributed ingest.
+
+The reference opens anything rasterio/xarray reads and ships a NetCDF
+entry flow (debug_reading_netcdf.py:1-11, raster.py:634-771 multi-driver
+open). This module implements the PUBLIC Unidata "NetCDF Classic Format
+Specification" (CDF-1/CDF-2 magic, big-endian header + data) with no
+third-party dependency, as the engine's second ingest driver beside
+parquet and its own GeoTIFF/COG.
+
+Layout written by :func:`encode_nc` — tiles grouped by pixel shape so
+every group is one fixed 3-D variable:
+
+- dims  ``n{g}``, ``y{g}``, ``x{g}`` per shape group + shared ``id_len``
+- vars  ``ids{g}``  NC_CHAR  (n, id_len)   image ids
+        ``x0{g}/y0{g}/cw{g}/ch{g}`` NC_DOUBLE (n)  georeferencing
+        ``data{g}`` NC_FLOAT (n, y, x)     pixels (NaN = nodata)
+
+Scale shape (the 10^12-tile story): a .nc file is a single-writer
+container, so the SINK is one container per partition (mapInPandas —
+same shape as save_geopackage_tiles); the SOURCE parses only the
+few-KB header + per-tile coordinate vars on the driver and ships
+(path, offset) slices to executors — pixel bytes are fetched
+executor-side and never pass through the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+_TYPE_SIZE = {NC_BYTE: 1, NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4, NC_FLOAT: 4, NC_DOUBLE: 8}
+_TYPE_NP = {NC_BYTE: ">i1", NC_CHAR: "S1", NC_SHORT: ">i2", NC_INT: ">i4",
+            NC_FLOAT: ">f4", NC_DOUBLE: ">f8"}
+_TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
+
+ID_LEN = 16  # fixture ids are 'img%012d' = 15 chars + NUL pad
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 4)
+
+
+def _name(s: str) -> bytes:
+    raw = s.encode()
+    return struct.pack(">i", len(raw)) + _pad4(raw)
+
+
+def encode_nc(tiles: list[dict]) -> bytes:
+    """tiles: dicts with image_id, arr (2-D float array, NaN nodata),
+    x_origin, y_origin, cell_width, cell_height → one CDF-2 blob.
+    Deterministic: groups ordered by (h, w), tiles by image_id."""
+    groups: dict[tuple[int, int], list[dict]] = {}
+    for t in tiles:
+        h, w = t["arr"].shape
+        groups.setdefault((h, w), []).append(t)
+    gkeys = sorted(groups)
+    for k in gkeys:
+        groups[k].sort(key=lambda t: t["image_id"])
+
+    dims: list[tuple[str, int]] = [("id_len", ID_LEN)]
+    dimid = {"id_len": 0}
+    vars_: list[dict] = []  # name, nc_type, dimids, shape
+    for gi, (h, w) in enumerate(gkeys):
+        n = len(groups[(h, w)])
+        for dn, dl in ((f"n{gi}", n), (f"y{gi}", h), (f"x{gi}", w)):
+            dimid[dn] = len(dims)
+            dims.append((dn, dl))
+        vars_.append({"name": f"ids{gi}", "type": NC_CHAR,
+                      "dimids": [dimid[f"n{gi}"], dimid["id_len"]], "shape": (n, ID_LEN)})
+        for cn in ("x0", "y0", "cw", "ch"):
+            vars_.append({"name": f"{cn}{gi}", "type": NC_DOUBLE,
+                          "dimids": [dimid[f"n{gi}"]], "shape": (n,)})
+        vars_.append({"name": f"data{gi}", "type": NC_FLOAT,
+                      "dimids": [dimid[f"n{gi}"], dimid[f"y{gi}"], dimid[f"x{gi}"]],
+                      "shape": (n, h, w)})
+
+    for v in vars_:
+        size = _TYPE_SIZE[v["type"]]
+        for s in v["shape"]:
+            size *= s
+        v["vsize"] = size + (-size % 4)
+
+    def header(with_begins: bool) -> bytes:
+        out = [b"CDF\x02", struct.pack(">i", 0)]  # version 2, numrecs 0
+        out.append(struct.pack(">ii", _TAG_DIM, len(dims)))
+        for dn, dl in dims:
+            out.append(_name(dn) + struct.pack(">i", dl))
+        out.append(struct.pack(">ii", 0, 0))  # ABSENT gatt_list
+        out.append(struct.pack(">ii", _TAG_VAR, len(vars_)))
+        for v in vars_:
+            out.append(_name(v["name"]))
+            out.append(struct.pack(">i", len(v["dimids"])))
+            out.append(struct.pack(f">{len(v['dimids'])}i", *v["dimids"]))
+            out.append(struct.pack(">ii", 0, 0))  # ABSENT vatt_list
+            out.append(struct.pack(">ii", v["type"], v["vsize"]))
+            out.append(struct.pack(">q", v.get("begin", 0) if with_begins else 0))
+        return b"".join(out)
+
+    hlen = len(header(False))
+    off = hlen
+    for v in vars_:
+        v["begin"] = off
+        off += v["vsize"]
+
+    payload = [header(True)]
+    for gi, (h, w) in enumerate(gkeys):
+        g = groups[(h, w)]
+        ids = np.zeros((len(g), ID_LEN), dtype="S1")
+        for i, t in enumerate(g):
+            raw = t["image_id"].encode()[:ID_LEN]
+            ids[i, :len(raw)] = np.frombuffer(raw, dtype="S1")
+        payload.append(_pad4(ids.tobytes()))
+        for cn in ("x_origin", "y_origin", "cell_width", "cell_height"):
+            payload.append(_pad4(np.array([t[cn] for t in g], ">f8").tobytes()))
+        data = np.stack([np.asarray(t["arr"], np.float32) for t in g]).astype(">f4")
+        payload.append(_pad4(data.tobytes()))
+    return b"".join(payload)
+
+
+def parse_header(blob: bytes) -> dict:
+    """Header → {version, dims: [(name, len)], vars: {name: {type,
+    dimids, shape, vsize, begin}}}. Accepts CDF-1 and CDF-2."""
+    if blob[:3] != b"CDF" or blob[3] not in (1, 2):
+        raise ValueError("not a classic NetCDF file (magic CDF\\x01/\\x02)")
+    version = blob[3]
+    pos = 8  # skip magic + numrecs
+
+    def i4():
+        nonlocal pos
+        v = struct.unpack_from(">i", blob, pos)[0]
+        pos += 4
+        return v
+
+    def name():
+        nonlocal pos
+        ln = i4()
+        s = blob[pos:pos + ln].decode()
+        pos += ln + (-ln % 4)
+        return s
+
+    tag, n = i4(), i4()
+    dims = []
+    if tag == _TAG_DIM:
+        dims = [(name(), i4()) for _ in range(n)]
+    elif (tag, n) != (0, 0):
+        raise ValueError("malformed dim_list")
+    tag, n = i4(), i4()  # gatt_list
+    if tag == _TAG_ATT:
+        for _ in range(n):
+            name()
+            t, ne = i4(), i4()
+            sz = ne * _TYPE_SIZE[t]
+            pos += sz + (-sz % 4)
+    elif (tag, n) != (0, 0):
+        raise ValueError("malformed gatt_list")
+    tag, n = i4(), i4()
+    vars_ = {}
+    if tag == _TAG_VAR:
+        for _ in range(n):
+            vn = name()
+            nd = i4()
+            dimids = [i4() for _ in range(nd)]
+            atag, an = i4(), i4()
+            if atag == _TAG_ATT:
+                for _ in range(an):
+                    name()
+                    t, ne = i4(), i4()
+                    sz = ne * _TYPE_SIZE[t]
+                    pos += sz + (-sz % 4)
+            elif (atag, an) != (0, 0):
+                raise ValueError("malformed vatt_list")
+            vt, vsize = i4(), i4()
+            if version == 2:
+                begin = struct.unpack_from(">q", blob, pos)[0]
+                pos += 8
+            else:
+                begin = i4()
+            vars_[vn] = {"type": vt, "dimids": dimids,
+                         "shape": tuple(dims[d][1] for d in dimids),
+                         "vsize": vsize, "begin": begin}
+    elif (tag, n) != (0, 0):
+        raise ValueError("malformed var_list")
+    return {"version": version, "dims": dims, "vars": vars_}
+
+
+def read_var(blob: bytes, hdr: dict, vname: str) -> np.ndarray:
+    v = hdr["vars"][vname]
+    count = 1
+    for s in v["shape"]:
+        count *= s
+    arr = np.frombuffer(blob, dtype=_TYPE_NP[v["type"]], count=count, offset=v["begin"])
+    return arr.reshape(v["shape"])
+
+
+def decode_nc(blob: bytes) -> list[dict]:
+    """Full in-memory decode → the encode_nc input shape (tests/small
+    files; the Spark source below avoids materializing pixels driver
+    -side)."""
+    hdr = parse_header(blob)
+    out = []
+    gi = 0
+    while f"data{gi}" in hdr["vars"]:
+        ids = read_var(blob, hdr, f"ids{gi}")
+        x0 = read_var(blob, hdr, f"x0{gi}")
+        y0 = read_var(blob, hdr, f"y0{gi}")
+        cw = read_var(blob, hdr, f"cw{gi}")
+        ch = read_var(blob, hdr, f"ch{gi}")
+        data = read_var(blob, hdr, f"data{gi}")
+        for i in range(data.shape[0]):
+            out.append({
+                "image_id": b"".join(ids[i]).rstrip(b"\x00").decode(),
+                "arr": data[i].astype(np.float32),
+                "x_origin": float(x0[i]), "y_origin": float(y0[i]),
+                "cell_width": float(cw[i]), "cell_height": float(ch[i]),
+            })
+        gi += 1
+    return out
+
+
+# --- Spark source / sink -------------------------------------------------------
+
+def save_netcdf_tiles(tiles_df, out_dir: str) -> int:
+    """Sink: one classic-NetCDF container PER PARTITION (the same
+    no-driver-funnel shape as save_geopackage_tiles) — each executor
+    task decodes its tiles and writes ``part-{pid}.nc``. Returns the
+    number of containers written."""
+    import pandas as pd
+
+    from rasters_spark import codec
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    cols = ["image_id", "bytes", "w", "h", "fmt",
+            "x_origin", "y_origin", "cell_width", "cell_height"]
+
+    def run(batches):
+        tiles, pid = [], None
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if pid is None:
+                    from pyspark import TaskContext
+                    pid = TaskContext.get().partitionId()
+                tiles.append({
+                    "image_id": r.image_id,
+                    "arr": codec.decode_tile(r.bytes, int(r.w), int(r.h), r.fmt),
+                    "x_origin": r.x_origin, "y_origin": r.y_origin,
+                    "cell_width": r.cell_width, "cell_height": r.cell_height,
+                })
+        if tiles:
+            Path(out_dir, f"part-{pid:05d}.nc").write_bytes(encode_nc(tiles))
+            yield pd.DataFrame({"pid": [pid], "n_tiles": [len(tiles)]})
+
+    res = tiles_df.select(*cols).mapInPandas(run, schema="pid int, n_tiles long")
+    return res.count()
+
+
+def load_netcdf_tiles(spark, path: str):
+    """Source: a .nc file or a directory of them → the engine's tile
+    table (image_id, bytes 'raw', w, h, fmt, georeferencing, crs).
+
+    Driver work is header + coordinate vars ONLY (a few KB/file); the
+    per-tile (path, offset, shape) index distributes, and executors
+    seek-read each tile's big-endian pixel block and re-encode it as
+    the engine's little-endian 'raw' blob. Pixels never cross the
+    driver — files scale out across the cluster, tiles within a file
+    scale across its partitioned index."""
+    import pandas as pd
+
+    p = Path(path)
+    files = sorted(p.glob("*.nc")) if p.is_dir() else [p]
+    rows = []
+    for f in files:
+        with open(f, "rb") as fh:
+            head = fh.read(1 << 20)  # the header itself is a few KB
+            hdr = parse_header(head)
+
+            def seek_var(vname):
+                # coordinate vars interleave with earlier groups' pixel
+                # blocks, so read each by its (begin, vsize) — never the
+                # whole file
+                v = hdr["vars"][vname]
+                fh.seek(v["begin"])
+                buf = fh.read(v["vsize"])
+                count = 1
+                for s in v["shape"]:
+                    count *= s
+                return np.frombuffer(buf, dtype=_TYPE_NP[v["type"]], count=count).reshape(v["shape"])
+
+            gi = 0
+            rows_f = []
+            while f"data{gi}" in hdr["vars"]:
+                v = hdr["vars"][f"data{gi}"]
+                n, h, w = v["shape"]
+                ids = seek_var(f"ids{gi}")
+                x0 = seek_var(f"x0{gi}")
+                y0 = seek_var(f"y0{gi}")
+                cw = seek_var(f"cw{gi}")
+                ch = seek_var(f"ch{gi}")
+                for i in range(n):
+                    rows_f.append((
+                        b"".join(ids[i]).rstrip(b"\x00").decode(), str(f),
+                        v["begin"] + i * h * w * 4, int(w), int(h),
+                        float(x0[i]), float(y0[i]), float(cw[i]), float(ch[i]),
+                    ))
+                gi += 1
+        rows.extend(rows_f)
+    idx = spark.createDataFrame(
+        rows, "image_id string, path string, offset long, w int, h int, "
+              "x_origin double, y_origin double, cell_width double, cell_height double")
+
+    def fetch(batches):
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                blobs = []
+                for r in pdf.itertuples(index=False):
+                    fh = handles.get(r.path)
+                    if fh is None:
+                        fh = handles[r.path] = open(r.path, "rb")
+                    fh.seek(r.offset)
+                    be = np.frombuffer(fh.read(r.w * r.h * 4), dtype=">f4")
+                    blobs.append(be.astype("<f4").tobytes())
+                out = pdf.drop(columns=["path", "offset"]).copy()
+                out["bytes"] = blobs
+                out["fmt"] = "raw"
+                yield out
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    schema = ("image_id string, w int, h int, x_origin double, y_origin double, "
+              "cell_width double, cell_height double, bytes binary, fmt string")
+    from pyspark.sql import functions as F
+
+    return idx.mapInPandas(fetch, schema=schema).withColumn("crs", F.lit("EPSG:4326"))

@@ -40,6 +40,24 @@ def tiles_with_cells(tiles: DataFrame, level: int = fixtures.CELL_LEVEL) -> Data
     return tiles.withColumn("cell_id", F.explode(cells.cells_for_bbox(F.col("bbox"), level)))
 
 
+def open_tiles(spark: SparkSession, path: str) -> DataFrame:
+    """Multi-driver tile open, mirroring the reference's extension
+    dispatch in Raster.open (raster.py:634-771): ``.parquet`` →
+    columnar scan, ``.nc`` (or a directory of them) → the classic
+    NetCDF-3 ingest driver (functions/netcdf3.py). Either way the
+    result is the engine tile table with grid/bbox attached."""
+    from pathlib import Path
+
+    p = Path(path)
+    if p.suffix == ".parquet":
+        return with_grid(spark.read.parquet(path))
+    if p.suffix == ".nc" or (p.is_dir() and any(p.glob("*.nc"))):
+        from rasters_spark.functions import netcdf3
+
+        return with_grid(netcdf3.load_netcdf_tiles(spark, path))
+    raise ValueError(f"no ingest driver for {path!r} (parquet / classic NetCDF-3)")
+
+
 def load_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     fdir = fixtures.ensure_fixtures(sf_dir)
     return spark.read.parquet(str(fdir / "points.parquet"))
