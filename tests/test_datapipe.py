@@ -358,6 +358,29 @@ def test_minhash_band_join_prebucketed_zero_exchange(spark, docs):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_minhash_lsh_pairs_bucketed_matches_inline_and_no_bucket_shuffle(spark, docs):
+    """VERDICT r03 #9: the bucketed PRODUCTION path emits the identical
+    pair set as the inline variant, and its physical plan contains NO
+    Exchange keyed on (band, bucket) — the candidate self-join runs on
+    the bucketed scans' existing distribution (broadcast disabled so
+    the small fixture doesn't hide the shape the 100-TB plan takes)."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got_df = dedup.minhash_lsh_pairs_bucketed(
+            spark, docs, table_name="t_bands_prod", threshold=0.85)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning\(band#", plan), plan[:2000]
+        got = {(r.doc_a, r.doc_b, round(r.j, 12)) for r in got_df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    exp = {(r.doc_a, r.doc_b, round(r.j, 12))
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.85).collect()}
+    assert got == exp and len(got) > 0
+
+
 def test_wav_codec_roundtrip_and_features(spark):
     """Stdlib RIFF/PCM codec: int16 round trip, stereo collapse by
     exact integer mean, unknown chunks skipped per spec."""
