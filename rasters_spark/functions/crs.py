@@ -9,9 +9,12 @@ spherical sinusoidal (the MODIS grid, +R=6371007.181), spherical
 Albers equal-area conic (+proj=aea, the CONUS grids), spherical
 Lambert conformal conic (+proj=lcc, state planes / Euro LCC),
 spherical Lambert azimuthal equal-area (+proj=laea, the EASE grids),
-and ELLIPSOIDAL polar stereographic (+proj=stere at lat_0=±90;
+ELLIPSOIDAL polar stereographic (+proj=stere at lat_0=±90;
 EPSG:3413 NSIDC Sea Ice North / EPSG:3031 Antarctic — the sea-ice and
-ice-sheet grids, Snyder PP 1395 §21).
+ice-sheet grids, Snyder PP 1395 §21), Web Mercator (EPSG:3857, the
+slippy-map tile CRS), and ELLIPSOIDAL Albers/LCC (+ellps=GRS80/WGS84
+or +datum=NAD83; EPSG:5070 CONUS Albers, EPSG:2154 Lambert-93 —
+Snyder §14/§15 with the q/m/t auxiliaries).
 Zone-number quirks are transcribed EXACTLY from the reference:
 
 - ``local_UTM_proj4`` uses ``int((lon+180)/6)`` WITHOUT the +1,
@@ -155,11 +158,48 @@ GEOGRAPHIC_CRS = ("EPSG:4326", "epsg:4326", "+proj=longlat +datum=WGS84 +no_defs
 _E = float(np.sqrt(_E2))  # WGS84 first eccentricity
 
 
-def _ps_t(phi):
+def _ps_t(phi, e: float = _E):
     """Snyder PP 1395 eq. 15-9: the conformal-latitude half-angle
     t = tan(π/4 − φ/2) / ((1 − e·sinφ)/(1 + e·sinφ))^(e/2)."""
-    e = _E
     return np.tan(np.pi / 4 - phi / 2) / ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
+
+
+def _ell_m(phi, e2: float):
+    """Snyder eq. 14-15: m = cosφ/√(1 − e²·sin²φ)."""
+    return np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+
+
+def _ell_q(phi, e2: float):
+    """Snyder eq. 3-12: the equal-area auxiliary
+    q = (1−e²)[sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e·sinφ)/(1+e·sinφ))]."""
+    e = np.sqrt(e2)
+    s = np.sin(phi)
+    return (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+
+def _chi_to_phi(chi, e2: float):
+    """Snyder eq. 3-5: conformal → geodetic latitude series."""
+    return (chi
+            + (e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360) * np.sin(2 * chi)
+            + (7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520) * np.sin(4 * chi)
+            + (7 * e2**3 / 120 + 81 * e2**4 / 1120) * np.sin(6 * chi)
+            + (4279 * e2**4 / 161280) * np.sin(8 * chi))
+
+
+def _beta_to_phi(beta, e2: float):
+    """Snyder eq. 3-18: authalic → geodetic latitude series."""
+    return (beta
+            + (e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040) * np.sin(2 * beta)
+            + (23 * e2**2 / 360 + 251 * e2**3 / 3780) * np.sin(4 * beta)
+            + (761 * e2**3 / 45360) * np.sin(6 * beta))
+
+
+#: supported reference ellipsoids (semi-major axis, e²) — WGS84 and
+#: GRS80 (NAD83 / EPSG:5070 / RGF93) differ only in the 1e-10 of e².
+_ELLPS = {
+    "WGS84": (6378137.0, _E2),
+    "GRS80": (6378137.0, 0.006694380022903416),  # 1/f = 298.257222101
+}
 
 
 def _ps_forward(lon, lat, p):
@@ -317,6 +357,104 @@ def _proj4_param(c: str, key: str, default: float) -> float:
     return float(c.split(f"+{key}=")[1].split()[0]) if f"+{key}=" in c else default
 
 
+def _webmerc_forward(lon, lat, p):
+    """Spherical ("Web") Mercator on the WGS84 semi-major axis — the
+    EPSG:3857 slippy-map/tile CRS: x = a·λ, y = a·ln tan(π/4 + φ/2)
+    (Snyder eq. 7-1/7-2 with R = a). |φ| ≥ the ±85.051129° web-mercator
+    clip latitude (atan(sinh π)) → ±inf y; downstream geographic range
+    rules handle it."""
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y = _A * np.log(np.tan(np.pi / 4 + phi / 2))
+    return _A * lam, y
+
+
+def _webmerc_inverse(x, y, p):
+    """Snyder eq. 7-4/7-5: φ = 2·arctan(e^(y/a)) − π/2, λ = x/a."""
+    lon = np.degrees(np.asarray(x, np.float64) / _A)
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, np.float64) / _A)) - np.pi / 2)
+    return lon, lat
+
+
+def _eaea_forward(lon, lat, p):
+    """ELLIPSOIDAL Albers equal-area conic (Snyder §14, eq. 14-1..14-4
+    with q/m auxiliaries 3-12/14-15): ρ = a·√(C − n·q)/n. EPSG:5070
+    (NAD83 CONUS Albers) is this on GRS80."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    a, e2, n, C, rho0 = p["a"], p["e2"], p["n"], p["C"], p["rho0"]
+    rho = a * np.sqrt(np.maximum(C - n * _ell_q(phi, e2), 0.0)) / n
+    th = n * np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    return rho * np.sin(th) + p["x0"], rho0 - rho * np.cos(th) + p["y0"]
+
+
+def _eaea_inverse(x, y, p):
+    """Snyder eq. 14-19 (q from ρ) + the authalic-latitude series 3-18;
+    n<0 sign flips as in the spherical form."""
+    a, e2, n, C, rho0 = p["a"], p["e2"], p["n"], p["C"], p["rho0"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = rho0 - (np.asarray(y, np.float64) - p["y0"])
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = np.hypot(xx, yy)
+    th = np.arctan2(sgn * xx, sgn * yy)
+    q = (C - (rho * n / a) ** 2) / n
+    qp = _ell_q(np.pi / 2, e2)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    return p["lon0"] + np.degrees(th / n), np.degrees(_beta_to_phi(beta, e2))
+
+
+def _elcc_forward(lon, lat, p):
+    """ELLIPSOIDAL Lambert conformal conic (Snyder §15, eq. 15-1/15-7
+    with t from 15-9): ρ = a·F·t^n. EPSG:2154 (Lambert-93) is this on
+    GRS80."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    a, n, Fc, rho0, e = p["a"], p["n"], p["F"], p["rho0"], np.sqrt(p["e2"])
+    with np.errstate(divide="ignore", over="ignore"):
+        rho = a * Fc * _ps_t(phi, e) ** n
+    th = n * np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    return rho * np.sin(th) + p["x0"], rho0 - rho * np.cos(th) + p["y0"]
+
+
+def _elcc_inverse(x, y, p):
+    """Snyder eq. 15-11 (t from ρ), χ = π/2 − 2·arctan t, then the
+    conformal series 3-5."""
+    a, n, Fc, rho0, e2 = p["a"], p["n"], p["F"], p["rho0"], p["e2"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = rho0 - (np.asarray(y, np.float64) - p["y0"])
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(xx, yy)
+    th = np.arctan2(sgn * xx, sgn * yy)
+    with np.errstate(divide="ignore"):
+        t = (np.where(rho == 0, np.inf, rho) / (a * Fc)) ** (1.0 / n)
+    chi = np.pi / 2 - 2.0 * np.arctan(t)
+    phi = np.where(rho == 0, np.pi / 2 * sgn, _chi_to_phi(chi, e2))
+    return p["lon0"] + np.degrees(th / n), np.degrees(phi)
+
+
+def _crs_ellipsoid(c: str) -> tuple[float, float] | None:
+    """(a, e²) when the proj4 string names a supported ellipsoid —
+    None keeps the spherical closed forms (existing behavior)."""
+    for key, ae in _ELLPS.items():
+        if f"+ellps={key}" in c:
+            return ae
+    if "+datum=NAD83" in c:
+        return _ELLPS["GRS80"]
+    # +datum=WGS84 on the conics: ellipsoidal WGS84 (on utm/stere the
+    # datum token is already implied by their dedicated parsers)
+    if "+datum=WGS84" in c and ("+proj=aea" in c or "+proj=lcc" in c):
+        return _ELLPS["WGS84"]
+    return None
+
+
+#: conic EPSG workhorses resolved to their published proj4
+_EPSG_CONIC = {
+    "EPSG:5070": "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+                 "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs",  # NAD83 CONUS Albers
+    "EPSG:2154": "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+                 "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs",  # Lambert-93
+}
+
+
 #: published proj4 definitions of the two polar-stereographic EPSG
 #: workhorses (sea-ice / ice-sheet grids)
 _EPSG_STERE = {
@@ -351,6 +489,10 @@ def _parse_crs(crs: str) -> dict:
     c = crs.strip()
     if c in GEOGRAPHIC_CRS:
         return {"kind": "geographic"}
+    if c.upper() in ("EPSG:3857", "EPSG:900913") or "+proj=webmerc" in c:
+        return {"kind": "webmerc"}
+    if c.upper() in _EPSG_CONIC:
+        c = _EPSG_CONIC[c.upper()]
     if c.upper() in _EPSG_STERE:
         return _parse_stere(_EPSG_STERE[c.upper()], c)
     if "+proj=stere" in c:
@@ -374,6 +516,25 @@ def _parse_crs(crs: str) -> dict:
                 "lon0": _proj4_param(c, "lon_0", 0.0),
                 "r": _proj4_param(c, "R", _proj4_param(c, "a", _MODIS_R))}
     if "+proj=aea" in c:
+        ell = _crs_ellipsoid(c)
+        if ell is not None:
+            # ELLIPSOIDAL Albers (Snyder §14): cone constants from the
+            # q/m auxiliaries, precomputed once per CRS string
+            a, e2 = ell
+            lat1 = np.radians(_proj4_param(c, "lat_1", 29.5))
+            lat2 = np.radians(_proj4_param(c, "lat_2", 45.5))
+            lat0 = np.radians(_proj4_param(c, "lat_0", 0.0))
+            m1, m2 = _ell_m(lat1, e2), _ell_m(lat2, e2)
+            q1, q2 = _ell_q(lat1, e2), _ell_q(lat2, e2)
+            n = np.sin(lat1) if lat1 == lat2 else (m1**2 - m2**2) / (q2 - q1)
+            if n == 0:
+                raise ValueError(f"degenerate Albers cone: {crs!r}")
+            C = m1**2 + n * q1
+            rho0 = a * np.sqrt(max(C - n * _ell_q(lat0, e2), 0.0)) / n
+            return {"kind": "eaea", "a": a, "e2": e2,
+                    "lon0": _proj4_param(c, "lon_0", 0.0),
+                    "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+                    "n": float(n), "C": float(C), "rho0": float(rho0)}
         # Albers equal-area conic (spherical): precompute the cone
         # constants once per CRS string, not per row
         lat1 = _proj4_param(c, "lat_1", 29.5)
@@ -389,6 +550,25 @@ def _parse_crs(crs: str) -> dict:
                 "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
                 "r": r, "n": n, "c0": c0, "rho0": rho0}
     if "+proj=lcc" in c:
+        ell = _crs_ellipsoid(c)
+        if ell is not None:
+            # ELLIPSOIDAL LCC (Snyder §15): n/F from t (15-9) and m
+            a, e2 = ell
+            e = np.sqrt(e2)
+            lat1 = np.radians(_proj4_param(c, "lat_1", 33.0))
+            lat2 = np.radians(_proj4_param(c, "lat_2", np.degrees(lat1)))
+            lat0 = np.radians(_proj4_param(c, "lat_0", 0.0))
+            m1, m2 = _ell_m(lat1, e2), _ell_m(lat2, e2)
+            t1, t2 = _ps_t(lat1, e), _ps_t(lat2, e)
+            n = np.sin(lat1) if lat1 == lat2 else np.log(m1 / m2) / np.log(t1 / t2)
+            if n == 0:
+                raise ValueError(f"degenerate LCC cone: {crs!r}")
+            Fc = m1 / (n * t1**n)
+            rho0 = a * Fc * _ps_t(lat0, e) ** n
+            return {"kind": "elcc", "a": a, "e2": e2,
+                    "lon0": _proj4_param(c, "lon_0", 0.0),
+                    "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+                    "n": float(n), "F": float(Fc), "rho0": float(rho0)}
         lat1 = _proj4_param(c, "lat_1", 33.0)
         lat2 = _proj4_param(c, "lat_2", lat1)
         lat0 = _proj4_param(c, "lat_0", 0.0)
@@ -438,6 +618,12 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _laea_inverse(x, y, s)
     elif s["kind"] == "ps":
         lon, lat = _ps_inverse(x, y, s)
+    elif s["kind"] == "webmerc":
+        lon, lat = _webmerc_inverse(x, y, s)
+    elif s["kind"] == "eaea":
+        lon, lat = _eaea_inverse(x, y, s)
+    elif s["kind"] == "elcc":
+        lon, lat = _elcc_inverse(x, y, s)
     else:
         lon, lat = _aeqd_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["lat0"])
     # geographic → target
@@ -461,6 +647,12 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _laea_forward(lon, lat, d)
     if d["kind"] == "ps":
         return _ps_forward(lon, lat, d)
+    if d["kind"] == "webmerc":
+        return _webmerc_forward(lon, lat, d)
+    if d["kind"] == "eaea":
+        return _eaea_forward(lon, lat, d)
+    if d["kind"] == "elcc":
+        return _elcc_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])
 
 

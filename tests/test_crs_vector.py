@@ -75,7 +75,7 @@ def test_transform_xy_dataframe_kernel(spark):
 
 def test_unsupported_crs_raises():
     with pytest.raises(ValueError, match="unsupported CRS"):
-        C.transform_xy_np(np.array([0.0]), np.array([0.0]), "EPSG:3857", "EPSG:4326")
+        C.transform_xy_np(np.array([0.0]), np.array([0.0]), "+proj=moll", "EPSG:4326")
 
 
 def test_crosses_antimeridian(spark):
@@ -496,3 +496,61 @@ def test_reproject_accepts_polar_stereographic(spark):
         assert r.grid.crs == "EPSG:3413"
         assert 0 <= r.trow < r.grid.rows and 0 <= r.tcol < r.grid.cols
         assert r.value is None or np.isfinite(r.value)
+
+
+def test_transform_web_mercator():
+    """EPSG:3857 (the slippy-map tile CRS, Snyder §7 spherical Mercator
+    on a=6378137): published anchors — lon 180° → a·π =
+    20037508.342789244, lat 45° → 5621521.486192 — and identity round
+    trips inside the ±85.051129° clip band."""
+    x, y = C.transform_xy_np(np.array([0.0, 180.0]), np.array([0.0, 0.0]),
+                             "EPSG:4326", "EPSG:3857")
+    assert x[0] == 0.0 and y[0] == 0.0
+    assert x[1] == pytest.approx(20037508.342789244, abs=1e-6)
+    _, y45 = C.transform_xy_np(np.array([0.0]), np.array([45.0]), "EPSG:4326", "EPSG:3857")
+    assert y45[0] == pytest.approx(5621521.486192066, abs=1e-6)
+    lon = np.linspace(-179.9, 179.9, 31)
+    lat = np.linspace(-85.0, 85.0, 31)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:3857")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:3857", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-12)
+    np.testing.assert_allclose(p2, lat, atol=1e-12)
+
+
+def test_transform_ellipsoidal_conics():
+    """Ellipsoidal Albers (EPSG:5070, NAD83 CONUS) and LCC (EPSG:2154,
+    Lambert-93) — Snyder §14/§15 with the q/m/t auxiliaries: false
+    origins land exactly, scale is TRUE (k=1) along both standard
+    parallels (the defining property), and round trips are sub-mm."""
+    # false origins
+    x, y = C.transform_xy_np(np.array([-96.0]), np.array([23.0]), "EPSG:4326", "EPSG:5070")
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    x, y = C.transform_xy_np(np.array([3.0]), np.array([46.5]), "EPSG:4326", "EPSG:2154")
+    assert x[0] == pytest.approx(700000.0, abs=1e-6)
+    assert y[0] == pytest.approx(6600000.0, abs=1e-6)
+    # unit scale along the standard parallels
+    a, e2 = C._ELLPS["GRS80"]
+    for crs, parallels in (("EPSG:5070", (29.5, 45.5)), ("EPSG:2154", (49.0, 44.0))):
+        for lat in parallels:
+            dl = 0.001
+            x1, y1 = C.transform_xy_np(np.array([0.0]), np.array([lat]), "EPSG:4326", crs)
+            x2, y2 = C.transform_xy_np(np.array([dl]), np.array([lat]), "EPSG:4326", crs)
+            nu = a / np.sqrt(1 - e2 * np.sin(np.radians(lat)) ** 2)
+            true_d = nu * np.cos(np.radians(lat)) * np.radians(dl)
+            assert np.hypot(x2 - x1, y2 - y1)[0] / true_d == pytest.approx(1.0, abs=1e-8)
+    # round trips over each CRS's service area
+    lon = np.linspace(-125.0, -66.0, 31)
+    lat = np.linspace(24.0, 50.0, 31)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:5070")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:5070", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-7)
+    np.testing.assert_allclose(p2, lat, atol=1e-7)
+    lon = np.linspace(-5.0, 9.0, 21)
+    lat = np.linspace(41.0, 51.0, 21)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:2154")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:2154", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-9)
+    # spherical conic spellings (no +ellps/+datum) stay on the old path
+    assert C._parse_crs("+proj=aea +lat_1=29.5 +lat_2=45.5")["kind"] == "aea"
+    assert C._parse_crs("+proj=lcc +lat_1=33 +lat_2=45")["kind"] == "lcc"

@@ -135,3 +135,39 @@ def test_out_of_extent_points_drop(spark, fdir):
     got = _spark_result(spark)
     # fixture points 6 & 7 are north of 80° / south of −80° → outside all tiles
     assert not set(got["point_id"]).intersection({6, 7})
+
+
+def test_sample_auto_dtype_dispatch(spark):
+    """raster.py:1295-1322 dispatch: integer tiles sample NEAREST even
+    when the float path would IDW. A mixed stack (half the raw tiles
+    cast to i32) routed through sample_auto must give: int rows ==
+    nearest values (exact ints), float rows == sample_idw values."""
+    from rasters_spark.operators import rastermath as rm
+    from rasters_spark.tiles import with_grid
+
+    t = load_tiles(spark, SF).filter("fmt = 'raw'")
+    ti = with_grid(rm.astype_tiles(t.filter("image_id < 'img000000000050'"), "i32", rm.mul(4.0)))
+    tf = t.filter("image_id >= 'img000000000050'")
+    mixed = ti.unionByName(tf.select(*ti.columns))
+    pts = load_points(spark, SF).filter("point_id < 3000")
+    j = point_join.point_in_tile_join(pts, mixed)
+    out = sample.sample_auto(j).select("point_id", "image_id", "fmt", "value").toPandas()
+    assert set(out["fmt"]) == {"i32", "raw"}
+    # integer rows: values are exact ints (nearest pixel ×4), never interpolated
+    iv = out[out["fmt"] == "i32"]["value"].dropna()
+    assert len(iv) and (iv == iv.round()).all()
+    # float rows: equal the dedicated IDW path bit-for-bit
+    jf = point_join.point_in_tile_join(pts, tf)
+    idw = sample.sample_idw(jf.select("point_id", "image_id", "x", "y"), tiles=tf) \
+        .select("point_id", "image_id", "value").toPandas()
+    got_f = out[out["fmt"] == "raw"][["point_id", "image_id", "value"]] \
+        .sort_values(["point_id", "image_id"]).reset_index(drop=True)
+    exp_f = idw.sort_values(["point_id", "image_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_f, exp_f, check_exact=True)
+    # integer rows: equal the dedicated nearest path
+    jn = point_join.point_in_tile_join(pts, ti)
+    near = sample.sample_nearest(jn).select("point_id", "image_id", "value").toPandas()
+    got_i = out[out["fmt"] == "i32"][["point_id", "image_id", "value"]] \
+        .sort_values(["point_id", "image_id"]).reset_index(drop=True)
+    exp_i = near.sort_values(["point_id", "image_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_i, exp_i, check_exact=True)

@@ -162,3 +162,53 @@ def test_wav_codec_roundtrip_property(samples, rate):
     s = np.array(samples, dtype=np.int16)
     back, r2 = decode_wav(encode_wav(s, rate))
     assert r2 == rate and np.array_equal(back, s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vals=st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                     min_size=1, max_size=64),
+       w=st.integers(min_value=1, max_value=8))
+def test_i32_codec_identity_property(vals, w):
+    """i32 tiles round-trip EVERY int32 value bit-exactly; the
+    INT32_MIN sentinel (and only it) surfaces as NaN in the float view."""
+    from rasters_spark import codec
+
+    h = (len(vals) + w - 1) // w
+    a = np.zeros((h, w), np.int32)
+    a.flat[:len(vals)] = np.array(vals, np.int64).astype(np.int32)
+    blob = codec.encode_tile(a, "i32")
+    assert len(blob) == 4 * h * w
+    back = codec.decode_tile_typed(blob, w, h, "i32")
+    np.testing.assert_array_equal(back, a)
+    flt = codec.decode_tile(blob, w, h, "i32")
+    np.testing.assert_array_equal(np.isnan(flt), a == codec.I32_NODATA)
+    np.testing.assert_array_equal(flt[~np.isnan(flt)].astype(np.int64),
+                                  a[a != codec.I32_NODATA].astype(np.int64))
+    for r in range(h):
+        for c in range(w):
+            got = codec.pixel_at(blob, w, h, "i32", r, c)
+            if a[r, c] == codec.I32_NODATA:
+                assert np.isnan(got)
+            else:
+                assert got == float(a[r, c])
+
+
+@settings(max_examples=200, deadline=None)
+@given(bits=st.lists(st.booleans(), min_size=1, max_size=96),
+       w=st.integers(min_value=1, max_value=12))
+def test_b1_codec_identity_property(bits, w):
+    """Bool tiles: 1 byte/pixel, uint16 typed view (the reference's
+    bool-resampling shim dtype), no nodata, float view exact 0/1."""
+    from rasters_spark import codec
+
+    h = (len(bits) + w - 1) // w
+    a = np.zeros((h, w), np.bool_)
+    a.flat[:len(bits)] = bits
+    blob = codec.encode_tile(a, "b1")
+    assert len(blob) == h * w
+    back = codec.decode_tile_typed(blob, w, h, "b1")
+    assert back.dtype == np.uint16
+    np.testing.assert_array_equal(back.astype(bool), a)
+    flt = codec.decode_tile(blob, w, h, "b1")
+    assert not np.isnan(flt).any()
+    np.testing.assert_array_equal(flt, a.astype(np.float64))
