@@ -376,6 +376,65 @@ def ivf_params(corpus_size: int) -> tuple[int, int]:
     return nlist, min(nprobe, nlist)
 
 
+def _ivf_probes(queries: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """Per query: the ``nprobe`` nearest clusters by centroid cosine →
+    (query_id, qe, cluster). Cost Q×nlist with a skinny query side."""
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    qj = q.crossJoin(F.broadcast(cents))
+    qcos = _dot(F.col("qe"), F.col("centroid")) / (_norm(F.col("qe")) * _norm(F.col("centroid")))
+    return (
+        qj.select("query_id", "qe", "cluster", qcos.alias("cos"))
+        .groupBy("query_id").agg(
+            F.slice(F.array_sort(F.collect_list(F.struct(
+                (-F.col("cos")).alias("negcos"), F.col("cluster").alias("cluster")))), 1, nprobe).alias("p"),
+            F.first("qe").alias("qe"))
+        .select("query_id", "qe", F.explode(F.transform(F.col("p"), lambda t: t["cluster"])).alias("cluster"))
+    )
+
+
+def _ivf_rank(inv: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact cosine within the probed lists → per-query top-k."""
+    j = inv.join(F.broadcast(probes), "cluster").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
+    return _topk_by_cos(j.withColumn("cos", cos), k)
+
+
+def ivf_write_index(spark, embeddings: DataFrame, table_name: str = "ivf_index",
+                    nlist: int = 16, iters: int = 4, dims: int = 64,
+                    fit_ids: int | None = None, n_buckets: int | None = None) -> DataFrame:
+    """Persist the IVF index AT REST (the posting-list story the module
+    docstring promises): the (vec_id, embedding, cluster) assignment is
+    written BUCKETED on ``cluster`` via tableio.write_bucketed, and the
+    centroids beside it as ``{table_name}_centroids``. At 10^12 rows
+    the posting lists are the table's physical layout — a probe of
+    nprobe lists scans only those buckets (bucket pruning, plan-visible
+    as ``SelectedBucketsCount``), never the corpus. Returns the
+    centroid DataFrame."""
+    from rasters_spark import tableio
+
+    cents = ivf_fit(embeddings, nlist, iters, dims, fit_ids)
+    inv = _ivf_assign(embeddings.select("vec_id", "embedding"), cents)
+    tableio.write_bucketed(spark, inv, table_name, "cluster", n_buckets or min(nlist, 64))
+    tableio.write_bucketed(spark, cents, f"{table_name}_centroids", "cluster", 1)
+    return cents
+
+
+def ivf_topk_bucketed(spark, queries: DataFrame, table_name: str = "ivf_index",
+                      k: int = 5, nprobe: int = 4) -> DataFrame:
+    """ANN search over a persisted IVF index: probe selection collects
+    the ≤ Q·nprobe distinct cluster ids (a tiny driver list — the
+    standard IVF 'select lists' step) and pushes them as an `IN` filter
+    into the bucketed posting-list scan, so parquet reads ONLY the
+    probed buckets. Deterministic: identical results to the in-flight
+    ``ivf_cosine_topk`` at the same quantizer parameters (asserted in
+    tests, along with the pruned-scan plan)."""
+    cents = spark.table(f"{table_name}_centroids")
+    probes = _ivf_probes(queries, cents, nprobe)
+    plist = sorted(r.cluster for r in probes.select("cluster").distinct().collect())
+    inv = spark.table(table_name).filter(F.col("cluster").isin(plist))
+    return _ivf_rank(inv, probes, k)
+
+
 def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     nlist: int | None = 16, nprobe: int | None = 4, iters: int = 4,
                     dims: int = 64, fit_ids: int | None = None,
@@ -404,17 +463,4 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         nprobe = d_nprobe if nprobe is None else nprobe
     cents = ivf_fit(embeddings, nlist, iters, dims, fit_ids)
     inv = _ivf_assign(embeddings.select("vec_id", "embedding"), cents)
-    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    qj = q.crossJoin(F.broadcast(cents))
-    qcos = _dot(F.col("qe"), F.col("centroid")) / (_norm(F.col("qe")) * _norm(F.col("centroid")))
-    probes = (
-        qj.select("query_id", "qe", "cluster", qcos.alias("cos"))
-        .groupBy("query_id").agg(
-            F.slice(F.array_sort(F.collect_list(F.struct(
-                (-F.col("cos")).alias("negcos"), F.col("cluster").alias("cluster")))), 1, nprobe).alias("p"),
-            F.first("qe").alias("qe"))
-        .select("query_id", "qe", F.explode(F.transform(F.col("p"), lambda t: t["cluster"])).alias("cluster"))
-    )
-    j = inv.join(F.broadcast(probes), "cluster").filter(F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
-    return _topk_by_cos(j.withColumn("cos", cos), k)
+    return _ivf_rank(inv, _ivf_probes(queries, cents, nprobe), k)

@@ -118,6 +118,26 @@ def test_ivf_params_probed_fraction_shrinks():
     assert fr[-1] <= 1e-3  # N^(-1/4) = 0.1% of a 10^12 corpus probed per query
 
 
+def test_ivf_bucketed_index_matches_inline_and_prunes_buckets(spark, emb):
+    """The persisted IVF index (posting lists bucketed on cluster)
+    returns the IDENTICAL top-k as the in-flight path at the same
+    quantizer parameters, and the probe scan is bucket-pruned — the
+    parquet scan reads only the probed lists (SelectedBucketsCount)."""
+    import re
+
+    q = emb.filter("vec_id < 10")
+    similarity.ivf_write_index(spark, emb, table_name="t_ivf_idx", nlist=16, iters=3)
+    got_df = similarity.ivf_topk_bucketed(spark, q, table_name="t_ivf_idx", k=5, nprobe=4)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "bucketed scan not pruned:\n" + plan[:2000]
+    assert int(m.group(1)) < int(m.group(2))
+    got = sorted(map(tuple, got_df.collect()))
+    exp = sorted(map(tuple, similarity.ivf_cosine_topk(
+        emb, q, k=5, nlist=16, nprobe=4, iters=3).collect()))
+    assert got == exp and len(got) == 50
+
+
 def test_embedding_near_dups_no_job_during_planning(spark, emb):
     """VERDICT r03 #2: with a corpus_size hint, building the near-dup
     plan must not trigger any Spark job (the old default ran a full

@@ -144,3 +144,25 @@ def test_linear_downscale_gap_fill_and_outputs(spark):
     assert out[(1, 0)] == (8.0, 2.0, 0.0)
     # the hole: coarse value, neutral scale/bias
     assert out[(0, 1)] == (32.0 / 3.0, 1.0, 0.0)
+
+
+def test_to_grid_nearest_bool_shim(spark):
+    """Bool resampling end-to-end (reference kdtree.py:293-310: bool
+    rasters resample through a uint16 shim, nearest only): threshold
+    raw tiles to b1, warp onto the target grid with to_grid_nearest —
+    every output value is exactly 0.0 or 1.0, and equals the float-mask
+    warp of the same threshold (the shim is value-transparent)."""
+    from rasters_spark.operators import rastermath as rm
+    from rasters_spark.tiles import with_grid
+
+    t = load_tiles(spark, SF).filter("fmt = 'raw'").limit(30)
+    bt = with_grid(rm.astype_tiles(t, "b1", rm.gt(500.0)))
+    got = {(r.image_id, r.trow, r.tcol): r.value
+           for r in resample.to_grid_nearest(bt, TARGET).collect()}
+    assert got and all(v in (0.0, 1.0) for v in got.values())
+    # float-mask equivalent: same kernel, raw encoding (NaN→0 like the
+    # bool cast) — identical warped values
+    ft = with_grid(rm.elementwise(t, rm.gt(500.0)))
+    exp = {(r.image_id, r.trow, r.tcol): r.value
+           for r in resample.to_grid_nearest(ft, TARGET).collect()}
+    assert got == exp
