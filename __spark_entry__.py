@@ -68,6 +68,23 @@ def q_point_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_sample_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HUGE-point-side flagship strategy (round-4 scale fix): the
+    matched index rows aggregate per tile and the payload streams
+    against that aggregate, with O(1) pixel_at reads in the kernel —
+    nothing is driver-serial in the matched-pair count and pixel bytes
+    never cross an exchange (sample.sample_nearest_grouped). Measured
+    at 1M points / 400k tiles: 2→8-core efficiency 0.84 vs 0.47 for
+    the matched-broadcast default. Same oracle as point_sample_join —
+    the two strategies are certified value-identical."""
+    t = load_tiles(spark, sf_dir)
+    p = load_points(spark, sf_dir)
+    idx = point_join.point_in_tile_join(p, t, payload_cols=())
+    return sample.sample_nearest_grouped(idx, t).select(
+        "point_id", "image_id", "prow", "pcol", "value", "caption"
+    )
+
+
 def q_point_sample_join_i32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer tile family end-to-end (VERDICT r03 #2): raw tiles cast
     to i32 (pixels ×4 — exact quarter-integers → exact ints), NaN
@@ -1214,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_geolocation_nn": q_to_geolocation_nn,
         "cell_size_meters": q_cell_size_meters,
         # -- new this round (round 4) -----------------------------------
+        "point_sample_join_grouped": q_point_sample_join_grouped,
         "point_sample_join_i32": q_point_sample_join_i32,
         "bool_mask_counts": q_bool_mask_counts,
         "netcdf_roundtrip": q_netcdf_roundtrip,
@@ -2374,4 +2392,7 @@ def oracle_sql() -> dict[str, str]:
     # the streamed flagship drains to the identical row set (see
     # streaming.stream_point_sample_join_available_now) — same oracle
     sql["stream_point_join"] = sql["point_sample_join"]
+    # the grouped-fetch strategy is value-identical to the flagship —
+    # one oracle certifies both plans
+    sql["point_sample_join_grouped"] = sql["point_sample_join"]
     return sql

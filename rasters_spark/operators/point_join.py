@@ -29,6 +29,7 @@ def point_in_tile_join(
     broadcast_points: bool = True,
     n_salts: int | None = None,
     payload_cols: tuple[str, ...] = ("bytes", "w", "h", "fmt", "caption", "phash"),
+    broadcast_matched: bool | None = None,
 ) -> DataFrame:
     """points(point_id,x,y) ⋈ tiles_cells(cell_id, grid, …) → matched pairs
     with per-point pixel indices (prow, pcol).
@@ -88,6 +89,18 @@ def point_in_tile_join(
         out_cols = [c for c in j.columns] + list(payload_cols)
         tile_side = [c for c in index.columns if c not in ("image_id", "cell_id", key)]
         slim = j.drop(*[c for c in tile_side if c in j.columns])
-        matched = F.broadcast(slim) if broadcast_points else slim
+        # ``broadcast_matched``: the matched-pair set is |points|·fanout
+        # rows — at ~10^5 points broadcasting it streams the payload scan
+        # with zero shuffle, but at 10^6+ the driver-serial broadcast
+        # build becomes the Amdahl term (measured: flagship 2→8-core
+        # efficiency fell 0.95 → 0.47 at 1M points). None = follow
+        # broadcast_points. False plans a payload equi-join instead —
+        # only sensible when the tile table is BUCKETED on image_id
+        # (tableio.write_bucketed), else the blobs shuffle (measured 6×
+        # slower). For a huge point side prefer
+        # sample.sample_nearest_grouped, which shuffles point structs
+        # only (0.84 eff at 1M points) — see q_point_sample_join_grouped.
+        bm = broadcast_points if broadcast_matched is None else broadcast_matched
+        matched = F.broadcast(slim) if bm else slim
         j = payload_src.join(matched, "image_id").select(*out_cols)
     return j

@@ -231,6 +231,74 @@ def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
     return withp.mapInPandas(run, schema=out_schema)
 
 
+def sample_nearest_grouped(joined: DataFrame, tiles: DataFrame,
+                           value_name: str = "value") -> DataFrame:
+    """Nearest sampling for a HUGE point side — the same cogroup shape
+    as sample_idw, specialized to O(1) pixel reads.
+
+    The default flagship path broadcasts the slim matched-pair set so
+    the payload scan streams shuffle-free; measured at 1M points /
+    400k tiles that driver-serial broadcast build becomes the Amdahl
+    term and 2→8-core efficiency falls 0.95 → 0.47. Here instead:
+
+    1. the matched index rows (NO payload) aggregate into one
+       points-array row per matched tile (map-side combine; the only
+       exchange carries (point_id, prow, pcol) structs);
+    2. the tile payload equi-joins that aggregate on image_id — the
+       pair list broadcasts while it fits, and at rest a
+       bucketed-by-image_id tile table (tableio.write_bucketed) keeps
+       even the non-broadcast form shuffle-free on the payload side;
+    3. a mapInPandas kernel reads each matched pixel with
+       ``codec.pixel_at`` — O(1) byte slices, no tile decode.
+
+    Pixel bytes never cross an exchange and nothing is driver-serial in
+    the matched-pair count. Result ≡ sample_nearest (same oracle)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    payload = tiles.select(
+        F.col("image_id").alias("_img"), "bytes", "w", "h", "fmt",
+        *[F.col(c).alias(c) for c in ("caption",) if c in tiles.columns])
+    keep = [c for c in joined.columns
+            if c not in ("bytes", "w", "h", "fmt", "grid", "bbox", "caption", "phash",
+                         "x_origin", "y_origin", "cell_width", "cell_height", "crs")]
+    skinny = joined.select(*keep)
+    agg = skinny.groupBy(F.col("image_id").alias("_aimg")).agg(
+        F.collect_list(F.struct(*[F.col(c).alias(c) for c in keep])).alias("_rows"))
+    withp = payload.join(agg, payload["_img"] == agg["_aimg"]).drop("_img", "_aimg")
+    out_cols = keep + [c for c in ("caption",) if c in tiles.columns]
+    out_schema = StructType(
+        [f for f in skinny.schema.fields]
+        + [f for f in payload.schema.fields if f.name == "caption"]
+        + [StructField(value_name, DoubleType())])
+
+    def run(batches):
+        for pdf in batches:
+            all_rows: list = []
+            vals: list = []
+            caps: list = []
+            has_cap = "caption" in pdf.columns
+            for i in range(len(pdf)):
+                rows = pdf["_rows"].iloc[i]
+                blob, w, h, fmt = (pdf["bytes"].iloc[i], int(pdf["w"].iloc[i]),
+                                   int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i])
+                for d in rows:
+                    vals.append(codec.pixel_at(blob, w, h, fmt, int(d["prow"]), int(d["pcol"])))
+                all_rows.extend(rows)
+                if has_cap:
+                    caps.extend([pdf["caption"].iloc[i]] * len(rows))
+            if all_rows:
+                out = pd.DataFrame(all_rows)
+                if has_cap:
+                    out["caption"] = caps
+                out[value_name] = np.array(vals, dtype=np.float64)
+                yield out
+            else:
+                yield pd.DataFrame({c: [] for c in out_cols + [value_name]})
+
+    return withp.mapInPandas(run, schema=out_schema)
+
+
 def sample_auto(joined: DataFrame, tiles: DataFrame | None = None,
                 value_name: str = "value", power: float = 2.0) -> DataFrame:
     """Dtype-dispatched sampling (raster.py:1295-1322): integer-family

@@ -171,3 +171,25 @@ def test_sample_auto_dtype_dispatch(spark):
         .sort_values(["point_id", "image_id"]).reset_index(drop=True)
     exp_i = near.sort_values(["point_id", "image_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_i, exp_i, check_exact=True)
+
+
+def test_sample_nearest_grouped_equals_broadcast_path(spark):
+    """The huge-point-side grouped-fetch strategy must be value-identical
+    to the flagship broadcast path (same oracle certifies both), and its
+    plan must keep pixel bytes out of every Exchange (the IDW invariant
+    applied to nearest)."""
+    tiles = load_tiles(spark, SF)
+    pts = load_points(spark, SF)
+    a = sample.sample_nearest(point_join.point_in_tile_join(pts, tiles)) \
+        .select("point_id", "image_id", "prow", "pcol", "value", "caption").toPandas()
+    g_df = sample.sample_nearest_grouped(
+        point_join.point_in_tile_join(pts, tiles, payload_cols=()), tiles) \
+        .select("point_id", "image_id", "prow", "pcol", "value", "caption")
+    plan = g_df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line, line
+    b = g_df.toPandas()
+    a = a.sort_values(["point_id", "image_id"]).reset_index(drop=True)
+    b = b.sort_values(["point_id", "image_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)

@@ -62,9 +62,16 @@ def main() -> None:
     pts = load_points(spark, sf_dir)
     timed("tile_cell_assignment",
           lambda: force(tiles_with_cells(tiles).select("image_id", "cell_id")))
+    # HUGE point side (this workload: 10^6 points) → the grouped-fetch
+    # strategy: the default matched-pair broadcast anti-scales here (its
+    # driver-serial broadcast build measured 2→8 eff 0.47 at 1M points;
+    # grouped restores 0.84 and is faster at every width). Both paths
+    # are oracle-certified equal (point_sample_join[_grouped] contract
+    # entries); the broadcast form stays optimal for small point sets.
     timed("point_sample_join",
-          lambda: force(sample.sample_nearest(point_join.point_in_tile_join(
-              pts, tiles)).select("point_id", "image_id", "value")))
+          lambda: force(sample.sample_nearest_grouped(
+              point_join.point_in_tile_join(pts, tiles, payload_cols=()),
+              tiles).select("point_id", "image_id", "value")))
     # IDW is the compute-heavy sampling path (float rasters dispatch to it
     # in the reference): full per-tile weighted aggregation per matched pair
     idw_pts = pts.filter(F.col("point_id") < idw_points)
