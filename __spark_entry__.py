@@ -85,6 +85,19 @@ def q_point_sample_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xyz_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ (slippy-map / Web-Mercator z/x/y) tile assignment at zoom 8
+    — the web pyramid counterpart of the engine's equirectangular cell
+    index (pairs with the EPSG:3857 kernel in functions/crs.py). The
+    ln/tan formula TEXT is shared verbatim with the DuckDB oracle
+    (CLAUDE.md transcendental-parity rule); points outside the
+    ±85.051° Web-Mercator band are excluded on both sides."""
+    p = load_points(spark, sf_dir).filter(
+        (F.col("y") > -cells.WEBMERC_LAT_MAX) & (F.col("y") < cells.WEBMERC_LAT_MAX))
+    xt, yt = cells.xyz_tile("x", "y", 8)
+    return p.select("point_id", xt.alias("xtile"), yt.alias("ytile"))
+
+
 def q_point_sample_join_i32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer tile family end-to-end (VERDICT r03 #2): raw tiles cast
     to i32 (pixels ×4 — exact quarter-integers → exact ints), NaN
@@ -1231,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_geolocation_nn": q_to_geolocation_nn,
         "cell_size_meters": q_cell_size_meters,
         # -- new this round (round 4) -----------------------------------
+        "xyz_tile_assignment": q_xyz_tile_assignment,
         "point_sample_join_grouped": q_point_sample_join_grouped,
         "point_sample_join_i32": q_point_sample_join_i32,
         "bool_mask_counts": q_bool_mask_counts,
@@ -1547,6 +1561,17 @@ def _langid_sql() -> str:
     """
 
 
+def _xyz_oracle() -> str:
+    from rasters_spark import cells
+
+    xs, ys = cells.xyz_tile_sql("x", "y", 8)
+    return f"""
+        select point_id, {xs} as xtile, {ys} as ytile
+        from read_parquet('{FD}/points.parquet')
+        where y > -{cells.WEBMERC_LAT_MAX} and y < {cells.WEBMERC_LAT_MAX}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tiles = f"read_parquet('{FD}/tiles.parquet')"
     points = f"read_parquet('{FD}/points.parquet')"
@@ -1572,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
             from j join {pixels} px
               on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
         """,
+        "xyz_tile_assignment": _xyz_oracle(),
         "point_sample_join_i32": f"""
             with j as (
               select p.point_id, t.image_id, {prow()} as prow, {pcol()} as pcol

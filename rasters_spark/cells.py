@@ -222,3 +222,40 @@ def z_cell_id_sql(lon_expr: str, lat_expr: str, level: int) -> str:
         return e
 
     return f"({level} * {1 << 57} + (({spread(iy)}) << 1 | {spread(ix)}))"
+
+
+# --- XYZ (slippy-map) tiles: the Web-Mercator pyramid scheme ------------------
+#
+# The de-facto web tiling standard (OSM/Google "z/x/y"): zoom z splits
+# the EPSG:3857 square into 2^z × 2^z tiles. Pairs with the
+# functions.crs Web-Mercator kernel for rendering pyramids; as a JOIN
+# key it is an alternative quad hierarchy whose y axis is conformal
+# (Mercator) instead of equirectangular. Pure SQL — the formula TEXT is
+# shared verbatim between the Spark expression and the DuckDB oracle
+# (CLAUDE.md parity rule for transcendental-bearing expressions).
+
+#: Web-Mercator clip latitude: atan(sinh(pi)) — tiles exist only inside
+WEBMERC_LAT_MAX = 85.05112877980659
+
+
+def xyz_tile_sql(lon_expr: str, lat_expr: str, z: int) -> str:
+    """SQL text for ``struct/row (xtile, ytile)`` at zoom ``z`` —
+    identical characters fed to Spark and DuckDB so both engines
+    evaluate the same ln/tan expression tree."""
+    n = 1 << z
+    x = f"cast(floor((({lon_expr}) + 180.0) / 360.0 * {n}) as bigint)"
+    mercfrac = (f"(1.0 - ln(tan(radians({lat_expr})) + 1.0 / cos(radians({lat_expr}))) "
+                f"/ pi()) / 2.0")
+    y = f"cast(floor({mercfrac} * {n}) as bigint)"
+    # the +180/-180 seam and the poles clamp into the edge tiles
+    xc = f"least(greatest({x}, 0), {n - 1})"
+    yc = f"least(greatest({y}, 0), {n - 1})"
+    return xc, yc
+
+
+def xyz_tile(lon, lat, z: int) -> tuple[Column, Column]:
+    """(xtile, ytile) columns at zoom ``z`` (OSM slippy-map scheme)."""
+    assert isinstance(lon, str) and isinstance(lat, str), \
+        "xyz_tile takes column NAMES so the SQL text can be shared with the oracle"
+    xs, ys = xyz_tile_sql(lon, lat, z)
+    return F.expr(xs), F.expr(ys)

@@ -87,3 +87,27 @@ def test_z_cell_id_interleave_and_locality(spark):
     bdf = spark.createDataFrame(block, "lon double, lat double")
     ids = sorted(r.z for r in bdf.select(cells.z_cell_id("lon", "lat", L).alias("z")).collect())
     assert ids == list(range(ids[0], ids[0] + 4))
+
+
+def test_xyz_tile_known_anchors(spark):
+    """OSM slippy-map anchors: (0,0) at z=1 → (1,1); lon −180 → x=0;
+    the Web-Mercator clip latitude lands in the edge rows."""
+    from rasters_spark import cells
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, -180.0, 0.0), (3, 179.999, 0.0),
+         (4, 0.0, 85.0), (5, 0.0, -85.0), (6, 13.4, 52.52)],  # Berlin
+        "id long, x double, y double")
+    xt, yt = cells.xyz_tile("x", "y", 1)
+    got = {r.id: (r.xt, r.yt) for r in df.select("id", xt.alias("xt"), yt.alias("yt")).collect()}
+    assert got[1] == (1, 1)
+    assert got[2] == (0, 1)
+    assert got[3] == (1, 1)
+    # Berlin at z=10 is tile (550, 335) — the canonical OSM example
+    xt10, yt10 = cells.xyz_tile("x", "y", 10)
+    b = df.filter("id = 6").select(xt10.alias("xt"), yt10.alias("yt")).collect()[0]
+    assert (b.xt, b.yt) == (550, 335)
+    # clip band: z=4 edge rows
+    xt4, yt4 = cells.xyz_tile("x", "y", 4)
+    e = {r.id: r.yt for r in df.select("id", yt4.alias("yt")).collect()}
+    assert e[4] == 0 and e[5] == 15
