@@ -85,6 +85,20 @@ def q_point_sample_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xyz_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ pyramid build, oracle-checkable core: every raw-tile pixel
+    assigned to the global zoom-4 Web-Mercator pyramid (shared-SQL-text
+    Mercator forward + FLOOR cell rule, functions/xyz.py) and composited
+    per z/x/y tile — (xtile, ytile, n_pixels, exact vsum). The DuckDB
+    oracle recomputes the identical assignment from the pixels table
+    (same centroid arithmetic as vector.pixel_centroids, same formula
+    characters), so a hash match certifies the whole pyramid routing."""
+    from rasters_spark.functions import xyz as xyzfn
+
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return xyzfn.xyz_pyramid_stats(t, z=4)
+
+
 def q_xyz_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ (slippy-map / Web-Mercator z/x/y) tile assignment at zoom 8
     — the web pyramid counterpart of the engine's equirectangular cell
@@ -1244,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_geolocation_nn": q_to_geolocation_nn,
         "cell_size_meters": q_cell_size_meters,
         # -- new this round (round 4) -----------------------------------
+        "xyz_pyramid_stats": q_xyz_pyramid_stats,
         "xyz_tile_assignment": q_xyz_tile_assignment,
         "point_sample_join_grouped": q_point_sample_join_grouped,
         "point_sample_join_i32": q_point_sample_join_i32,
@@ -1561,6 +1576,25 @@ def _langid_sql() -> str:
     """
 
 
+def _xyz_pyramid_oracle() -> str:
+    from rasters_spark.functions import xyz as xyzfn
+
+    px_x = "(t.x_origin + t.cell_width * (px.pcol + 0.5))"
+    px_y = "(t.y_origin + t.cell_height * (px.prow + 0.5))"
+    row, col = xyzfn.pixel_cell_sql(px_x, px_y, 4)
+    return f"""
+        select cast(({col}) // 256 as bigint) as xtile,
+               cast(({row}) // 256 as bigint) as ytile,
+               count(*) as n_pixels,
+               sum(cast(px.value as double)) as vsum
+        from read_parquet('{FD}/pixels.parquet') px
+        join read_parquet('{FD}/tiles.parquet') t using (image_id)
+        where t.fmt = 'raw' and not isnan(px.value)
+          and {px_y} > -{xyzfn.LAT_MAX} and {px_y} < {xyzfn.LAT_MAX}
+        group by 1, 2
+    """
+
+
 def _xyz_oracle() -> str:
     from rasters_spark import cells
 
@@ -1598,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
               on px.image_id = j.image_id and px.prow = j.prow and px.pcol = j.pcol
         """,
         "xyz_tile_assignment": _xyz_oracle(),
+        "xyz_pyramid_stats": _xyz_pyramid_oracle(),
         "point_sample_join_i32": f"""
             with j as (
               select p.point_id, t.image_id, {prow()} as prow, {pcol()} as pcol

@@ -111,3 +111,31 @@ def test_xyz_tile_known_anchors(spark):
     xt4, yt4 = cells.xyz_tile("x", "y", 4)
     e = {r.id: r.yt for r in df.select("id", yt4.alias("yt")).collect()}
     assert e[4] == 0 and e[5] == 15
+
+
+def test_save_xyz_tiles_renders_decodable_pyramid(spark, sf_dir):
+    """The XYZ pyramid sink writes one decodable 256-square grayscale
+    PNG per non-empty z/x/y path, executor-side; pixel means composite
+    into the raster (spot-checked by decoding a tile back and finding
+    the expected non-zero coverage)."""
+    import tempfile
+    from pathlib import Path
+
+    from rasters_spark.functions import xyz as xyzfn
+    from rasters_spark.functions.render import decode_png
+    from rasters_spark.tiles import load_tiles
+
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw' and image_id < 'img000000000100'")
+    with tempfile.TemporaryDirectory(prefix="xyz-") as d:
+        res = {(r.xtile, r.ytile): (r.n_px, r.n_bytes)
+               for r in xyzfn.save_xyz_tiles(t, z=4, out_dir=d).collect()}
+        assert res
+        files = list(Path(d).glob("4/*/*.png"))
+        assert len(files) == len(res)
+        xt, yt = next(iter(res))
+        img = decode_png((Path(d) / "4" / str(xt) / f"{yt}.png").read_bytes())
+        assert img.shape == (256, 256)
+        assert (img > 0).sum() > 0  # composited pixels landed
+    # stats core agrees with the sink's group count
+    stats_n = xyzfn.xyz_pyramid_stats(t, z=4).count()
+    assert stats_n == len(res)
