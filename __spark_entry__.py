@@ -149,13 +149,19 @@ def q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     output carries the re-read georeferencing plus exact finite-pixel
     sums. The oracle recomputes all of it from the tiles+pixels tables,
     so a hash match proves sink AND source are real."""
+    import os
+    import shutil
     import tempfile
 
     from rasters_spark.functions import netcdf3
     from rasters_spark.tiles import open_tiles
 
     t = load_tiles(spark, sf_dir).filter("fmt = 'raw' and image_id < 'img000000000150'")
-    work = tempfile.mkdtemp(prefix="nc-contract-")
+    # fixed per-sf path, recreated each run — repeated gate runs reuse
+    # the slot instead of accumulating mkdtemp leftovers
+    work = os.path.join(tempfile.gettempdir(),
+                        f"nc-contract-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
     netcdf3.save_netcdf_tiles(t.repartition(4), work)
     back = open_tiles(spark, work)
     s = stats.tile_stats(back)
@@ -1219,12 +1225,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     certifies the first 50 entries each round (rotation policy in
     CLAUDE.md). Round-4 head: the 29 entries the r03 driver did NOT
     witness (registry positions 51-79 last round; all green in r01/r02
-    + the judge's own r03 gate run), the 4 new round-4 queries, and the
-    r03-certified entries whose kernels this round touched (codec slice
-    kernel extended for i32/b1; IVF assignment replanned; dedup verify
-    refactor; rastermath astype). Tail: r03-certified entries with
-    untouched kernels. Every entry stays green under
-    tools/check_contract.py regardless of position."""
+    + the judge's own r03 gate run), the 7 new round-4 queries, and as
+    many r03-certified touched-kernel entries as fit the 50-window
+    (codec slice kernel extended for i32/b1; IVF assignment replanned;
+    dedup verify refactor; rastermath astype). Three touched entries
+    (tile_cell_assignment, knn_tiles, tile_windows_for_polygons —
+    load_tiles projection refactor only) overflow to position 51+ and
+    rotate into the r05 window with the rest of the tail. Every entry
+    stays green under tools/check_contract.py regardless of position."""
     return {
         # -- r03-unwitnessed (positions 51-79 last round) — lead so
         #    CORRECTNESS_r04 certifies them within the 2-round window --
@@ -1280,10 +1288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_grid_average": q_to_grid_average,
         "bias_correct": q_bias_correct,
         "linear_downscale": q_linear_downscale,
+        # ---- position 51+ from here: r03-certified (certify in r05) ----
         "tile_cell_assignment": q_tile_cell_assignment,
         "knn_tiles": q_knn_tiles,
         "tile_windows_for_polygons": q_tile_windows_for_polygons,
-        # ---- position 51+ from here: r03-certified, kernels untouched --
         "grid_union": q_grid_union,
         "events_cell_count": q_events_cell_count,
         "points_in_polygons": q_points_in_polygons,

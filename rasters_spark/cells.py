@@ -238,7 +238,7 @@ def z_cell_id_sql(lon_expr: str, lat_expr: str, level: int) -> str:
 WEBMERC_LAT_MAX = 85.05112877980659
 
 
-def xyz_tile_sql(lon_expr: str, lat_expr: str, z: int) -> str:
+def xyz_tile_sql(lon_expr: str, lat_expr: str, z: int) -> tuple[str, str]:
     """SQL text for ``struct/row (xtile, ytile)`` at zoom ``z`` —
     identical characters fed to Spark and DuckDB so both engines
     evaluate the same ln/tan expression tree."""

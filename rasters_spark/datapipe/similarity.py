@@ -429,7 +429,10 @@ def ivf_topk_bucketed(spark, queries: DataFrame, table_name: str = "ivf_index",
     ``ivf_cosine_topk`` at the same quantizer parameters (asserted in
     tests, along with the pruned-scan plan)."""
     cents = spark.table(f"{table_name}_centroids")
-    probes = _ivf_probes(queries, cents, nprobe)
+    # localCheckpoint: the probe pipeline (crossJoin + per-query top-k)
+    # runs ONCE — both the cluster-id collect and the rank join read the
+    # materialized result instead of re-executing the lineage
+    probes = _ivf_probes(queries, cents, nprobe).localCheckpoint(eager=True)
     plist = sorted(r.cluster for r in probes.select("cluster").distinct().collect())
     inv = spark.table(table_name).filter(F.col("cluster").isin(plist))
     return _ivf_rank(inv, probes, k)

@@ -29,6 +29,8 @@ Zone-number quirks are transcribed EXACTLY from the reference:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -230,12 +232,7 @@ def _ps_inverse(x, y, p):
     rho = np.hypot(xx, yy)
     t = rho / p["rf"]
     chi = np.pi / 2 - 2.0 * np.arctan(t)
-    e2 = _E2
-    phi = (chi
-           + (e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360) * np.sin(2 * chi)
-           + (7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520) * np.sin(4 * chi)
-           + (7 * e2**3 / 120 + 81 * e2**4 / 1120) * np.sin(6 * chi)
-           + (4279 * e2**4 / 161280) * np.sin(8 * chi))
+    phi = _chi_to_phi(chi, _E2)
     lam = np.where(rho == 0, 0.0, np.arctan2(xx, -yy))
     lon = s * np.degrees(lam) + p["lon0"]
     # λ0 ≠ 0 can spell the result on the wrong revolution (e.g. −216.4°
@@ -466,7 +463,13 @@ _EPSG_STERE = {
 def _parse_stere(c: str, orig: str) -> dict:
     """Precompute the per-CRS ρ-factor once (not per row): ρ = rf·t with
     rf = a·m_c/t_c at a standard parallel (Snyder eq. 21-34) or
-    rf = 2·a·k0/√((1+e)^(1+e)(1−e)^(1−e)) at the pole (eq. 21-33)."""
+    rf = 2·a·k0/√((1+e)^(1+e)(1−e)^(1−e)) at the pole (eq. 21-33).
+    WGS84-only for now: a named non-WGS84 ellipsoid raises instead of
+    silently computing metres-off coordinates (the conic parsers honor
+    +ellps; polar stereo would need e-parameterized _ps_t/_ps_inverse)."""
+    ell = _crs_ellipsoid(c)
+    if ell is not None and ell != _ELLPS["WGS84"]:
+        raise ValueError(f"polar stereographic supports WGS84 only (got non-WGS84 ellipsoid): {orig!r}")
     lat0 = _proj4_param(c, "lat_0", 90.0)
     if abs(lat0) != 90.0:
         raise ValueError(f"only polar stereographic aspects supported (lat_0=±90): {orig!r}")
@@ -477,8 +480,7 @@ def _parse_stere(c: str, orig: str) -> dict:
     if abs(lat_ts) == 90.0:
         rf = 2.0 * _A * k0 / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
     else:
-        mc = np.cos(phits) / np.sqrt(1 - _E2 * np.sin(phits) ** 2)
-        rf = _A * mc / _ps_t(phits)
+        rf = _A * _ell_m(phits, _E2) / _ps_t(phits)
     return {"kind": "ps", "sgn": 1.0 if lat0 > 0 else -1.0,
             "lon0": _proj4_param(c, "lon_0", 0.0),
             "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
@@ -495,7 +497,10 @@ def _parse_crs(crs: str) -> dict:
         c = _EPSG_CONIC[c.upper()]
     if c.upper() in _EPSG_STERE:
         return _parse_stere(_EPSG_STERE[c.upper()], c)
-    if "+proj=stere" in c:
+    # exact proj token: '+proj=sterea' (OBLIQUE stereographic, e.g.
+    # Dutch RD) must fall through to the unsupported-CRS error, not
+    # substring-match the polar parser
+    if re.search(r"\+proj=stere(\s|$)", c):
         return _parse_stere(c, c)
     if c.upper().startswith("EPSG:32"):
         code = int(c.split(":")[1])

@@ -10,8 +10,10 @@ parquet and its own GeoTIFF/COG.
 Layout written by :func:`encode_nc` — tiles grouped by pixel shape so
 every group is one fixed 3-D variable:
 
-- dims  ``n{g}``, ``y{g}``, ``x{g}`` per shape group + shared ``id_len``
-- vars  ``ids{g}``  NC_CHAR  (n, id_len)   image ids
+- dims  ``n{g}``, ``y{g}``, ``x{g}`` per shape group + shared
+  ``id_len``/``crs_len``
+- vars  ``ids{g}``  NC_CHAR  (n, id_len)   image ids (length-guarded)
+        ``crs{g}``  NC_CHAR  (n, crs_len)  per-tile CRS spelling
         ``x0{g}/y0{g}/cw{g}/ch{g}`` NC_DOUBLE (n)  georeferencing
         ``data{g}`` NC_FLOAT (n, y, x)     pixels (NaN = nodata)
 
@@ -37,6 +39,8 @@ _TYPE_NP = {NC_BYTE: ">i1", NC_CHAR: "S1", NC_SHORT: ">i2", NC_INT: ">i4",
 _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
 
 ID_LEN = 16  # fixture ids are 'img%012d' = 15 chars + NUL pad
+CRS_LEN = 32  # per-tile CRS spelling (EPSG codes / short proj4)
+VSIZE_MAX = 2**31 - 1  # classic-CDF headers carry vsize as a signed i32
 
 
 def _pad4(b: bytes) -> bytes:
@@ -60,8 +64,15 @@ def encode_nc(tiles: list[dict]) -> bytes:
     for k in gkeys:
         groups[k].sort(key=lambda t: t["image_id"])
 
-    dims: list[tuple[str, int]] = [("id_len", ID_LEN)]
-    dimid = {"id_len": 0}
+    for t in tiles:
+        if len(t["image_id"].encode()) > ID_LEN:
+            raise ValueError(f"image_id longer than ID_LEN={ID_LEN}: {t['image_id']!r} "
+                             "(truncation would collide ids on re-read)")
+        if len(t.get("crs", "EPSG:4326").encode()) > CRS_LEN:
+            raise ValueError(f"crs spelling longer than CRS_LEN={CRS_LEN}: {t.get('crs')!r}")
+
+    dims: list[tuple[str, int]] = [("id_len", ID_LEN), ("crs_len", CRS_LEN)]
+    dimid = {"id_len": 0, "crs_len": 1}
     vars_: list[dict] = []  # name, nc_type, dimids, shape
     for gi, (h, w) in enumerate(gkeys):
         n = len(groups[(h, w)])
@@ -70,6 +81,8 @@ def encode_nc(tiles: list[dict]) -> bytes:
             dims.append((dn, dl))
         vars_.append({"name": f"ids{gi}", "type": NC_CHAR,
                       "dimids": [dimid[f"n{gi}"], dimid["id_len"]], "shape": (n, ID_LEN)})
+        vars_.append({"name": f"crs{gi}", "type": NC_CHAR,
+                      "dimids": [dimid[f"n{gi}"], dimid["crs_len"]], "shape": (n, CRS_LEN)})
         for cn in ("x0", "y0", "cw", "ch"):
             vars_.append({"name": f"{cn}{gi}", "type": NC_DOUBLE,
                           "dimids": [dimid[f"n{gi}"]], "shape": (n,)})
@@ -82,6 +95,10 @@ def encode_nc(tiles: list[dict]) -> bytes:
         for s in v["shape"]:
             size *= s
         v["vsize"] = size + (-size % 4)
+        if v["vsize"] > VSIZE_MAX:
+            raise ValueError(
+                f"variable {v['name']} exceeds the classic-CDF signed-i32 vsize "
+                f"({v['vsize']} bytes) — repartition the sink into smaller containers")
 
     def header(with_begins: bool) -> bytes:
         out = [b"CDF\x02", struct.pack(">i", 0)]  # version 2, numrecs 0
@@ -108,11 +125,15 @@ def encode_nc(tiles: list[dict]) -> bytes:
     payload = [header(True)]
     for gi, (h, w) in enumerate(gkeys):
         g = groups[(h, w)]
-        ids = np.zeros((len(g), ID_LEN), dtype="S1")
-        for i, t in enumerate(g):
-            raw = t["image_id"].encode()[:ID_LEN]
-            ids[i, :len(raw)] = np.frombuffer(raw, dtype="S1")
-        payload.append(_pad4(ids.tobytes()))
+        def char_block(values: list[str], width: int) -> bytes:
+            arr = np.zeros((len(values), width), dtype="S1")
+            for i, s in enumerate(values):
+                raw = s.encode()
+                arr[i, :len(raw)] = np.frombuffer(raw, dtype="S1")
+            return _pad4(arr.tobytes())
+
+        payload.append(char_block([t["image_id"] for t in g], ID_LEN))
+        payload.append(char_block([t.get("crs", "EPSG:4326") for t in g], CRS_LEN))
         for cn in ("x_origin", "y_origin", "cell_width", "cell_height"):
             payload.append(_pad4(np.array([t[cn] for t in g], ">f8").tobytes()))
         data = np.stack([np.asarray(t["arr"], np.float32) for t in g]).astype(">f4")
@@ -204,6 +225,7 @@ def decode_nc(blob: bytes) -> list[dict]:
     gi = 0
     while f"data{gi}" in hdr["vars"]:
         ids = read_var(blob, hdr, f"ids{gi}")
+        crs = read_var(blob, hdr, f"crs{gi}") if f"crs{gi}" in hdr["vars"] else None
         x0 = read_var(blob, hdr, f"x0{gi}")
         y0 = read_var(blob, hdr, f"y0{gi}")
         cw = read_var(blob, hdr, f"cw{gi}")
@@ -215,6 +237,8 @@ def decode_nc(blob: bytes) -> list[dict]:
                 "arr": data[i].astype(np.float32),
                 "x_origin": float(x0[i]), "y_origin": float(y0[i]),
                 "cell_width": float(cw[i]), "cell_height": float(ch[i]),
+                "crs": (b"".join(crs[i]).rstrip(b"\x00").decode()
+                        if crs is not None else "EPSG:4326"),
             })
         gi += 1
     return out
@@ -234,6 +258,9 @@ def save_netcdf_tiles(tiles_df, out_dir: str) -> int:
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     cols = ["image_id", "bytes", "w", "h", "fmt",
             "x_origin", "y_origin", "cell_width", "cell_height"]
+    has_crs = "crs" in tiles_df.columns
+    if has_crs:
+        cols.append("crs")
 
     def run(batches):
         tiles, pid = [], None
@@ -247,6 +274,7 @@ def save_netcdf_tiles(tiles_df, out_dir: str) -> int:
                     "arr": codec.decode_tile(r.bytes, int(r.w), int(r.h), r.fmt),
                     "x_origin": r.x_origin, "y_origin": r.y_origin,
                     "cell_width": r.cell_width, "cell_height": r.cell_height,
+                    "crs": r.crs if has_crs else "EPSG:4326",
                 })
         if tiles:
             Path(out_dir, f"part-{pid:05d}.nc").write_bytes(encode_nc(tiles))
@@ -294,6 +322,7 @@ def load_netcdf_tiles(spark, path: str):
                 v = hdr["vars"][f"data{gi}"]
                 n, h, w = v["shape"]
                 ids = seek_var(f"ids{gi}")
+                crs = seek_var(f"crs{gi}") if f"crs{gi}" in hdr["vars"] else None
                 x0 = seek_var(f"x0{gi}")
                 y0 = seek_var(f"y0{gi}")
                 cw = seek_var(f"cw{gi}")
@@ -303,12 +332,15 @@ def load_netcdf_tiles(spark, path: str):
                         b"".join(ids[i]).rstrip(b"\x00").decode(), str(f),
                         v["begin"] + i * h * w * 4, int(w), int(h),
                         float(x0[i]), float(y0[i]), float(cw[i]), float(ch[i]),
+                        (b"".join(crs[i]).rstrip(b"\x00").decode()
+                         if crs is not None else "EPSG:4326"),
                     ))
                 gi += 1
         rows.extend(rows_f)
     idx = spark.createDataFrame(
         rows, "image_id string, path string, offset long, w int, h int, "
-              "x_origin double, y_origin double, cell_width double, cell_height double")
+              "x_origin double, y_origin double, cell_width double, cell_height double, "
+              "crs string")
 
     def fetch(batches):
         handles: dict[str, object] = {}
@@ -331,7 +363,5 @@ def load_netcdf_tiles(spark, path: str):
                 fh.close()
 
     schema = ("image_id string, w int, h int, x_origin double, y_origin double, "
-              "cell_width double, cell_height double, bytes binary, fmt string")
-    from pyspark.sql import functions as F
-
-    return idx.mapInPandas(fetch, schema=schema).withColumn("crs", F.lit("EPSG:4326"))
+              "cell_width double, cell_height double, crs string, bytes binary, fmt string")
+    return idx.mapInPandas(fetch, schema=schema)

@@ -75,3 +75,21 @@ def test_open_tiles_dispatch(spark, sf_dir):
     assert "grid" in pq.columns and "bbox" in pq.columns
     with pytest.raises(ValueError, match="ingest driver"):
         open_tiles(spark, "/tmp/nope.xyz")
+
+
+def test_nc_preserves_crs_and_guards_lengths():
+    """Review fixes: per-tile CRS survives the container (no silent
+    EPSG:4326 rewrite); over-long ids/crs and >2 GiB variables raise
+    instead of silently truncating/corrupting."""
+    t = dict(image_id="img000000000001", arr=np.ones((2, 2), np.float32),
+             x_origin=0.0, y_origin=0.0, cell_width=25000.0, cell_height=-25000.0,
+             crs="EPSG:3413")
+    back = nc.decode_nc(nc.encode_nc([t]))[0]
+    assert back["crs"] == "EPSG:3413"
+    # default spelling for legacy dicts without crs
+    t2 = {k: v for k, v in t.items() if k != "crs"}
+    assert nc.decode_nc(nc.encode_nc([t2]))[0]["crs"] == "EPSG:4326"
+    with pytest.raises(ValueError, match="ID_LEN"):
+        nc.encode_nc([dict(t, image_id="x" * 17)])
+    with pytest.raises(ValueError, match="CRS_LEN"):
+        nc.encode_nc([dict(t, crs="+proj=" + "x" * 40)])
