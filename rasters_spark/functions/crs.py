@@ -14,7 +14,8 @@ EPSG:3413 NSIDC Sea Ice North / EPSG:3031 Antarctic — the sea-ice and
 ice-sheet grids, Snyder PP 1395 §21), Web Mercator (EPSG:3857, the
 slippy-map tile CRS), and ELLIPSOIDAL Albers/LCC (+ellps=GRS80/WGS84
 or +datum=NAD83; EPSG:5070 CONUS Albers, EPSG:2154 Lambert-93 —
-Snyder §14/§15 with the q/m/t auxiliaries).
+Snyder §14/§15 with the q/m/t auxiliaries), and spherical Mollweide
+(+proj=moll, Snyder §31 — the global equal-area world-map CRS).
 Zone-number quirks are transcribed EXACTLY from the reference:
 
 - ``local_UTM_proj4`` uses ``int((lon+180)/6)`` WITHOUT the +1,
@@ -354,6 +355,45 @@ def _proj4_param(c: str, key: str, default: float) -> float:
     return float(c.split(f"+{key}=")[1].split()[0]) if f"+{key}=" in c else default
 
 
+def _moll_forward(lon, lat, p):
+    """Spherical Mollweide (Snyder PP 1395 §31): solve
+    2θ + sin 2θ = π·sinφ (Newton, eq. 31-5), then x = (2√2/π)·R·Δλ·cosθ
+    (eq. 31-1), y = √2·R·sinθ (eq. 31-2). The global equal-area
+    pseudocylindrical used for world maps / area-true summaries."""
+    r = p["r"]
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    target = np.pi * np.sin(phi)
+    th2 = 2.0 * phi  # Snyder's suggested seed θ₀ = φ (in the 2θ variable)
+    for _ in range(25):  # Newton on f(2θ) = 2θ + sin 2θ − π sinφ;
+        # quadratic except near the poles where f' → 0 (linear there —
+        # the extra iterations + the exact pole override below cover it)
+        f = th2 + np.sin(th2) - target
+        fp = 1.0 + np.cos(th2)
+        step = np.where(np.abs(fp) > 1e-14, f / np.where(fp == 0, 1.0, fp), 0.0)
+        th2 = th2 - step
+    theta = th2 / 2.0
+    # poles: 1+cos2θ → 0 stalls Newton exactly where θ = ±π/2 already
+    theta = np.where(np.abs(phi) >= np.pi / 2 - 1e-12, np.sign(phi) * np.pi / 2, theta)
+    x = (2.0 * np.sqrt(2.0) / np.pi) * r * dlam * np.cos(theta)
+    y = np.sqrt(2.0) * r * np.sin(theta)
+    return x, y
+
+
+def _moll_inverse(x, y, p):
+    """Snyder eq. 31-6..31-8: θ = arcsin(y/(√2 R)),
+    φ = arcsin((2θ + sin 2θ)/π), λ = λ0 + πx/(2√2 R cosθ); the poles
+    (cosθ = 0) keep λ = λ0."""
+    r = p["r"]
+    theta = np.arcsin(np.clip(np.asarray(y, np.float64) / (np.sqrt(2.0) * r), -1.0, 1.0))
+    phi = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi, -1.0, 1.0))
+    ct = np.cos(theta)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dlam = np.where(ct < 1e-12, 0.0,
+                        np.pi * np.asarray(x, np.float64) / (2.0 * np.sqrt(2.0) * r * ct))
+    return p["lon0"] + np.degrees(dlam), np.degrees(phi)
+
+
 def _webmerc_forward(lon, lat, p):
     """Spherical ("Web") Mercator on the WGS84 semi-major axis — the
     EPSG:3857 slippy-map/tile CRS: x = a·λ, y = a·ln tan(π/4 + φ/2)
@@ -493,6 +533,9 @@ def _parse_crs(crs: str) -> dict:
         return {"kind": "geographic"}
     if c.upper() in ("EPSG:3857", "EPSG:900913") or "+proj=webmerc" in c:
         return {"kind": "webmerc"}
+    if "+proj=moll" in c:
+        return {"kind": "moll", "lon0": _proj4_param(c, "lon_0", 0.0),
+                "r": _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))}
     if c.upper() in _EPSG_CONIC:
         c = _EPSG_CONIC[c.upper()]
     if c.upper() in _EPSG_STERE:
@@ -629,6 +672,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _eaea_inverse(x, y, s)
     elif s["kind"] == "elcc":
         lon, lat = _elcc_inverse(x, y, s)
+    elif s["kind"] == "moll":
+        lon, lat = _moll_inverse(x, y, s)
     else:
         lon, lat = _aeqd_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s["lon0"], s["lat0"])
     # geographic → target
@@ -658,6 +703,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _eaea_forward(lon, lat, d)
     if d["kind"] == "elcc":
         return _elcc_forward(lon, lat, d)
+    if d["kind"] == "moll":
+        return _moll_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])
 
 

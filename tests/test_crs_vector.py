@@ -75,7 +75,33 @@ def test_transform_xy_dataframe_kernel(spark):
 
 def test_unsupported_crs_raises():
     with pytest.raises(ValueError, match="unsupported CRS"):
-        C.transform_xy_np(np.array([0.0]), np.array([0.0]), "+proj=moll", "EPSG:4326")
+        C.transform_xy_np(np.array([0.0]), np.array([0.0]), "+proj=robin", "EPSG:4326")
+    # oblique stereographic is a DIFFERENT projection — must not
+    # substring-match the polar parser
+    with pytest.raises(ValueError, match="unsupported CRS"):
+        C._parse_crs("+proj=sterea +lat_0=52.15 +lon_0=5.38")
+    # named non-WGS84 ellipsoid on polar stereo: loud error, not
+    # silently-wrong metres
+    with pytest.raises(ValueError, match="WGS84 only"):
+        C._parse_crs("+proj=stere +lat_0=-90 +lat_ts=-71 +ellps=GRS80")
+
+
+def test_transform_roundtrip_mollweide():
+    """Spherical Mollweide (Snyder §31): the classic global equal-area
+    ellipse — equator edge at x = 2√2·R, pole at y = √2·R, Newton
+    solver round-trips to sub-mm even at 89.9°."""
+    m = "+proj=moll +R=6371000"
+    x, y = C.transform_xy_np(np.array([0.0, 180.0, 0.0]), np.array([0.0, 0.0, 90.0]),
+                             "EPSG:4326", m)
+    assert (x[0], y[0]) == (0.0, 0.0)
+    assert x[1] == pytest.approx(2 * np.sqrt(2) * 6371000, rel=1e-12)
+    assert y[2] == pytest.approx(np.sqrt(2) * 6371000, rel=1e-12)
+    lon = np.linspace(-179.0, 179.0, 41)
+    lat = np.linspace(-89.9, 89.9, 41)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", m)
+    l2, p2 = C.transform_xy_np(px, py, m, "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-9)
 
 
 def test_crosses_antimeridian(spark):
