@@ -99,6 +99,32 @@ def q_xyz_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xyzfn.xyz_pyramid_stats(t, z=4)
 
 
+def q_stream_xyz_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pyramid maintenance as Structured Streaming: the
+    tile table split into 3 files drains availableNow (1 file per
+    micro-batch), each batch committing its (xtile, ytile, n, vsum)
+    partials as one exactly-once TableIO snapshot; the final reduce
+    over partials is bit-identical to the one-shot batch build (exact
+    quarter-integer sums), so the oracle IS xyz_pyramid_stats' SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.streaming import stream_xyz_pyramid_available_now
+    from rasters_spark.tableio import TableIO
+
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    work = os.path.join(tempfile.gettempdir(),
+                        f"stream-xyz-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "in")
+    spark.read.parquet(str(fdir / "tiles.parquet")).repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    tbl = TableIO(os.path.join(work, "tbl"))
+    return stream_xyz_pyramid_available_now(
+        spark, src, tbl, os.path.join(work, "ckpt"), z=4)
+
+
 def q_xyz_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ (slippy-map / Web-Mercator z/x/y) tile assignment at zoom 8
     — the web pyramid counterpart of the engine's equirectangular cell
@@ -1266,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_geolocation_nn": q_to_geolocation_nn,
         "cell_size_meters": q_cell_size_meters,
         # -- new this round (round 4) -----------------------------------
+        "stream_xyz_pyramid": q_stream_xyz_pyramid,
         "xyz_pyramid_stats": q_xyz_pyramid_stats,
         "xyz_tile_assignment": q_xyz_tile_assignment,
         "point_sample_join_grouped": q_point_sample_join_grouped,
@@ -1641,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "xyz_tile_assignment": _xyz_oracle(),
         "xyz_pyramid_stats": _xyz_pyramid_oracle(),
+        "stream_xyz_pyramid": _xyz_pyramid_oracle(),
         "point_sample_join_i32": f"""
             with j as (
               select p.point_id, t.image_id, {prow()} as prow, {pcol()} as pcol

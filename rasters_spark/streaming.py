@@ -169,6 +169,50 @@ def stream_point_sample_join_available_now(
     return table.read(spark)
 
 
+def stream_xyz_pyramid_available_now(
+    spark: SparkSession,
+    tiles_path: str,
+    table: TableIO,
+    checkpoint_dir: str,
+    z: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """INCREMENTAL XYZ pyramid maintenance — the streaming face of the
+    pyramid build (functions/xyz.py): tiles arrive as a file stream;
+    each micro-batch routes its pixels onto the global zoom-``z``
+    Web-Mercator pyramid and commits PER-BATCH PARTIALS
+    (xtile, ytile, n_pixels, vsum) as one TableIO snapshot —
+    exactly-once per batch on the source checkpoint, resumable, with
+    lineage per snapshot. The returned final reduce sums the partials;
+    because the fixture pixel sums are exact doubles the result is
+    bit-identical to the one-shot batch build, so the DuckDB oracle is
+    the SAME SQL as ``xyz_pyramid_stats``. At 10^12 tiles this is the
+    production shape: the pyramid is never rebuilt, only incremented
+    snapshot by snapshot as new imagery lands."""
+    from rasters_spark.functions import xyz as xyzfn
+
+    schema = spark.read.parquet(tiles_path).schema
+    ts = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(tiles_path))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        part = xyzfn.xyz_pyramid_stats(
+            batch_df.dropDuplicates(["image_id"]).filter("fmt = 'raw'"), z)
+        table.write(part, operation="stream-pyramid", job_id="xyz_pyramid",
+                    chunk_id=f"batch-{batch_id}", inputs=[tiles_path])
+
+    q = (
+        ts.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark).groupBy("xtile", "ytile").agg(
+        F.sum("n_pixels").alias("n_pixels"), F.sum("vsum").alias("vsum"))
+
+
 def ingest_available_now(
     spark: SparkSession,
     src_dir: str,
