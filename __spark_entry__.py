@@ -1098,6 +1098,21 @@ def q_polygons_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixed_workdir(prefix: str, sf_dir: str):
+    """Fixed per-(prefix, sf) temp slot, recreated each run — repeated
+    gate runs reuse the slot instead of accumulating mkdtemp leftovers
+    (code-review r4)."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    work = Path(tempfile.gettempdir()) / f"{prefix}{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    return work
+
+
 def q_stream_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship join as stream-static (oracle-checked: availableNow
     drain of the points stream ⋈ static tiles equals the batch query
@@ -1110,7 +1125,7 @@ def q_stream_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasters_spark.tableio import TableIO
 
     fdir = fixtures.ensure_fixtures(sf_dir)
-    work = Path(tempfile.mkdtemp(prefix="stream_join_q_"))
+    work = _fixed_workdir("stream_join_q_", sf_dir)
     src = work / "in"
     src.mkdir()
     shutil.copy(fdir / "points.parquet", src / "points.parquet")
@@ -1132,7 +1147,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasters_spark.tableio import TableIO
 
     fdir = fixtures.ensure_fixtures(sf_dir)
-    work = Path(tempfile.mkdtemp(prefix="stream_q_"))
+    work = _fixed_workdir("stream_q_", sf_dir)
     src = work / "in"
     src.mkdir()
     shutil.copy(fdir / "tiles.parquet", src / "tiles.parquet")
@@ -1143,10 +1158,8 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_workdir(sf_dir: str, prefix: str):
     import shutil
-    import tempfile
-    from pathlib import Path
 
-    work = Path(tempfile.mkdtemp(prefix=prefix))
+    work = _fixed_workdir(prefix, sf_dir)
     src = work / "in"
     src.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
