@@ -525,6 +525,13 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_md5(_docs(spark, sf_dir))
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts (datapipe/textstats.py);
+    the regex pattern text is shared verbatim with the oracle and stays
+    inside the Java-regex ∩ RE2 dialect (no lookaheads)."""
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_stats(_docs(spark, sf_dir))
 
@@ -1305,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_geolocation_nn": q_to_geolocation_nn,
         "cell_size_meters": q_cell_size_meters,
         # -- new this round (round 4) -----------------------------------
+        "token_counts": q_token_counts,
         "stream_xyz_pyramid": q_stream_xyz_pyramid,
         "xyz_pyramid_stats": q_xyz_pyramid_stats,
         "xyz_tile_assignment": q_xyz_tile_assignment,
@@ -1622,6 +1630,9 @@ def _langid_sql() -> str:
         select doc_id, lang, case {case} else 'unknown' end as predicted_lang, best as score
         from b
     """
+
+
+from rasters_spark.datapipe.textstats import BPE_PATTERN as _BPE_PAT  # noqa: E402
 
 
 def _xyz_pyramid_oracle() -> str:
@@ -2056,7 +2067,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when s > 0 then (cast(1 as bigint) << b) else cast(0 as bigint) end) as bigint) as simhash
             from vote group by doc_id
         """,
-        "doc_stats": """
+                "token_counts": f"""
+            select doc_id,
+                   len(list_filter(string_split(text, ' '), x -> length(x) > 0)) as n_ws_tokens,
+                   len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as n_bpe_tokens,
+                   cast(length(text) as double)
+                     / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
+            from documents
+        """,
+"doc_stats": """
             select doc_id,
               cast(len(text) as int) as n_chars,
               cast(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) as int) as n_tokens,

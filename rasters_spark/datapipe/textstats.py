@@ -50,6 +50,31 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splits
+#: with the leading-space convention), restricted to constructs both
+#: Java regex (Spark) and RE2 (DuckDB) evaluate identically: no
+#: lookaheads, ASCII classes, left-to-right alternation.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting both ways the brief names: whitespace tokens AND
+    BPE-ish regex pieces (the pre-tokenization granularity an LLM data
+    pipeline budgets by) → (doc_id, n_ws_tokens, n_bpe_tokens,
+    chars_per_bpe). The pattern string is shared verbatim with the
+    DuckDB oracle (regexp_extract_all on both engines)."""
+    t = F.col("text")
+    toks = F.split(t, " ")
+    n_ws = F.size(F.filter(toks, lambda x: F.length(x) > 0))
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length(t).cast("double") / n_bpe.cast("double")).alias("chars_per_bpe"),
+    )
+
+
 def langid(docs: DataFrame) -> DataFrame:
     """Marker-word language scoring → (doc_id, lang, predicted_lang,
     score). Ties broken by fixed language order."""

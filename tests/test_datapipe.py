@@ -430,3 +430,19 @@ def test_wav_codec_roundtrip_and_features(spark):
     assert row.sample_rate == 8000 and row.n_samples == 6
     assert row.sum_sq == int((s.astype(np.int64) ** 2).sum())
     assert row.zero_crossings == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+
+
+def test_token_counts_bpe_regex(spark):
+    """BPE-ish pre-tokenizer pieces: leading-space word/number/punct
+    splits, counted identically to a python re recomputation."""
+    import re as _re
+
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 42 tokens!"), (2, "a  b"), (3, "x9y")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+           for r in textstats.token_counts(df).collect()}
+    for did, text in [(1, "Hello world, it's 42 tokens!"), (2, "a  b"), (3, "x9y")]:
+        ws = len([t for t in text.split(" ") if t])
+        bpe = len(_re.findall(textstats.BPE_PATTERN, text))
+        assert got[did] == (ws, bpe), (did, got[did], ws, bpe)
