@@ -1334,9 +1334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_mean": q_merge_mean,
         "mosaic_first": q_mosaic_first,
         "to_grid_average": q_to_grid_average,
+        # ---- position 51+ from here: r03-certified (certify in r05) ----
         "bias_correct": q_bias_correct,
         "linear_downscale": q_linear_downscale,
-        # ---- position 51+ from here: r03-certified (certify in r05) ----
         "tile_cell_assignment": q_tile_cell_assignment,
         "knn_tiles": q_knn_tiles,
         "tile_windows_for_polygons": q_tile_windows_for_polygons,
