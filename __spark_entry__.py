@@ -544,6 +544,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou et al. 2011): fit 16×256 L2
+    codebooks, encode the corpus to 16-byte codes (16× compression),
+    ADC top-k via per-query lookup tables. Rows-only: the codebook
+    means are float k-means with no SQL twin (CLAUDE.md float-sum
+    rule); recall-vs-budget monotonicity and bit-determinism are
+    pinned in tests/test_datapipe.py."""
+    e = _emb(spark, sf_dir)
+    books = similarity.pq_fit(e, m=16, k=256, iters=3)
+    codes = similarity.pq_encode(e, books)
+    return similarity.pq_topk(codes, e.filter("vec_id < 10"), books, k=5)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     return similarity.cosine_topk(e, e.filter("vec_id < 20"), k=5)
@@ -1312,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_geolocation_nn": q_to_geolocation_nn,
         "cell_size_meters": q_cell_size_meters,
         # -- new this round (round 4) -----------------------------------
+        "pq_adc_topk": q_pq_adc_topk,
         "token_counts": q_token_counts,
         "stream_xyz_pyramid": q_stream_xyz_pyramid,
         "xyz_pyramid_stats": q_xyz_pyramid_stats,

@@ -467,3 +467,161 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     cents = ivf_fit(embeddings, nlist, iters, dims, fit_ids)
     inv = _ivf_assign(embeddings.select("vec_id", "embedding"), cents)
     return _ivf_rank(inv, _ivf_probes(queries, cents, nprobe), k)
+
+
+# --- Product quantization (PQ) — compressed vectors for 10^12-row ANN ---------
+#
+# The remaining memory lever after IVF: a 64-dim float32 vector is
+# 256 B; its PQ code (m=8 subspaces × 1 byte) is 8 B — 32× smaller, so
+# the entire 10^12-row corpus index fits the cluster's RAM/SSD budget
+# and candidate scans read codes, not vectors. Public technique
+# (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", IEEE TPAMI 2011). Deterministic throughout: id-prefix
+# k-means init, fixed Lloyd rounds, first-min argmin ties.
+
+def pq_fit(embeddings: DataFrame, m: int = 8, k: int = 256, iters: int = 4,
+           dims: int = 64, fit_ids: int | None = None):
+    """Fit m per-subspace L2 k-means codebooks → numpy array
+    (m, k, dims//m). ONE distributed pass per Lloyd round for ALL
+    subspaces: vectors explode into (sub, subvec) rows, assignment runs
+    in a broadcast numpy kernel, update is one groupBy(sub, code) mean.
+    ``fit_ids``: train on the deterministic id-prefix sample (the
+    10^12-row story — fit on 10^6, encode everything)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    d = dims // m
+    e = embeddings.select("vec_id", "embedding")
+    if fit_ids is not None:
+        e = e.filter(F.col("vec_id") < fit_ids)
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda s: F.slice("embedding", s * d + 1, d))
+        ).alias("sub", "subvec"))
+    # init: first k vectors by id give k seeds PER subspace
+    seeds = (sub.filter(F.col("vec_id") < k)
+             .orderBy("sub", "vec_id").collect())
+    books = np.zeros((m, k, d), np.float64)
+    for r in seeds:
+        books[r.sub, int(r.vec_id) % k] = np.asarray(r.subvec, np.float64)
+
+    assign_schema = StructType([
+        StructField("sub", IntegerType()), StructField("code", IntegerType()),
+        StructField("subvec", ArrayType(FloatType())), StructField("vec_id", LongType())])
+
+    for _ in range(iters):
+        B = books.copy()
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    yield pd.DataFrame({"sub": [], "code": [], "subvec": [], "vec_id": []})
+                    continue
+                subs = pdf["sub"].to_numpy()
+                X = np.vstack(pdf["subvec"].to_numpy()).astype(np.float64)
+                codes = np.empty(len(X), np.int64)
+                for s in np.unique(subs):
+                    i = subs == s
+                    d2 = ((X[i, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                    codes[i] = np.argmin(d2, axis=1)  # first-min ties
+                yield pd.DataFrame({"sub": subs.astype(np.int32), "code": codes.astype(np.int32),
+                                    "subvec": list(pdf["subvec"]), "vec_id": pdf["vec_id"]})
+
+        assigned = sub.mapInPandas(assign, schema=assign_schema)
+        upd = assigned.groupBy("sub", "code").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("subvec", i + 1).cast("double")).alias(f"s{i}") for i in range(d)])
+        for r in upd.collect():  # ≤ m·k tiny rows
+            books[r.sub, r.code] = [getattr(r, f"s{i}") / r.n for i in range(d)]
+    return books
+
+
+def pq_encode(embeddings: DataFrame, books) -> DataFrame:
+    """Corpus → (vec_id, codes array<int> length m): map-only numpy
+    argmin per subspace, codebooks ride the closure (m·k·d floats —
+    16 KB at 8×256×8). The 10^12-row encode is a single scan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    B = np.asarray(books, np.float64)
+    m, k, d = B.shape
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("codes", ArrayType(IntegerType()))])
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "codes": []})
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), np.int64)
+            for s in range(m):
+                seg = X[:, s * d:(s + 1) * d]
+                d2 = ((seg[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "codes": [c.astype(np.int32).tolist() for c in codes]})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(enc, schema=schema)
+
+
+def pq_topk(codes_df: DataFrame, queries: DataFrame, books, k: int = 5) -> DataFrame:
+    """ADC search over PQ codes: per query a (m × k) lookup table of
+    partial squared distances ‖q_sub − c‖² is built once, and each
+    code's approximate distance is m table reads — the scan touches
+    8-byte codes, never vectors. Queries collect driver-side (Q is
+    small by construction; the LUTs are Q·m·k doubles) and ship in the
+    kernel closure; local per-partition top-k bounds the buffers, the
+    global slice ranks survivors. → (query_id, vec_id, rank, adc)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    B = np.asarray(books, np.float64)
+    m, kk, d = B.shape
+    qrows = sorted(queries.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    qids = np.asarray([r.vec_id for r in qrows], np.int64)
+    Q = np.vstack([np.asarray(r.embedding, np.float64) for r in qrows])
+    # LUT[q, s, c] = ||Q[q, s-th segment] − B[s, c]||²
+    lut = np.stack([
+        ((Q[:, s * d:(s + 1) * d][:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+        for s in range(m)], axis=1)
+
+    schema = StructType([StructField("query_id", LongType()),
+                         StructField("vec_id", LongType()),
+                         StructField("adc", DoubleType())])
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"query_id": [], "vec_id": [], "adc": []})
+                continue
+            C = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            # dist (Q, n) = Σ_s LUT[:, s, C[:, s]]
+            dist = np.zeros((len(qids), len(C)))
+            for s in range(m):
+                dist += lut[:, s, C[:, s]]
+            # local top-k per query bounds what leaves the partition
+            nk = min(k + 1, dist.shape[1])
+            part = np.argpartition(dist, nk - 1, axis=1)[:, :nk]
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qids)):
+                for ci in part[qi]:
+                    out_q.append(qids[qi]); out_v.append(vids[ci]); out_d.append(dist[qi, ci])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "adc": out_d})
+
+    local = codes_df.select("vec_id", "codes").mapInPandas(scan, schema=schema)
+    survivors = local.filter(F.col("vec_id") != F.col("query_id"))
+    top = survivors.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct(
+            F.col("adc").alias("adc"), F.col("vec_id").alias("vec_id")))), 1, k).alias("top"))
+    return top.select(
+        "query_id", F.posexplode("top").alias("pos", "t")
+    ).select("query_id", F.col("t")["vec_id"].alias("vec_id"),
+             (F.col("pos") + 1).alias("rank"), F.col("t")["adc"].alias("adc"))

@@ -446,3 +446,42 @@ def test_token_counts_bpe_regex(spark):
         ws = len([t for t in text.split(" ") if t])
         bpe = len(_re.findall(textstats.BPE_PATTERN, text))
         assert got[did] == (ws, bpe), (did, got[did], ws, bpe)
+
+
+def test_pq_encode_recall_and_determinism(spark, emb):
+    """Product quantization (Jégou et al. 2011): 64-dim float vectors
+    compress to m one-byte codes (16-32×); ADC recall against the
+    exact L2 top-k GROWS with the codebook budget — pinned at the two
+    ends on the near-orthogonal fixtures (the worst case for any
+    quantizer: all pairwise distances nearly equal) — and the whole
+    fit→encode→search pipeline is bit-deterministic."""
+    allv = {r.vec_id: np.asarray(r.embedding, np.float64) for r in emb.collect()}
+    exact5 = {}
+    for qid in range(10):
+        dv = sorted((np.sum((v - allv[qid]) ** 2), vid)
+                    for vid, v in allv.items() if vid != qid)[:5]
+        exact5[qid] = {vid for _, vid in dv}
+
+    def run(m, k):
+        books = similarity.pq_fit(emb, m=m, k=k, iters=3)
+        assert books.shape == (m, k, 64 // m)
+        codes = similarity.pq_encode(emb, books)
+        q = emb.filter("vec_id < 10")
+        got = similarity.pq_topk(codes, q, books, k=5).collect()
+        assert len(got) == 50
+        hits = sum(len(exact5[qid] & {r.vec_id for r in got if r.query_id == qid})
+                   for qid in range(10))
+        return books, got, hits / 50
+
+    _, _, r_small = run(8, 64)     # 32× compression → measured ~0.30 here
+    books, got, r_big = run(16, 256)  # 16× compression → measured ~0.68
+    assert r_big >= 0.6
+    assert r_big > r_small  # budget↑ ⇒ recall↑ (the PQ trade-off curve)
+    # codes well-formed + determinism across a full re-fit
+    rows = similarity.pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 16 and all(0 <= c < 256 for c in r.codes) for r in rows[:20])
+    again = similarity.pq_topk(
+        similarity.pq_encode(emb, similarity.pq_fit(emb, m=16, k=256, iters=3)),
+        emb.filter("vec_id < 10"), books, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
