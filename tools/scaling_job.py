@@ -43,10 +43,15 @@ def main() -> None:
     tiles = load_tiles(spark, sf_dir)
     n_tiles = tiles.count()
 
-    # warmup: exercise every stage once so Python workers exist
-    force(stats.tile_stats(tiles.limit(256)))
-    force(sample.sample_nearest(point_join.point_in_tile_join(
-        load_points(spark, sf_dir).limit(512), tiles)))
+    # warmup: one FULL flagship pass (not a limit() slice — measured at
+    # local[32], limit-bounded warmups leave most of the worker pool
+    # cold and the first 1-2 timed runs 2-3× over steady state, which
+    # biased the wide-master side of the efficiency pair low) plus one
+    # Arrow-stats pass; pages the parquet inputs too
+    force(stats.tile_stats(tiles))
+    force(sample.sample_nearest_grouped(
+        point_join.point_in_tile_join(load_points(spark, sf_dir), tiles, payload_cols=()),
+        tiles).select("point_id", "image_id", "value"))
 
     timings: dict[str, float] = {}
 
