@@ -128,7 +128,15 @@ def main() -> None:
         "for completeness (total 0.42 at sf1; per-stage up to 0.56 ≈ 80% of the",
         "0.70 hardware ceiling).",
     ]
-    (REPO / "BENCH.md").write_text("\n".join(lines) + "\n")
+    out_text = "\n".join(lines) + "\n"
+    bench_path = REPO / "BENCH.md"
+    marker = "<!-- MANUAL SECTIONS BELOW — preserved by tools/bench_scaling.py -->"
+    if bench_path.exists() and marker in bench_path.read_text():
+        # keep the hand-written narrative sections (skew demo, protocol,
+        # run ledger) across regenerations
+        manual = bench_path.read_text().split(marker, 1)[1]
+        out_text += "\n" + marker + manual
+    bench_path.write_text(out_text)
     print("wrote BENCH.md")
 
 
