@@ -596,6 +596,25 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool, threshold=0.999, bands=4, planes_per_band=12)
 
 
+def q_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS in vector space: connected components
+    over the banded-LSH embedding pair graph (pairs exact-verified at
+    cos ≥ 0.999, so the clusters are exact too). Reuses dup_groups'
+    min-label propagation with the embedding pair source — closing the
+    dedup family loop: every pair generator (minhash / phash /
+    embedding) now feeds the same clustering operator. Oracle: the
+    brute-force pair set + a recursive-CTE fixpoint in DuckDB."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.filter("vec_id < 50").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    pool = e.unionByName(copies)
+    pairs = similarity.embedding_near_dup_pairs(
+        pool, threshold=0.999, bands=4, planes_per_band=12
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup.dup_groups(None, pairs=pairs).select(
+        F.col("doc_id").alias("vec_id"), "group_id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction; oracle checks the recomputed phash
     against the INDEPENDENTLY stored fixture column plus exact means
@@ -1325,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_geolocation_nn": q_to_geolocation_nn,
         "cell_size_meters": q_cell_size_meters,
         # -- new this round (round 4) -----------------------------------
+        "embedding_dup_groups": q_embedding_dup_groups,
         "pq_adc_topk": q_pq_adc_topk,
         "token_counts": q_token_counts,
         "stream_xyz_pyramid": q_stream_xyz_pyramid,
@@ -2131,6 +2151,43 @@ def oracle_sql() -> dict[str, str]:
               from j
             )
             select query_id, vec_id, rank, cos from r where rank <= 5
+        """,
+        "embedding_dup_groups": """
+            with recursive pool as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000 as vec_id, embedding
+              from embeddings where vec_id < 50
+            ),
+            j as (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(a.embedding[i] as double) * cast(b.embedding[i] as double) for i in range(1, 65)]),
+                  (x, y) -> x + y) as dot,
+                sqrt(list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(a.embedding[i] as double) * cast(a.embedding[i] as double) for i in range(1, 65)]),
+                  (x, y) -> x + y)) as na,
+                sqrt(list_reduce(list_prepend(cast(0.0 as double),
+                  [cast(b.embedding[i] as double) * cast(b.embedding[i] as double) for i in range(1, 65)]),
+                  (x, y) -> x + y)) as nb
+              from pool a join pool b on a.vec_id < b.vec_id
+            ),
+            pairs as (
+              select id_a as doc_a, id_b as doc_b from j
+              where dot / (na * nb) >= 0.999
+            ),
+            edges as (
+              select doc_a, doc_b from pairs
+              union
+              select doc_b, doc_a from pairs
+            ),
+            walk(doc_id, reach) as (
+              select doc_a, doc_a from edges
+              union
+              select e.doc_a, w.reach from edges e join walk w on w.doc_id = e.doc_b
+            )
+            select doc_id as vec_id, min(reach) as group_id
+            from walk group by doc_id
         """,
         "embedding_near_dups": """
             with pool as (

@@ -89,6 +89,14 @@ def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
     # q10: IDW sampling — per-tile cogrouped decode (blob crosses the
     # shuffle once per tile, r03 replan); 10k-point slice keeps the
     # stage comparable across rounds
+    # q2b: the production huge-point-side strategy (round-4 replan) —
+    # tracked beside the broadcast form so regressions in either
+    # strategy show up in the per-round JSON
+    timed("point_sample_join_grouped", lambda: force(
+        sample.sample_nearest_grouped(
+            point_join.point_in_tile_join(
+                load_points(spark, sf_dir), load_tiles(spark, sf_dir), payload_cols=()),
+            load_tiles(spark, sf_dir)).select("point_id", "image_id", "value")))
     idw_pts = load_points(spark, sf_dir).filter(F.col("point_id") < 10000)
     timed("point_sample_idw", lambda: force(
         sample.sample_idw(
