@@ -1303,7 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     certifies the first 50 entries each round (rotation policy in
     CLAUDE.md). Round-4 head: the 29 entries the r03 driver did NOT
     witness (registry positions 51-79 last round; all green in r01/r02
-    + the judge's own r03 gate run), the 10 new round-4 queries, and as
+    + the judge's own r03 gate run), the 11 new round-4 queries, and as
     many r03-certified touched-kernel entries as fit the 50-window
     (codec slice kernel extended for i32/b1; IVF assignment replanned;
     dedup verify refactor; rastermath astype). Three touched entries
