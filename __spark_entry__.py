@@ -733,18 +733,35 @@ def q_to_grid_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample.to_grid_conv(t, RASTERIZE_TARGET, "cubic_spline")
 
 
+def _quantize_conv_py(out: DataFrame) -> DataFrame:
+    """%.9e quantization for the sin/exp kernels (VERDICT r04 #2): the
+    engines' libm differ in the last ulp, so BOTH sides hash the
+    9-significant-digit printf rendering instead of the raw double
+    (CLAUDE.md: printf for float→string). Java's %e and C's %e agree
+    on format (d.dddddddddE±xx, sign-preserving); the remaining
+    mismatch window is a value within ~1 ulp of a 10th-digit rounding
+    boundary — not observed on the fixture (and the raw doubles stay
+    npref-pinned in tests/test_resample_kernels.py)."""
+    return out.select(
+        "image_id", "trow", "tcol",
+        F.when(F.col("value").isNotNull(),
+               F.format_string("%.9e", F.col("value"))).alias("value_q"))
+
+
 def q_to_grid_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """to_grid(resampling='lanczos') (rows-only: sin() differs in the
-    last ulp across engines — pinned by the npref golden in
-    tests/test_resample_kernels.py)."""
+    """to_grid(resampling='lanczos') — a=3 windowed sinc, 6×6 taps,
+    weight-sum normalized; value printf-quantized (%.9e) on both
+    engines so the sin() ulp drift is absorbed and the full kernel
+    (window/taps/weights/accumulation order) is oracle-certified."""
     t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
-    return resample.to_grid_conv_py(t, RASTERIZE_TARGET, "lanczos")
+    return _quantize_conv_py(resample.to_grid_conv_py(t, RASTERIZE_TARGET, "lanczos"))
 
 
 def q_to_grid_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """to_grid(resampling='gauss') (rows-only: exp() ulp — npref-pinned)."""
+    """to_grid(resampling='gauss') — σ=1 gaussian, 4×4 taps; value
+    printf-quantized (%.9e) on both engines (exp() ulp absorbed)."""
     t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
-    return resample.to_grid_conv_py(t, RASTERIZE_TARGET, "gauss")
+    return _quantize_conv_py(resample.to_grid_conv_py(t, RASTERIZE_TARGET, "gauss"))
 
 
 def _q_to_grid_stat(stat: str):
@@ -1539,6 +1556,106 @@ def _conv_oracle_sql(tiles: str, pixels: str, resampling: str) -> str:
     """
 
 
+def _sinc_sql(t: str) -> str:
+    """np.sinc in SQL: sin(π·x)/(π·x) with sinc(0)=1 (numpy substitutes
+    x=1e-20 at 0, giving exactly 1.0 in double — the case-branch here is
+    bit-identical)."""
+    return f"(case when {t} = 0.0 then 1.0 else sin(pi()*{t})/(pi()*{t}) end)"
+
+
+def _conv_py_weights_sql(d: str, kind: str) -> tuple[tuple, dict]:
+    """DuckDB twins of resample._conv_weights_np — the same tap offsets
+    and the same op ORDER numpy evaluates (x = d − tap; lanczos
+    sinc(x)·sinc(x/3), gauss exp((−0.5·x)·x))."""
+    if kind == "lanczos":
+        taps = tuple(range(-2, 4))
+        return taps, {
+            i: f"({_sinc_sql(f'({d} - ({float(i)}))')} * "
+               f"{_sinc_sql(f'(({d} - ({float(i)}))/3.0)')})"
+            for i in taps}
+    taps = tuple(range(-1, 3))
+    return taps, {
+        i: f"exp(-0.5 * ({d} - ({float(i)})) * ({d} - ({float(i)})))"
+        for i in taps}
+
+
+def _conv_py_oracle_sql(tiles: str, pixels: str, kind: str) -> str:
+    """DuckDB twin of resample.to_grid_conv_py (lanczos/gauss), value
+    quantized with printf('%.9e') on BOTH engines (VERDICT r04 #2): the
+    only cross-engine divergence in these kernels is the last ulp of
+    sin()/exp(), which 9-significant-digit formatting absorbs while
+    still pinning the full kernel — window, tap clamping, weight
+    formulas, accumulation order (left-assoc in tap order, matching the
+    numpy += loops), and weight-sum normalization."""
+    from rasters_spark.operators.resample import _lbl
+
+    taps, wr = _conv_py_weights_sql("dr", kind)
+    _, wc = _conv_py_weights_sql("dc", kind)
+    tap_exprs = ",\n            ".join(
+        f"least(greatest(cast(floor(fr) as bigint) + ({i}), 0), h - 1) as rr_{_lbl(i)},\n"
+        f"            least(greatest(cast(floor(fc) as bigint) + ({i}), 0), w - 1) as cc_{_lbl(i)}"
+        for i in taps
+    )
+    v_cols = ",\n            ".join(
+        f"cast(p_{_lbl(i)}_{_lbl(j)}.value as double) as v_{_lbl(i)}_{_lbl(j)}"
+        for i in taps for j in taps
+    )
+    v_joins = "\n          ".join(
+        f"join {pixels} p_{_lbl(i)}_{_lbl(j)} on p_{_lbl(i)}_{_lbl(j)}.image_id = nb.image_id"
+        f" and p_{_lbl(i)}_{_lbl(j)}.prow = nb.rr_{_lbl(i)} and p_{_lbl(i)}_{_lbl(j)}.pcol = nb.cc_{_lbl(j)}"
+        for i in taps for j in taps
+    )
+    # numpy: row_acc += wc[b]·v (b ascending), num += wr[a]·row_acc
+    # (a ascending) — left-assoc " + " joins replicate both loops
+    num = " + ".join(
+        f"{wr[i]} * ({' + '.join(f'{wc[j]} * v_{_lbl(i)}_{_lbl(j)}' for j in taps)})"
+        for i in taps)
+    den = (f"({' + '.join(wr[i] for i in taps)}) * "
+           f"({' + '.join(wc[j] for j in taps)})")
+    return f"""
+        with t as (select * from {tiles} where fmt = 'raw'),
+        win as (
+          select image_id, x_origin, y_origin, cell_width, cell_height, w, h,
+            greatest(cast(round_even((y_origin - 90.0)/(-0.25) - 0.5, 0) as bigint), 0) as rs,
+            greatest(cast(round_even((x_origin + 180.0)/0.25 - 0.5, 0) as bigint), 0) as cs,
+            least(cast(round_even(((y_origin + cell_height * h) - 90.0)/(-0.25) - 0.5, 0) as bigint) + 1, 720) as re,
+            least(cast(round_even(((x_origin + cell_width * w) + 180.0)/0.25 - 0.5, 0) as bigint) + 1, 1440) as ce
+          from t
+        ),
+        cand as (
+          select w_.*, r.trow, c.tcol,
+                 (-180.0 + 0.25 * (c.tcol + 0.5)) as tx, (90.0 + (-0.25) * (r.trow + 0.5)) as ty
+          from win w_,
+               unnest(range(w_.rs, w_.re)) as r(trow), unnest(range(w_.cs, w_.ce)) as c(tcol)
+        ),
+        frac as (
+          select image_id, trow, tcol, w, h,
+            (tx - x_origin)/cell_width - 0.5 as fc, (ty - y_origin)/cell_height - 0.5 as fr,
+            cast(round_even((ty - y_origin)/cell_height - 0.5, 0) as bigint) as prow,
+            cast(round_even((tx - x_origin)/cell_width - 0.5, 0) as bigint) as pcol
+          from cand
+        ),
+        nb as (
+          select image_id, trow, tcol, fc - floor(fc) as dc, fr - floor(fr) as dr,
+            {tap_exprs}
+          from frac
+          where prow between 0 and h - 1 and pcol between 0 and w - 1
+        ),
+        v as (
+          select nb.image_id, nb.trow, nb.tcol, nb.dc, nb.dr,
+            {v_cols}
+          from nb
+          {v_joins}
+        ),
+        b as (
+          select image_id, trow, tcol, ({num}) / ({den}) as value from v
+        )
+        select image_id, trow, tcol,
+               case when isnan(value) then NULL else printf('%.9e', value) end as value_q
+        from b
+    """
+
+
 def _resize_bilinear_oracle_sql(tiles: str, out: int = 8) -> str:
     """DuckDB twin of multimodal.resize_bilinear_long: identical output-
     grid explode, tap clamping, and shared blend text."""
@@ -2317,6 +2434,8 @@ def oracle_sql() -> dict[str, str]:
         "to_grid_bilinear": _conv_oracle_sql(tiles, pixels, "linear"),
         "to_grid_cubic": _conv_oracle_sql(tiles, pixels, "cubic"),
         "to_grid_cubicspline": _conv_oracle_sql(tiles, pixels, "cubic_spline"),
+        "to_grid_lanczos": _conv_py_oracle_sql(tiles, pixels, "lanczos"),
+        "to_grid_gauss": _conv_py_oracle_sql(tiles, pixels, "gauss"),
         "to_grid_max": _stat_oracle_sql(tiles, pixels, "max"),
         "to_grid_min": _stat_oracle_sql(tiles, pixels, "min"),
         "to_grid_med": _stat_oracle_sql(tiles, pixels, "med"),

@@ -570,14 +570,50 @@ def pq_encode(embeddings: DataFrame, books) -> DataFrame:
     return embeddings.select("vec_id", "embedding").mapInPandas(enc, schema=schema)
 
 
+def _adc_local_topk(dist, vids, qids, nk, out_q, out_v, out_d):
+    """Append each query's nk locally-best candidates by the TOTAL
+    order (adc, vec_id) — value-thresholded then lexsorted, so a tied
+    candidate at the cut boundary always resolves to the smallest
+    vec_id regardless of partitioning (ADVICE r04: bare argpartition
+    broke exact-ADC ties arbitrarily, making the global ranking
+    partitioning-dependent)."""
+    import numpy as np
+
+    cut = np.partition(dist, nk - 1, axis=1)[:, nk - 1]
+    for qi in range(len(qids)):
+        idx = np.flatnonzero(dist[qi] <= cut[qi])  # includes ALL boundary ties
+        order = np.lexsort((vids[idx], dist[qi, idx]))[:nk]
+        sel = idx[order]
+        out_q.extend([qids[qi]] * len(sel))
+        out_v.extend(vids[sel])
+        out_d.extend(dist[qi, sel])
+
+
+def _adc_global_rank(local: DataFrame, k: int) -> DataFrame:
+    """Global (adc, vec_id) ranking over the per-partition survivors:
+    fused single-agg top-k (array_sort of structs is the total order)."""
+    survivors = local.filter(F.col("vec_id") != F.col("query_id"))
+    top = survivors.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct(
+            F.col("adc").alias("adc"), F.col("vec_id").alias("vec_id")))), 1, k).alias("top"))
+    return top.select(
+        "query_id", F.posexplode("top").alias("pos", "t")
+    ).select("query_id", F.col("t")["vec_id"].alias("vec_id"),
+             (F.col("pos") + 1).alias("rank"), F.col("t")["adc"].alias("adc"))
+
+
 def pq_topk(codes_df: DataFrame, queries: DataFrame, books, k: int = 5) -> DataFrame:
     """ADC search over PQ codes: per query a (m × k) lookup table of
     partial squared distances ‖q_sub − c‖² is built once, and each
     code's approximate distance is m table reads — the scan touches
-    8-byte codes, never vectors. Queries collect driver-side (Q is
-    small by construction; the LUTs are Q·m·k doubles) and ship in the
-    kernel closure; local per-partition top-k bounds the buffers, the
-    global slice ranks survivors. → (query_id, vec_id, rank, adc)."""
+    8-byte codes, never vectors. Queries collect driver-side and the
+    full LUT stack (Q·m·k doubles) ships in the kernel closure — the
+    INTERACTIVE path, right up to ~10³ queries; bulk query batches
+    (dedup sweeps, 10⁴–10⁶ queries) go through ``pq_topk_bulk``, which
+    broadcasts raw query vectors and builds LUTs chunk-wise on the
+    executors. Local per-partition top-k bounds the buffers
+    (deterministic (adc, vec_id) tie-break), the global slice ranks
+    survivors. → (query_id, vec_id, rank, adc)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -607,21 +643,70 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame, books, k: int = 5) -> DataF
             dist = np.zeros((len(qids), len(C)))
             for s in range(m):
                 dist += lut[:, s, C[:, s]]
-            # local top-k per query bounds what leaves the partition
             nk = min(k + 1, dist.shape[1])
-            part = np.argpartition(dist, nk - 1, axis=1)[:, :nk]
             out_q, out_v, out_d = [], [], []
-            for qi in range(len(qids)):
-                for ci in part[qi]:
-                    out_q.append(qids[qi]); out_v.append(vids[ci]); out_d.append(dist[qi, ci])
+            _adc_local_topk(dist, vids, qids, nk, out_q, out_v, out_d)
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "adc": out_d})
 
     local = codes_df.select("vec_id", "codes").mapInPandas(scan, schema=schema)
-    survivors = local.filter(F.col("vec_id") != F.col("query_id"))
-    top = survivors.groupBy("query_id").agg(
-        F.slice(F.array_sort(F.collect_list(F.struct(
-            F.col("adc").alias("adc"), F.col("vec_id").alias("vec_id")))), 1, k).alias("top"))
-    return top.select(
-        "query_id", F.posexplode("top").alias("pos", "t")
-    ).select("query_id", F.col("t")["vec_id"].alias("vec_id"),
-             (F.col("pos") + 1).alias("rank"), F.col("t")["adc"].alias("adc"))
+    return _adc_global_rank(local, k)
+
+
+def pq_topk_bulk(codes_df: DataFrame, queries: DataFrame, books, k: int = 5,
+                 chunk: int = 1024) -> DataFrame:
+    """Bulk-query ADC (VERDICT r04 #3): serves 10⁴–10⁶-query batches —
+    the training-data dedup sweep shape — without materializing the
+    Q·m·k LUT stack anywhere.
+
+    RAW query vectors (vec_id + dims floats, 32× smaller than their
+    LUTs) broadcast once via the torrent broadcast; each codes
+    partition then iterates the query set in ``chunk``-sized slices,
+    building that slice's LUT locally (chunk·m·k doubles, ~16 MB at
+    1024×8×256) and scanning the partition's codes against it. One
+    pass over the codes per chunk, all executor-side; per-(query,
+    partition) survivors are bounded at k+1 rows with the same
+    deterministic (adc, vec_id) tie-break as ``pq_topk``, and the
+    global rank is shared — the two paths are pinned identical in
+    tests/test_datapipe.py. Beyond ~10⁶ queries (broadcast ≥ 512 MB at
+    64 dims) partition the query set and union the calls.
+    → (query_id, vec_id, rank, adc)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    B = np.asarray(books, np.float64)
+    m, kk, d = B.shape
+    qpdf = queries.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    qids_all = qpdf["vec_id"].to_numpy(np.int64)
+    Q_all = np.vstack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    sc = codes_df.sparkSession.sparkContext
+    bc = sc.broadcast((qids_all, Q_all))
+
+    schema = StructType([StructField("query_id", LongType()),
+                         StructField("vec_id", LongType()),
+                         StructField("adc", DoubleType())])
+
+    def scan(batches):
+        qids_b, Q_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"query_id": [], "vec_id": [], "adc": []})
+                continue
+            C = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            nk = min(k + 1, len(C))
+            for s0 in range(0, len(qids_b), chunk):
+                qids = qids_b[s0:s0 + chunk]
+                Q = Q_b[s0:s0 + chunk]
+                lut = np.stack([
+                    ((Q[:, s * d:(s + 1) * d][:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                    for s in range(m)], axis=1)
+                dist = np.zeros((len(qids), len(C)))
+                for s in range(m):
+                    dist += lut[:, s, C[:, s]]
+                out_q, out_v, out_d = [], [], []
+                _adc_local_topk(dist, vids, qids, nk, out_q, out_v, out_d)
+                yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "adc": out_d})
+
+    local = codes_df.select("vec_id", "codes").mapInPandas(scan, schema=schema)
+    return _adc_global_rank(local, k)

@@ -397,13 +397,17 @@ def _moll_inverse(x, y, p):
 def _webmerc_forward(lon, lat, p):
     """Spherical ("Web") Mercator on the WGS84 semi-major axis — the
     EPSG:3857 slippy-map/tile CRS: x = a·λ, y = a·ln tan(π/4 + φ/2)
-    (Snyder eq. 7-1/7-2 with R = a). |φ| ≥ the ±85.051129° web-mercator
-    clip latitude (atan(sinh π)) → ±inf y; downstream geographic range
-    rules handle it."""
+    (Snyder eq. 7-1/7-2 with R = a). Latitudes between the ±85.051129°
+    clip latitude (atan(sinh π)) and the poles map to finite y beyond
+    the square tile extent; |φ| ≥ 90° maps to ±inf y EXPLICITLY
+    (ADVICE r04: the raw log of a negative tangent would NaN there),
+    and downstream geographic range rules handle both."""
+    la = np.asarray(lat, np.float64)
     lam = np.radians(np.asarray(lon, np.float64))
-    phi = np.radians(np.asarray(lat, np.float64))
+    phi = np.radians(la)
     with np.errstate(divide="ignore", invalid="ignore"):
         y = _A * np.log(np.tan(np.pi / 4 + phi / 2))
+    y = np.where(la >= 90.0, np.inf, np.where(la <= -90.0, -np.inf, y))
     return _A * lam, y
 
 
@@ -476,11 +480,104 @@ def _crs_ellipsoid(c: str) -> tuple[float, float] | None:
             return ae
     if "+datum=NAD83" in c:
         return _ELLPS["GRS80"]
-    # +datum=WGS84 on the conics: ellipsoidal WGS84 (on utm/stere the
-    # datum token is already implied by their dedicated parsers)
-    if "+datum=WGS84" in c and ("+proj=aea" in c or "+proj=lcc" in c):
+    # +datum=WGS84 on the conics/laea: ellipsoidal WGS84 (on utm/stere
+    # the datum token is already implied by their dedicated parsers)
+    if "+datum=WGS84" in c and ("+proj=aea" in c or "+proj=lcc" in c
+                                or "+proj=laea" in c):
         return _ELLPS["WGS84"]
     return None
+
+
+def _elaea_params(c: str, ell: tuple[float, float]) -> dict:
+    """Precompute the per-CRS Snyder §24 ellipsoidal-LAEA constants
+    (once per string, never per row): qp (eq. 3-12 at φ=90°),
+    Rq = a·√(qp/2) (eq. 3-13), and for the oblique aspect
+    β1 = arcsin(q1/qp) (eq. 3-11), m1 (14-15), D = a·m1/(Rq·cosβ1)
+    (24-20). lat_0=±90 routes to the polar closed form (24-23)."""
+    a, e2 = ell
+    lat0 = _proj4_param(c, "lat_0", 0.0)
+    qp = _ell_q(np.pi / 2, e2)
+    p = {"kind": "elaea", "a": a, "e2": e2, "lat0": lat0,
+         "lon0": _proj4_param(c, "lon_0", 0.0),
+         "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+         "qp": float(qp), "rq": float(a * np.sqrt(qp / 2.0))}
+    if abs(lat0) == 90.0:
+        p["polar"] = True
+        p["sgn"] = 1.0 if lat0 > 0 else -1.0
+        return p
+    p["polar"] = False
+    phi1 = np.radians(lat0)
+    q1 = _ell_q(phi1, e2)
+    beta1 = np.arcsin(np.clip(q1 / qp, -1.0, 1.0))
+    m1 = _ell_m(phi1, e2)
+    p["sb1"] = float(np.sin(beta1))
+    p["cb1"] = float(np.cos(beta1))
+    p["d"] = float(a * m1 / (p["rq"] * np.cos(beta1)))
+    return p
+
+
+def _elaea_forward(lon, lat, p):
+    """ELLIPSOIDAL Lambert azimuthal equal-area forward (Snyder PP 1395
+    §24, pp. 187-190) — EPSG:3035 LAEA Europe / EPSG:6931 EASE-Grid 2.0.
+    Oblique (eq. 24-17..24-19): β = arcsin(q/qp),
+    B = Rq·√(2/(1 + sinβ1·sinβ + cosβ1·cosβ·cosΔλ));
+    x = B·D·cosβ·sinΔλ, y = (B/D)·(cosβ1·sinβ − sinβ1·cosβ·cosΔλ).
+    Polar north (eq. 24-23/21-30/31): ρ = a·√(qp − q),
+    x = ρ·sinΔλ, y = −ρ·cosΔλ; south mirrors signs (as _ps_forward)."""
+    a, e2, qp = p["a"], p["e2"], p["qp"]
+    if p["polar"]:
+        s = p["sgn"]
+        phi = np.radians(s * np.asarray(lat, np.float64))
+        dlam = np.radians(s * np.asarray(lon, np.float64)) - np.radians(s * p["lon0"])
+        q = _ell_q(phi, e2)
+        rho = a * np.sqrt(np.maximum(qp - q, 0.0))
+        return (s * rho * np.sin(dlam) + p["x0"],
+                s * -rho * np.cos(dlam) + p["y0"])
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    beta = np.arcsin(np.clip(_ell_q(phi, e2) / qp, -1.0, 1.0))
+    sb, cb = np.sin(beta), np.cos(beta)
+    denom = 1.0 + p["sb1"] * sb + p["cb1"] * cb * np.cos(dlam)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        B = p["rq"] * np.sqrt(2.0 / denom)
+    x = B * p["d"] * cb * np.sin(dlam)
+    y = (B / p["d"]) * (p["cb1"] * sb - p["sb1"] * cb * np.cos(dlam))
+    return x + p["x0"], y + p["y0"]
+
+
+def _elaea_inverse(x, y, p):
+    """Snyder §24 inverse (eq. 24-29..24-31 then the authalic series
+    3-18): oblique ρ = √((x/D)² + (D·y)²), ce = 2·arcsin(ρ/2Rq),
+    q = qp·(cos ce·sinβ1 + D·y·sin ce·cosβ1/ρ); polar q = ±(qp − (ρ/a)²);
+    β = arcsin(q/qp), φ = _beta_to_phi(β). ρ=0 → the center."""
+    a, e2, qp = p["a"], p["e2"], p["qp"]
+    if p["polar"]:
+        s = p["sgn"]
+        xx = s * (np.asarray(x, np.float64) - p["x0"])
+        yy = s * (np.asarray(y, np.float64) - p["y0"])
+        rho = np.hypot(xx, yy)
+        q = qp - (rho / a) ** 2
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        phi = _beta_to_phi(beta, e2)
+        lam = np.where(rho == 0, 0.0, np.arctan2(xx, -yy))
+        lon = s * np.degrees(lam) + p["lon0"]
+        lon = (lon + 180.0) % 360.0 - 180.0
+        return lon, s * np.degrees(phi)
+    d, rq = p["d"], p["rq"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = np.asarray(y, np.float64) - p["y0"]
+    rho = np.hypot(xx / d, d * yy)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = np.where(
+            rho == 0, qp * p["sb1"],
+            qp * (np.cos(ce) * p["sb1"]
+                  + d * yy * np.sin(ce) * p["cb1"] / np.where(rho == 0, 1.0, rho)))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    phi = _beta_to_phi(beta, e2)
+    lam = np.arctan2(xx * np.sin(ce),
+                     d * rho * p["cb1"] * np.cos(ce) - d * d * yy * p["sb1"] * np.sin(ce))
+    return p["lon0"] + np.degrees(lam), np.degrees(phi)
 
 
 #: conic EPSG workhorses resolved to their published proj4
@@ -492,11 +589,25 @@ _EPSG_CONIC = {
 }
 
 
-#: published proj4 definitions of the two polar-stereographic EPSG
-#: workhorses (sea-ice / ice-sheet grids)
+#: published proj4 definitions of the polar-stereographic EPSG
+#: workhorses (sea-ice / ice-sheet grids) — 3995 (Arctic Polar
+#: Stereographic, lat_ts=71) routes through the same generalized
+#: parser, pinning that the family accepts arbitrary parameters
 _EPSG_STERE = {
     "EPSG:3413": "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs",
     "EPSG:3031": "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs",
+    "EPSG:3995": "+proj=stere +lat_0=90 +lat_ts=71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs",
+}
+
+#: ellipsoidal-LAEA EPSG workhorses resolved to their published proj4
+#: (the European statistical grid and the EASE-Grid 2.0 polar grids)
+_EPSG_LAEA = {
+    "EPSG:3035": "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+                 "+ellps=GRS80 +units=m +no_defs",  # ETRS89-extended LAEA Europe
+    "EPSG:6931": "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 "
+                 "+datum=WGS84 +units=m +no_defs",  # EASE-Grid 2.0 North
+    "EPSG:6932": "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 "
+                 "+datum=WGS84 +units=m +no_defs",  # EASE-Grid 2.0 South
 }
 
 
@@ -634,7 +745,12 @@ def _parse_crs(crs: str) -> dict:
         return {"kind": "lcc", "lon0": _proj4_param(c, "lon_0", 0.0),
                 "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
                 "r": r, "n": float(n), "F": float(Fc), "rho0": float(rho0)}
+    if c.upper() in _EPSG_LAEA:
+        c = _EPSG_LAEA[c.upper()]
     if "+proj=laea" in c:
+        ell = _crs_ellipsoid(c)
+        if ell is not None:
+            return _elaea_params(c, ell)
         return {"kind": "laea",
                 "lat0": _proj4_param(c, "lat_0", 0.0),
                 "lon0": _proj4_param(c, "lon_0", 0.0),
@@ -664,6 +780,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _lcc_inverse(x, y, s)
     elif s["kind"] == "laea":
         lon, lat = _laea_inverse(x, y, s)
+    elif s["kind"] == "elaea":
+        lon, lat = _elaea_inverse(x, y, s)
     elif s["kind"] == "ps":
         lon, lat = _ps_inverse(x, y, s)
     elif s["kind"] == "webmerc":
@@ -695,6 +813,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _lcc_forward(lon, lat, d)
     if d["kind"] == "laea":
         return _laea_forward(lon, lat, d)
+    if d["kind"] == "elaea":
+        return _elaea_forward(lon, lat, d)
     if d["kind"] == "ps":
         return _ps_forward(lon, lat, d)
     if d["kind"] == "webmerc":

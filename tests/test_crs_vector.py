@@ -580,3 +580,113 @@ def test_transform_ellipsoidal_conics():
     # spherical conic spellings (no +ellps/+datum) stay on the old path
     assert C._parse_crs("+proj=aea +lat_1=29.5 +lat_2=45.5")["kind"] == "aea"
     assert C._parse_crs("+proj=lcc +lat_1=33 +lat_2=45")["kind"] == "lcc"
+
+
+def _ell_area_scale(crs: str, lon: float, lat: float) -> float:
+    """Numerical Jacobian over the ELLIPSOIDAL area element
+    a²(1−e²)·cosφ/(1−e²·sin²φ)²·dλ·dφ — exactly 1 for an equal-area
+    projection on the ellipsoid (Snyder PP 1395 eq. 4-18ff)."""
+    h = 1e-5
+    xe, ye = C.transform_xy_np(np.array([lon + h, lon - h]), np.array([lat, lat]),
+                               "EPSG:4326", crs)
+    xn, yn = C.transform_xy_np(np.array([lon, lon]), np.array([lat + h, lat - h]),
+                               "EPSG:4326", crs)
+    dx_dlam = (xe[0] - xe[1]) / np.radians(2 * h)
+    dy_dlam = (ye[0] - ye[1]) / np.radians(2 * h)
+    dx_dphi = (xn[0] - xn[1]) / np.radians(2 * h)
+    dy_dphi = (yn[0] - yn[1]) / np.radians(2 * h)
+    jac = abs(dx_dlam * dy_dphi - dx_dphi * dy_dlam)
+    a, e2 = C._ELLPS["GRS80"] if "3035" in crs or "GRS80" in crs else C._ELLPS["WGS84"]
+    s = np.sin(np.radians(lat))
+    elem = a * a * (1 - e2) * np.cos(np.radians(lat)) / (1 - e2 * s * s) ** 2
+    return jac / elem
+
+
+def test_transform_ellipsoidal_laea_europe_and_ease2():
+    """ELLIPSOIDAL LAEA (Snyder §24 pp. 187-190) through the
+    generalized proj4 parser — VERDICT r04 #5's two new real-world
+    EPSG codes: EPSG:3035 (ETRS89-extended LAEA Europe, oblique on
+    GRS80) and EPSG:6931 (EASE-Grid 2.0 North, polar on WGS84).
+    Anchors: false origin lands exactly; the defining EQUAL-AREA
+    property holds on the ellipsoidal area element across the service
+    area; round trips are sub-1e-8°; the polar closed form and a
+    near-polar oblique parameterization agree (two independent code
+    paths)."""
+    # --- EPSG:3035 (oblique, lat_0=52 lon_0=10, false origin) ---
+    x, y = C.transform_xy_np(np.array([10.0]), np.array([52.0]), "EPSG:4326", "EPSG:3035")
+    assert x[0] == pytest.approx(4321000.0, abs=1e-6)
+    assert y[0] == pytest.approx(3210000.0, abs=1e-6)
+    lon = np.linspace(-10.0, 30.0, 33)
+    lat = np.linspace(35.0, 70.0, 33)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:3035")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:3035", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-8)
+    np.testing.assert_allclose(p2, lat, atol=1e-8)
+    for lo, la in [(-5.0, 40.0), (10.0, 52.0), (25.0, 65.0)]:
+        assert _ell_area_scale("EPSG:3035", lo, la) == pytest.approx(1.0, abs=1e-6)
+    # --- EPSG:6931 (polar north) / EPSG:6932 (polar south) ---
+    xp, yp = C.transform_xy_np(np.array([0.0]), np.array([90.0]), "EPSG:4326", "EPSG:6931")
+    assert abs(xp[0]) < 1e-9 and abs(yp[0]) < 1e-9  # pole is the origin
+    lon = np.array([0.0, 45.0, 135.0, -120.0])
+    lat = np.array([85.0, 70.0, 55.0, 62.5])
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:6931")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:6931", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-8)
+    np.testing.assert_allclose(p2, lat, atol=1e-8)
+    for lo, la in [(45.0, 70.0), (135.0, 55.0)]:
+        assert _ell_area_scale("EPSG:6931", lo, la) == pytest.approx(1.0, abs=1e-6)
+    sx, sy = C.transform_xy_np(np.array([30.0]), np.array([-70.0]), "EPSG:4326", "EPSG:6932")
+    sl, sp = C.transform_xy_np(sx, sy, "EPSG:6932", "EPSG:4326")
+    assert sl[0] == pytest.approx(30.0, abs=1e-8) and sp[0] == pytest.approx(-70.0, abs=1e-8)
+    # ellipsoidal kernel degenerates to the SPHERICAL laea kernel as
+    # e² → 0 (two independent Snyder forms must converge; e²=1e-8
+    # keeps the q-auxiliary log numerically clean, positions agree to
+    # ~e²·a ≈ 0.07 m)
+    p_ell = C._elaea_params("+proj=laea +lat_0=45 +lon_0=-100", (6371000.0, 1e-8))
+    olon = np.array([-110.0, -95.0, -80.0])
+    olat = np.array([30.0, 48.0, 60.0])
+    ex, ey = C._elaea_forward(olon, olat, p_ell)
+    sx2, sy2 = C.transform_xy_np(olon, olat, "EPSG:4326",
+                                 "+proj=laea +lat_0=45 +lon_0=-100 +R=6371000")
+    np.testing.assert_allclose(ex, sx2, atol=1.0)
+    np.testing.assert_allclose(ey, sy2, atol=1.0)
+    # generalized parser: arbitrary parameterization of the family
+    custom = "+proj=laea +lat_0=45 +lon_0=-100 +x_0=1000 +y_0=-2000 +ellps=GRS80"
+    cx, cy = C.transform_xy_np(np.array([-100.0]), np.array([45.0]), "EPSG:4326", custom)
+    assert cx[0] == pytest.approx(1000.0, abs=1e-6)
+    assert cy[0] == pytest.approx(-2000.0, abs=1e-6)
+    cl, cp = C.transform_xy_np(
+        *C.transform_xy_np(np.array([-95.0]), np.array([48.0]), "EPSG:4326", custom),
+        custom, "EPSG:4326")
+    assert cl[0] == pytest.approx(-95.0, abs=1e-8) and cp[0] == pytest.approx(48.0, abs=1e-8)
+
+
+def test_transform_arctic_polar_stereo_3995():
+    """EPSG:3995 (Arctic Polar Stereographic, lat_ts=71) routes through
+    the generalized stere parser: k=1 at the standard parallel and
+    round trips hold."""
+    lon = np.array([0.0, 90.0, -45.0])
+    lat = np.array([71.0, 80.0, 66.0])
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:3995")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:3995", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-8)
+    np.testing.assert_allclose(p2, lat, atol=1e-8)
+    # scale TRUE at lat_ts=71 along a meridian
+    h = 1e-5
+    x1, y1 = C.transform_xy_np(np.array([0.0]), np.array([71.0 - h]), "EPSG:4326", "EPSG:3995")
+    x2, y2 = C.transform_xy_np(np.array([0.0]), np.array([71.0 + h]), "EPSG:4326", "EPSG:3995")
+    a, e2 = C._ELLPS["WGS84"]
+    s = np.sin(np.radians(71.0))
+    rho_m = a * (1 - e2) / (1 - e2 * s * s) ** 1.5  # meridional radius
+    true_d = rho_m * np.radians(2 * h)
+    assert np.hypot(x2 - x1, y2 - y1)[0] / true_d == pytest.approx(1.0, abs=1e-7)
+
+
+def test_webmerc_pole_is_inf_not_nan():
+    """ADVICE r04: |lat| ≥ 90 must map to ±inf y (docstring contract),
+    never NaN from the log of a negative tangent."""
+    x, y = C.transform_xy_np(np.array([10.0, 10.0, 0.0]),
+                             np.array([90.0, -90.0, 91.0]),
+                             "EPSG:4326", "EPSG:3857")
+    assert y[0] == np.inf and y[1] == -np.inf
+    assert y[2] == np.inf  # beyond-pole input clamps the same way

@@ -485,3 +485,55 @@ def test_pq_encode_recall_and_determinism(spark, emb):
         similarity.pq_encode(emb, similarity.pq_fit(emb, m=16, k=256, iters=3)),
         emb.filter("vec_id < 10"), books, k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_bulk_matches_collect_path_at_1e4_queries(spark, emb):
+    """VERDICT r04 #3: the bulk ADC path (chunked broadcast of RAW
+    query vectors, executor-side LUTs) must return results identical
+    to the interactive collect-path on a ≥10⁴-query batch — and both
+    must be partitioning-independent (the (adc, vec_id) local
+    tie-break fix, ADVICE r04)."""
+    books = similarity.pq_fit(emb, m=8, k=64, iters=2)
+    codes = similarity.pq_encode(emb, books)
+    # replicate every fixture vector 20× with shifted ids → 10,000 queries
+    q = (emb.select("vec_id", "embedding")
+         .crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+         .select((F.col("vec_id") + F.col("rep") * 100000).alias("vec_id"),
+                 "embedding"))
+    nq = q.count()
+    assert nq >= 10_000
+    a = similarity.pq_topk(codes.repartition(7), q, books, k=5).collect()
+    b = similarity.pq_topk_bulk(codes.repartition(7), q, books, k=5, chunk=512).collect()
+    assert len(a) == nq * 5
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # different codes partitioning → same ranking (tie determinism)
+    c = similarity.pq_topk_bulk(codes.repartition(3), q, books, k=5, chunk=512).collect()
+    assert sorted(map(tuple, b)) == sorted(map(tuple, c))
+
+
+def test_ivf_hint_no_count_during_planning(spark, emb, monkeypatch):
+    """VERDICT r04 #4: with a corpus_size hint supplied, deriving
+    nlist/nprobe must NEVER fall back to DataFrame.count() — patched
+    here to raise, so any plan-time count anywhere in the IVF entry
+    point fails loudly. (k-means training jobs are inherent; the full
+    corpus count was the avoidable one.)"""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("DataFrame.count() triggered during IVF planning")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = similarity.ivf_cosine_topk(emb, emb.filter("vec_id < 5"), k=3,
+                                    nlist=None, nprobe=None, iters=1,
+                                    corpus_size=500)
+    df.schema  # force analysis — still no count()
+    assert df.columns == ["query_id", "vec_id", "rank", "cos"]
+
+
+def test_parquet_row_count_footer_only(spark):
+    """tableio.parquet_row_count is the no-Spark-job corpus-size hint
+    source: exact row count from parquet footers alone."""
+    from rasters_spark import tableio
+
+    n = tableio.parquet_row_count(f"{SF}/embeddings.parquet")
+    assert n == spark.read.parquet(f"{SF}/embeddings.parquet").count()
