@@ -40,22 +40,33 @@ _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
 
 ID_LEN = 16  # fixture ids are 'img%012d' = 15 chars + NUL pad
 CRS_LEN = 32  # per-tile CRS spelling (EPSG codes / short proj4)
-VSIZE_MAX = 2**31 - 1  # classic-CDF headers carry vsize as a signed i32
+VSIZE_MAX = 2**31 - 1  # CDF-1/2 headers carry vsize as a signed i32
 
 
 def _pad4(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 4)
 
 
-def _name(s: str) -> bytes:
+def _nn_fmt(version: int) -> str:
+    """NON_NEG width: the CDF-5 (PnetCDF 64-bit data) extension of the
+    public Unidata classic spec widens every NON_NEG field — numrecs,
+    nelems counts, name lengths, dim lengths, dimids, vsize — from
+    INT to INT64; tags and nc_type stay 4-byte, begin is 8-byte from
+    CDF-2 on."""
+    return ">q" if version == 5 else ">i"
+
+
+def _name(s: str, version: int = 2) -> bytes:
     raw = s.encode()
-    return struct.pack(">i", len(raw)) + _pad4(raw)
+    return struct.pack(_nn_fmt(version), len(raw)) + _pad4(raw)
 
 
-def encode_nc(tiles: list[dict]) -> bytes:
+def encode_nc(tiles: list[dict], version: int | None = None) -> bytes:
     """tiles: dicts with image_id, arr (2-D float array, NaN nodata),
-    x_origin, y_origin, cell_width, cell_height → one CDF-2 blob.
-    Deterministic: groups ordered by (h, w), tiles by image_id."""
+    x_origin, y_origin, cell_width, cell_height → one CDF-2 blob, or
+    CDF-5 when any variable's vsize exceeds the i32 bound (or
+    ``version=5`` forces it). Deterministic: groups ordered by (h, w),
+    tiles by image_id."""
     groups: dict[tuple[int, int], list[dict]] = {}
     for t in tiles:
         h, w = t["arr"].shape
@@ -95,34 +106,20 @@ def encode_nc(tiles: list[dict]) -> bytes:
         for s in v["shape"]:
             size *= s
         v["vsize"] = size + (-size % 4)
-        if v["vsize"] > VSIZE_MAX:
-            raise ValueError(
-                f"variable {v['name']} exceeds the classic-CDF signed-i32 vsize "
-                f"({v['vsize']} bytes) — repartition the sink into smaller containers")
+    # VERDICT r04 #9: a variable past the signed-i32 vsize bound (a
+    # 10⁹-pixel group) auto-upgrades the container to CDF-5 (the
+    # PnetCDF 64-bit extension, still the public Unidata spec) instead
+    # of failing the sink
+    if version is None:
+        version = 5 if any(v["vsize"] > VSIZE_MAX for v in vars_) else 2
 
-    def header(with_begins: bool) -> bytes:
-        out = [b"CDF\x02", struct.pack(">i", 0)]  # version 2, numrecs 0
-        out.append(struct.pack(">ii", _TAG_DIM, len(dims)))
-        for dn, dl in dims:
-            out.append(_name(dn) + struct.pack(">i", dl))
-        out.append(struct.pack(">ii", 0, 0))  # ABSENT gatt_list
-        out.append(struct.pack(">ii", _TAG_VAR, len(vars_)))
-        for v in vars_:
-            out.append(_name(v["name"]))
-            out.append(struct.pack(">i", len(v["dimids"])))
-            out.append(struct.pack(f">{len(v['dimids'])}i", *v["dimids"]))
-            out.append(struct.pack(">ii", 0, 0))  # ABSENT vatt_list
-            out.append(struct.pack(">ii", v["type"], v["vsize"]))
-            out.append(struct.pack(">q", v.get("begin", 0) if with_begins else 0))
-        return b"".join(out)
-
-    hlen = len(header(False))
+    hlen = len(_build_header(dims, vars_, version, with_begins=False))
     off = hlen
     for v in vars_:
         v["begin"] = off
         off += v["vsize"]
 
-    payload = [header(True)]
+    payload = [_build_header(dims, vars_, version, with_begins=True)]
     for gi, (h, w) in enumerate(gkeys):
         g = groups[(h, w)]
         def char_block(values: list[str], width: int) -> bytes:
@@ -141,60 +138,106 @@ def encode_nc(tiles: list[dict]) -> bytes:
     return b"".join(payload)
 
 
+def _build_header(dims, vars_, version: int, with_begins: bool) -> bytes:
+    """Serialize the header for CDF-2 (NON_NEG = i32) or CDF-5
+    (NON_NEG = i64 — numrecs, counts, name lengths, dim lengths,
+    dimids, vsize). begin is i64 in both."""
+    nn = _nn_fmt(version)
+    out = [b"CDF" + bytes([version]), struct.pack(nn, 0)]  # numrecs 0
+    out.append(struct.pack(">i", _TAG_DIM) + struct.pack(nn, len(dims)))
+    for dn, dl in dims:
+        out.append(_name(dn, version) + struct.pack(nn, dl))
+    out.append(struct.pack(">i", 0) + struct.pack(nn, 0))  # ABSENT gatt_list
+    out.append(struct.pack(">i", _TAG_VAR) + struct.pack(nn, len(vars_)))
+    for v in vars_:
+        out.append(_name(v["name"], version))
+        out.append(struct.pack(nn, len(v["dimids"])))
+        for d in v["dimids"]:
+            out.append(struct.pack(nn, d))
+        out.append(struct.pack(">i", 0) + struct.pack(nn, 0))  # ABSENT vatt_list
+        out.append(struct.pack(">i", v["type"]) + struct.pack(nn, v["vsize"]))
+        out.append(struct.pack(">q", v.get("begin", 0) if with_begins else 0))
+    return b"".join(out)
+
+
+class HeaderTruncated(ValueError):
+    """The read window ended inside the header — re-read with a larger
+    window (ADVICE r04: a container with ~2500+ shape groups has a
+    header past 1 MiB and used to die mid-buffer in an opaque
+    struct.error)."""
+
+
 def parse_header(blob: bytes) -> dict:
     """Header → {version, dims: [(name, len)], vars: {name: {type,
-    dimids, shape, vsize, begin}}}. Accepts CDF-1 and CDF-2."""
-    if blob[:3] != b"CDF" or blob[3] not in (1, 2):
-        raise ValueError("not a classic NetCDF file (magic CDF\\x01/\\x02)")
+    dimids, shape, vsize, begin}}}. Accepts CDF-1, CDF-2 and CDF-5
+    (the PnetCDF 64-bit extension: every NON_NEG field widens to i64).
+    A buffer that ends mid-header raises :class:`HeaderTruncated`."""
+    if blob[:3] != b"CDF" or blob[3] not in (1, 2, 5):
+        raise ValueError("not a classic NetCDF file (magic CDF\\x01/\\x02/\\x05)")
     version = blob[3]
-    pos = 8  # skip magic + numrecs
+    nn, nnw = _nn_fmt(version), (8 if version == 5 else 4)
+    pos = 4 + nnw  # skip magic + numrecs
 
     def i4():
         nonlocal pos
+        if pos + 4 > len(blob):
+            raise HeaderTruncated(f"header exceeds the {len(blob)}-byte read window")
         v = struct.unpack_from(">i", blob, pos)[0]
         pos += 4
         return v
 
+    def nni():
+        nonlocal pos
+        if pos + nnw > len(blob):
+            raise HeaderTruncated(f"header exceeds the {len(blob)}-byte read window")
+        v = struct.unpack_from(nn, blob, pos)[0]
+        pos += nnw
+        return v
+
     def name():
         nonlocal pos
-        ln = i4()
+        ln = nni()
+        if pos + ln > len(blob):
+            raise HeaderTruncated(f"header exceeds the {len(blob)}-byte read window")
         s = blob[pos:pos + ln].decode()
         pos += ln + (-ln % 4)
         return s
 
-    tag, n = i4(), i4()
+    tag, n = i4(), nni()
     dims = []
     if tag == _TAG_DIM:
-        dims = [(name(), i4()) for _ in range(n)]
+        dims = [(name(), nni()) for _ in range(n)]
     elif (tag, n) != (0, 0):
         raise ValueError("malformed dim_list")
-    tag, n = i4(), i4()  # gatt_list
+    tag, n = i4(), nni()  # gatt_list
     if tag == _TAG_ATT:
         for _ in range(n):
             name()
-            t, ne = i4(), i4()
+            t, ne = i4(), nni()
             sz = ne * _TYPE_SIZE[t]
             pos += sz + (-sz % 4)
     elif (tag, n) != (0, 0):
         raise ValueError("malformed gatt_list")
-    tag, n = i4(), i4()
+    tag, n = i4(), nni()
     vars_ = {}
     if tag == _TAG_VAR:
         for _ in range(n):
             vn = name()
-            nd = i4()
-            dimids = [i4() for _ in range(nd)]
-            atag, an = i4(), i4()
+            nd = nni()
+            dimids = [nni() for _ in range(nd)]
+            atag, an = i4(), nni()
             if atag == _TAG_ATT:
                 for _ in range(an):
                     name()
-                    t, ne = i4(), i4()
+                    t, ne = i4(), nni()
                     sz = ne * _TYPE_SIZE[t]
                     pos += sz + (-sz % 4)
             elif (atag, an) != (0, 0):
                 raise ValueError("malformed vatt_list")
-            vt, vsize = i4(), i4()
-            if version == 2:
+            vt, vsize = i4(), nni()
+            if version >= 2:
+                if pos + 8 > len(blob):
+                    raise HeaderTruncated(f"header exceeds the {len(blob)}-byte read window")
                 begin = struct.unpack_from(">q", blob, pos)[0]
                 pos += 8
             else:
@@ -301,8 +344,22 @@ def load_netcdf_tiles(spark, path: str):
     rows = []
     for f in files:
         with open(f, "rb") as fh:
-            head = fh.read(1 << 20)  # the header itself is a few KB
-            hdr = parse_header(head)
+            # the header is usually a few KB; a container with thousands
+            # of shape groups can exceed any fixed window, so grow the
+            # read on HeaderTruncated instead of dying mid-buffer
+            # (ADVICE r04)
+            win = 1 << 20
+            fsize = f.stat().st_size
+            while True:
+                fh.seek(0)
+                head = fh.read(win)
+                try:
+                    hdr = parse_header(head)
+                    break
+                except HeaderTruncated:
+                    if win >= fsize:
+                        raise
+                    win *= 8
 
             def seek_var(vname):
                 # coordinate vars interleave with earlier groups' pixel

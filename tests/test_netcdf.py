@@ -7,6 +7,8 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
 
 from rasters_spark.functions import netcdf3 as nc
 from rasters_spark.tiles import load_tiles, open_tiles
@@ -93,3 +95,52 @@ def test_nc_preserves_crs_and_guards_lengths():
         nc.encode_nc([dict(t, image_id="x" * 17)])
     with pytest.raises(ValueError, match="CRS_LEN"):
         nc.encode_nc([dict(t, crs="+proj=" + "x" * 40)])
+
+
+def test_nc_cdf5_roundtrip_small_forced():
+    """CDF-5 (PnetCDF 64-bit extension of the Unidata classic spec):
+    a forced-v5 container round-trips bit-identically through the same
+    decode path — every NON_NEG field widened to i64."""
+    t = dict(image_id="img000000000007", arr=np.arange(6, dtype=np.float32).reshape(2, 3),
+             x_origin=1.0, y_origin=2.0, cell_width=0.5, cell_height=-0.5,
+             crs="EPSG:3035")
+    blob = nc.encode_nc([t], version=5)
+    assert blob[:4] == b"CDF\x05"
+    back = nc.decode_nc(blob)[0]
+    assert back["image_id"] == t["image_id"] and back["crs"] == "EPSG:3035"
+    np.testing.assert_array_equal(back["arr"], t["arr"])
+    # and the auto-pick stays CDF-2 for small data
+    assert nc.encode_nc([t])[:4] == b"CDF\x02"
+
+
+@given(st.integers(24_000, 80_000), st.integers(24_000, 80_000),
+       st.integers(1, 7))
+@settings(max_examples=25, deadline=None)
+def test_nc_cdf5_big_vsize_header_property(h, w, n):
+    """VERDICT r04 #9 'done' criterion: a >2 GiB-vsize variable (a
+    10⁹-pixel group) round-trips through the CDF-5 header — built and
+    parsed header-only, no gigabyte allocation. vsize must exceed the
+    i32 bound and survive as i64."""
+    vsize = n * h * w * 4
+    assume(vsize > nc.VSIZE_MAX)
+    dims = [("n0", n), ("y0", h), ("x0", w)]
+    vars_ = [{"name": "data0", "type": nc.NC_FLOAT, "dimids": [0, 1, 2],
+              "shape": (n, h, w), "vsize": vsize, "begin": 4321}]
+    hdr = nc.parse_header(nc._build_header(dims, vars_, 5, with_begins=True))
+    v = hdr["vars"]["data0"]
+    assert hdr["version"] == 5
+    assert v["vsize"] == vsize > 2**31 - 1
+    assert v["begin"] == 4321
+    assert v["shape"] == (n, h, w)
+
+
+def test_nc_header_truncation_detected():
+    """ADVICE r04: a read window that ends inside the header raises the
+    typed HeaderTruncated (so the loader can grow the window), never an
+    opaque struct.error."""
+    t = dict(image_id="img000000000001", arr=np.ones((4, 4), np.float32),
+             x_origin=0.0, y_origin=0.0, cell_width=1.0, cell_height=-1.0)
+    blob = nc.encode_nc([t])
+    for cut in (9, 24, 60, 100):
+        with pytest.raises(nc.HeaderTruncated):
+            nc.parse_header(blob[:cut])
