@@ -1596,13 +1596,15 @@ def _conv_py_oracle_sql(tiles: str, pixels: str, kind: str) -> str:
         f"            least(greatest(cast(floor(fc) as bigint) + ({i}), 0), w - 1) as cc_{_lbl(i)}"
         for i in taps
     )
-    v_cols = ",\n            ".join(
-        f"cast(p_{_lbl(i)}_{_lbl(j)}.value as double) as v_{_lbl(i)}_{_lbl(j)}"
-        for i in taps for j in taps
-    )
-    v_joins = "\n          ".join(
-        f"join {pixels} p_{_lbl(i)}_{_lbl(j)} on p_{_lbl(i)}_{_lbl(j)}.image_id = nb.image_id"
-        f" and p_{_lbl(i)}_{_lbl(j)}.prow = nb.rr_{_lbl(i)} and p_{_lbl(i)}_{_lbl(j)}.pcol = nb.cc_{_lbl(j)}"
+    # ONE pixels join per candidate + a conditional-aggregation pivot
+    # for the 36 (lanczos) / 16 (gauss) tap values — the per-tap-pair
+    # join form sent DuckDB's greedy join-order search into a >25 GB
+    # intermediate at 37 relations; this shape is one hash join and one
+    # group-by. Exactly one pixel row matches each (rr_i, cc_j), so
+    # max() just selects it (NaN included — one non-NULL input).
+    v_aggs = ",\n            ".join(
+        f"max(case when px.prow = nb.rr_{_lbl(i)} and px.pcol = nb.cc_{_lbl(j)} "
+        f"then cast(px.value as double) end) as v_{_lbl(i)}_{_lbl(j)}"
         for i in taps for j in taps
     )
     # numpy: row_acc += wc[b]·v (b ascending), num += wr[a]·row_acc
@@ -1642,10 +1644,12 @@ def _conv_py_oracle_sql(tiles: str, pixels: str, kind: str) -> str:
           where prow between 0 and h - 1 and pcol between 0 and w - 1
         ),
         v as (
-          select nb.image_id, nb.trow, nb.tcol, nb.dc, nb.dr,
-            {v_cols}
+          select nb.image_id, nb.trow, nb.tcol,
+            any_value(nb.dc) as dc, any_value(nb.dr) as dr,
+            {v_aggs}
           from nb
-          {v_joins}
+          join {pixels} px on px.image_id = nb.image_id
+          group by nb.image_id, nb.trow, nb.tcol
         ),
         b as (
           select image_id, trow, tcol, ({num}) / ({den}) as value from v
