@@ -196,6 +196,50 @@ def q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "w", "h", "x_origin", "y_origin", "n_pixels", "n_valid", "vsum")
 
 
+def q_netcdf_cdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-5 (PnetCDF 64-bit) variant of the NetCDF ingest round trip
+    (VERDICT r04 #9): raw tiles 150-299 sink as FORCED-v5 containers
+    (every NON_NEG header field i64 — the layout a >2 GiB-vsize
+    10⁹-pixel group requires) and re-ingest through the same
+    distributed (path, offset) index. Same oracle shape as
+    netcdf_roundtrip on the shifted id range: a hash match proves the
+    64-bit header codec end-to-end, not just in the unit tests."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.functions import netcdf3
+    from rasters_spark.tiles import open_tiles
+
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id >= 'img000000000150' and image_id < 'img000000000300'")
+    work = os.path.join(tempfile.gettempdir(),
+                        f"nc5-contract-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    netcdf3.save_netcdf_tiles(t.repartition(4), work, version=5)
+    back = open_tiles(spark, work)
+    s = stats.tile_stats(back)
+    geo = back.select("image_id", "w", "h", "x_origin", "y_origin")
+    return s.join(geo, "image_id").select(
+        "image_id", "w", "h", "x_origin", "y_origin", "n_pixels", "n_valid", "vsum")
+
+
+def q_pq_topk_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-query ADC over PQ codes (VERDICT r04 #3): the dedup-sweep
+    shape — raw query vectors broadcast once, LUTs built chunk-wise on
+    the executors (chunk=64 here, forcing the multi-chunk path), local
+    top-k with the total-order (adc, vec_id) tie-break. Rows-only: the
+    codebook means are float k-means with no SQL twin (CLAUDE.md
+    float-sum rule); identity with the interactive collect-path at 10⁴
+    queries and partitioning-independence are pinned in
+    tests/test_datapipe.py."""
+    e = _emb(spark, sf_dir)
+    books = similarity.pq_fit(e, m=8, k=64, iters=2)
+    codes = similarity.pq_encode(e, books)
+    return similarity.pq_topk_bulk(codes, e.filter("vec_id < 200"), books,
+                                   k=5, chunk=64)
+
+
 def q_tile_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_with_cells(load_tiles(spark, sf_dir)).select("image_id", "cell_id")
 
@@ -1318,74 +1362,22 @@ def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is a coverage lever: the driver's correctness gate
     certifies the first 50 entries each round (rotation policy in
-    CLAUDE.md). Round-4 head: the 29 entries the r03 driver did NOT
-    witness (registry positions 51-79 last round; all green in r01/r02
-    + the judge's own r03 gate run), the 11 new round-4 queries, and as
-    many r03-certified touched-kernel entries as fit the 50-window
-    (codec slice kernel extended for i32/b1; IVF assignment replanned;
-    dedup verify refactor; rastermath astype). Three touched entries
-    (tile_cell_assignment, knn_tiles, tile_windows_for_polygons —
-    load_tiles projection refactor only) overflow to position 51+ and
-    rotate into the r05 window with the rest of the tail. Every entry
-    stays green under tools/check_contract.py regardless of position."""
+    CLAUDE.md). Round-5 head (45 entries): mosaic_first/to_grid_average
+    first — ADVICE r04 flagged that they sat at positions 51-52 and
+    missed the r04 window — then the 38 tail entries whose newest
+    driver row is r03, then to_grid_lanczos/to_grid_gauss (rows-only in
+    r04, now carrying printf-quantized oracles that need a first
+    oracle-green driver row), point_sample_join_grouped (aggregate
+    resharded this round), and the two new round-5 entries
+    (netcdf_cdf5_roundtrip, pq_topk_bulk). The 47 r04-certified
+    entries sit at position 46+ and rotate back into the r06 head.
+    Every entry stays green under tools/check_contract.py regardless
+    of position."""
     return {
-        # -- r03-unwitnessed (positions 51-79 last round) — lead so
-        #    CORRECTNESS_r04 certifies them within the 2-round window --
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_sigs": q_simhash_sigs,
-        "doc_stats": q_doc_stats,
-        "langid": q_langid,
-        "doc_fingerprint": q_doc_fingerprint,
-        "cosine_topk": q_cosine_topk,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_features": q_media_features,
-        "local_utm": q_local_utm,
-        "pixel_centroids": q_pixel_centroids,
-        "latlon_matrices": q_latlon_matrices,
-        "tile_unique_values": q_tile_unique_values,
-        "bbox_accessors": q_bbox_accessors,
-        "swath_window": q_swath_window,
-        "swath_to_grid_nn": q_swath_to_grid_nn,
-        "to_grid_bilinear": q_to_grid_bilinear,
-        "to_grid_cubic": q_to_grid_cubic,
-        "to_grid_cubicspline": q_to_grid_cubicspline,
-        "to_grid_lanczos": q_to_grid_lanczos,
-        "to_grid_gauss": q_to_grid_gauss,
-        "to_grid_max": q_to_grid_max,
-        "to_grid_min": q_to_grid_min,
-        "to_grid_med": q_to_grid_med,
-        "to_grid_q1": q_to_grid_q1,
-        "to_grid_q3": q_to_grid_q3,
-        "to_grid_mode": q_to_grid_mode,
-        "to_geolocation_nn": q_to_geolocation_nn,
-        "cell_size_meters": q_cell_size_meters,
-        # -- new this round (round 4) -----------------------------------
-        "embedding_dup_groups": q_embedding_dup_groups,
-        "pq_adc_topk": q_pq_adc_topk,
-        "token_counts": q_token_counts,
-        "stream_xyz_pyramid": q_stream_xyz_pyramid,
-        "xyz_pyramid_stats": q_xyz_pyramid_stats,
-        "xyz_tile_assignment": q_xyz_tile_assignment,
-        "point_sample_join_grouped": q_point_sample_join_grouped,
-        "point_sample_join_i32": q_point_sample_join_i32,
-        "bool_mask_counts": q_bool_mask_counts,
-        "netcdf_roundtrip": q_netcdf_roundtrip,
-        "minhash_lsh_bucketed": q_minhash_lsh_bucketed,
-        # -- r03-certified, kernel touched this round -------------------
-        "ivf_topk": q_ivf_topk,
-        "point_sample_join": q_point_sample_join,
-        "stream_point_join": q_stream_point_join,
-        "tile_stats": q_tile_stats,
-        "raster_algebra": q_raster_algebra,
-        "trim_grid": q_trim_grid,
-        "dup_groups": q_dup_groups,
-        "exact_dedup": q_exact_dedup,
-        "stretch_params": q_stretch_params,
-        "merge_mean": q_merge_mean,
+        # -- missed the r04 window (ADVICE r04 #1: positions 51-52) -----
         "mosaic_first": q_mosaic_first,
         "to_grid_average": q_to_grid_average,
-        # ---- position 51+ from here: r03-certified (certify in r05) ----
+        # -- newest driver row r03 (r04 positions 52-90) ----------------
         "bias_correct": q_bias_correct,
         "linear_downscale": q_linear_downscale,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -1424,6 +1416,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_z_order": q_tile_z_order,
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         "audio_wav_features": q_audio_wav_features,
+        # -- newly oracled / kernel touched this round ------------------
+        "to_grid_lanczos": q_to_grid_lanczos,
+        "to_grid_gauss": q_to_grid_gauss,
+        "point_sample_join_grouped": q_point_sample_join_grouped,
+        # -- new this round (round 5) -----------------------------------
+        "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
+        "pq_topk_bulk": q_pq_topk_bulk,
+        # ---- position 46+ from here: r04-certified (certify in r06) ----
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_sigs": q_simhash_sigs,
+        "doc_stats": q_doc_stats,
+        "langid": q_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_features": q_media_features,
+        "local_utm": q_local_utm,
+        "pixel_centroids": q_pixel_centroids,
+        "latlon_matrices": q_latlon_matrices,
+        "tile_unique_values": q_tile_unique_values,
+        "bbox_accessors": q_bbox_accessors,
+        "swath_window": q_swath_window,
+        "swath_to_grid_nn": q_swath_to_grid_nn,
+        "to_grid_bilinear": q_to_grid_bilinear,
+        "to_grid_cubic": q_to_grid_cubic,
+        "to_grid_cubicspline": q_to_grid_cubicspline,
+        "to_grid_max": q_to_grid_max,
+        "to_grid_min": q_to_grid_min,
+        "to_grid_med": q_to_grid_med,
+        "to_grid_q1": q_to_grid_q1,
+        "to_grid_q3": q_to_grid_q3,
+        "to_grid_mode": q_to_grid_mode,
+        "to_geolocation_nn": q_to_geolocation_nn,
+        "cell_size_meters": q_cell_size_meters,
+        "embedding_dup_groups": q_embedding_dup_groups,
+        "pq_adc_topk": q_pq_adc_topk,
+        "token_counts": q_token_counts,
+        "stream_xyz_pyramid": q_stream_xyz_pyramid,
+        "xyz_pyramid_stats": q_xyz_pyramid_stats,
+        "xyz_tile_assignment": q_xyz_tile_assignment,
+        "point_sample_join_i32": q_point_sample_join_i32,
+        "bool_mask_counts": q_bool_mask_counts,
+        "netcdf_roundtrip": q_netcdf_roundtrip,
+        "minhash_lsh_bucketed": q_minhash_lsh_bucketed,
+        "ivf_topk": q_ivf_topk,
+        "point_sample_join": q_point_sample_join,
+        "stream_point_join": q_stream_point_join,
+        "tile_stats": q_tile_stats,
+        "raster_algebra": q_raster_algebra,
+        "trim_grid": q_trim_grid,
+        "dup_groups": q_dup_groups,
+        "exact_dedup": q_exact_dedup,
+        "stretch_params": q_stretch_params,
+        "merge_mean": q_merge_mean,
     }
 
 
@@ -1868,6 +1915,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(cast(px.value as double)) filter (not isnan(px.value)), 0.0) as vsum
             from {tiles} t join {pixels} px using (image_id)
             where t.fmt = 'raw' and t.image_id < 'img000000000150'
+            group by 1, 2, 3, 4, 5
+        """,
+        "netcdf_cdf5_roundtrip": f"""
+            select t.image_id, t.w, t.h, t.x_origin, t.y_origin,
+                   count(*) as n_pixels,
+                   count(*) filter (not isnan(px.value)) as n_valid,
+                   coalesce(sum(cast(px.value as double)) filter (not isnan(px.value)), 0.0) as vsum
+            from {tiles} t join {pixels} px using (image_id)
+            where t.fmt = 'raw' and t.image_id >= 'img000000000150'
+              and t.image_id < 'img000000000300'
             group by 1, 2, 3, 4, 5
         """,
         "bool_mask_counts": f"""

@@ -289,11 +289,12 @@ def decode_nc(blob: bytes) -> list[dict]:
 
 # --- Spark source / sink -------------------------------------------------------
 
-def save_netcdf_tiles(tiles_df, out_dir: str) -> int:
+def save_netcdf_tiles(tiles_df, out_dir: str, version: int | None = None) -> int:
     """Sink: one classic-NetCDF container PER PARTITION (the same
     no-driver-funnel shape as save_geopackage_tiles) — each executor
     task decodes its tiles and writes ``part-{pid}.nc``. Returns the
-    number of containers written."""
+    number of containers written. ``version``: None auto-picks CDF-2,
+    upgrading to CDF-5 on i32-vsize overflow; 5 forces CDF-5."""
     import pandas as pd
 
     from rasters_spark import codec
@@ -320,7 +321,7 @@ def save_netcdf_tiles(tiles_df, out_dir: str) -> int:
                     "crs": r.crs if has_crs else "EPSG:4326",
                 })
         if tiles:
-            Path(out_dir, f"part-{pid:05d}.nc").write_bytes(encode_nc(tiles))
+            Path(out_dir, f"part-{pid:05d}.nc").write_bytes(encode_nc(tiles, version))
             yield pd.DataFrame({"pid": [pid], "n_tiles": [len(tiles)]})
 
     res = tiles_df.select(*cols).mapInPandas(run, schema="pid int, n_tiles long")
