@@ -59,12 +59,31 @@ def main() -> None:
     tmp.mkdir(exist_ok=True)
     sys.path.insert(0, str(REPO))
     from rasters_spark import fixtures
+    from tools import host_probe
+
+    # VERDICT r04 #8: gate the rule run on the host's OWN 2→8
+    # raw-multiprocessing efficiency — a contended shared-VM window
+    # produced unusable runs C/D last round. Probe BEFORE (refuse
+    # early) and AFTER (the window can close mid-run); the rule grade
+    # keys on the worse of the two.
+    probe_pre = host_probe.probe()
+    print(f"host probe (pre-run 2→8 raw multiprocessing): {probe_pre}")
+    forced = os.environ.get("SPARK_GRAFT_FORCE_SCALING") == "1"
+    if probe_pre < host_probe.PROBE_MIN and not forced:
+        print(f"REFUSING rule run: host probe {probe_pre} < {host_probe.PROBE_MIN} "
+              "(contended window). Re-run when idle, or set "
+              "SPARK_GRAFT_FORCE_SCALING=1 to record a SKIPPED-for-the-rule run.")
+        sys.exit(3)
 
     fixtures.ensure_fixtures(sf_dir)  # generate once, not per submit
     pyfiles = make_pyfiles_zip(tmp)
     masters = os.environ.get(
         "SPARK_GRAFT_SCALING_MASTERS", "local[2],local[8],local[32]").split(",")
     runs = {m: run_at(m, pyfiles, sf_dir) for m in masters}
+    probe_post = host_probe.probe()
+    print(f"host probe (post-run): {probe_post}")
+    probe_min = min(probe_pre, probe_post)
+    rule_grade = probe_min >= host_probe.PROBE_MIN
     m_small, m_big = masters[0], masters[1]
     r_s, r_b = runs[m_small], runs[m_big]
     eff = r_s["total_sec"] / (4.0 * r_b["total_sec"])
@@ -78,9 +97,20 @@ def main() -> None:
         "n_tiles": r_b["n_tiles"],
         "runs": runs,
         "per_stage_efficiency": per_stage,
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
+        "rule_grade": rule_grade,
     }
     print(json.dumps(result))
 
+    grade_line = (
+        f"Host probe (2→8 raw multiprocessing, same hour): pre-run **{probe_pre}**, "
+        f"post-run **{probe_post}** — "
+        + ("**RULE-GRADE window** (both ≥ "
+           f"{host_probe.PROBE_MIN})." if rule_grade else
+           f"**SKIPPED FOR THE RULE** (contended host, min probe {probe_min} < "
+           f"{host_probe.PROBE_MIN}; times recorded for trend only).")
+    )
     lines = [
         "# BENCH — scaling-efficiency evidence (north rule)",
         "",
@@ -89,6 +119,8 @@ def main() -> None:
         f"each of {', '.join(masters)} (fresh JVM each) on the same",
         f"input ({r_b['n_tiles']} tiles, {sf_dir}), {r_s['repeats']} timed repeats per stage",
         "after a warmup pass (per-stage time = min over repeats).",
+        "",
+        grade_line,
         "",
         "| stage | " + " | ".join(f"{m} sec" for m in masters) + f" | eff {m_small}→{m_big} |",
         "|---" * (len(masters) + 2) + "|",
