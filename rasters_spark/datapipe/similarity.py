@@ -457,7 +457,9 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     ``nlist``/``nprobe``: pass None to derive both from ``corpus_size``
     via ``ivf_params`` (√N lists, √nlist probes — probed fraction
     shrinks as N^(-1/4)); ``corpus_size`` falls back to a count() only
-    when needed, so callers with table stats avoid the extra pass."""
+    when needed — callers should pass
+    ``tableio.parquet_row_count(dir)`` (footer-only, no Spark job;
+    pinned by tests/test_datapipe.py::test_ivf_hint_no_count)."""
     if nlist is None or nprobe is None:
         if corpus_size is None:
             corpus_size = embeddings.count()

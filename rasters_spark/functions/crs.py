@@ -355,6 +355,108 @@ def _proj4_param(c: str, key: str, default: float) -> float:
     return float(c.split(f"+{key}=")[1].split()[0]) if f"+{key}=" in c else default
 
 
+def _geos_forward(lon, lat, p):
+    """Geostationary projection forward (the GOES-R ABI fixed grid /
+    MSG SEVIRI view geometry — public CGMS LRIT/HRIT and GOES-R PUG
+    §5.1.2 math). The satellite at height H from the ellipsoid center
+    over lon_0 sees the surface point along the sight vector s:
+
+      φc = arctan((r_pol²/r_eq²)·tanφ)          (geocentric latitude)
+      r_c = r_pol/√(1 − e²·cos²φc)
+      s = (H − r_c·cosφc·cosΔλ, −r_c·cosφc·sinΔλ, r_c·sinφc)
+
+    sweep=x (GOES): x = h·arcsin(−s_y/‖s‖), y = h·arctan(s_z/s_x);
+    sweep=y (MSG):  x = h·arctan(−s_y/s_x), y = h·arcsin(s_z/‖s‖).
+    Points beyond the visible disk (H·(H−s_x) < s_y² + (r_eq²/r_pol²)
+    ·s_z²) → NaN. Map units are metres: scan angle × h (the proj4
+    +proj=geos convention)."""
+    req, rpol, H, h = p["req"], p["rpol"], p["H"], p["h"]
+    e2 = 1.0 - (rpol / req) ** 2
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    phic = np.arctan((rpol * rpol) / (req * req) * np.tan(phi))
+    rc = rpol / np.sqrt(1.0 - e2 * np.cos(phic) ** 2)
+    sx = H - rc * np.cos(phic) * np.cos(dlam)
+    sy = -rc * np.cos(phic) * np.sin(dlam)
+    sz = rc * np.sin(phic)
+    visible = H * (H - sx) >= sy * sy + (req * req) / (rpol * rpol) * sz * sz
+    sn = np.sqrt(sx * sx + sy * sy + sz * sz)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if p["sweep"] == "x":
+            x = h * np.arcsin(-sy / sn)
+            y = h * np.arctan(sz / sx)
+        else:
+            x = h * np.arctan(-sy / sx)
+            y = h * np.arcsin(sz / sn)
+    x = np.where(visible, x, np.nan)
+    y = np.where(visible, y, np.nan)
+    return x + p["x0"], y + p["y0"]
+
+
+def _geos_inverse(x, y, p):
+    """GOES-R PUG §5.1.2.8.2: intersect the sight ray with the
+    ellipsoid — quadratic in the slant range r_s; discriminant < 0 →
+    off-disk → NaN."""
+    req, rpol, H, h = p["req"], p["rpol"], p["H"], p["h"]
+    xs = (np.asarray(x, np.float64) - p["x0"]) / h
+    ys = (np.asarray(y, np.float64) - p["y0"]) / h
+    sin_x, cos_x = np.sin(xs), np.cos(xs)
+    sin_y, cos_y = np.sin(ys), np.cos(ys)
+    # sight direction (u, v, w) with surface point (H − r_s·u, −(−r_s·v)
+    # …) on the ellipsoid: r_s²(u² + v² + (req²/rpol²)w²) − 2H·u·r_s +
+    # H² − req² = 0 — the PUG quadratic, generalized to both sweeps
+    if p["sweep"] == "x":
+        u, v, w = cos_x * cos_y, sin_x, cos_x * sin_y
+    else:
+        u, v, w = cos_y * cos_x, cos_y * sin_x, sin_y
+    aq = u * u + v * v + (req * req) / (rpol * rpol) * w * w
+    bq = -2.0 * H * u
+    cq = H * H - req * req
+    with np.errstate(invalid="ignore"):
+        rs = (-bq - np.sqrt(bq * bq - 4.0 * aq * cq)) / (2.0 * aq)
+    sx = rs * u
+    sy = -rs * v
+    sz = rs * w
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lat = np.degrees(np.arctan(
+            (req * req) / (rpol * rpol) * sz / np.sqrt((H - sx) ** 2 + sy * sy)))
+        lon = p["lon0"] - np.degrees(np.arctan(sy / (H - sx)))
+    return lon, lat
+
+
+def _ortho_forward(lon, lat, p):
+    """Spherical orthographic (Snyder PP 1395 §20, eq. 20-3/20-4):
+    x = R·cosφ·sinΔλ, y = R·(cosφ1·sinφ − sinφ1·cosφ·cosΔλ); the far
+    hemisphere (cos c = sinφ1·sinφ + cosφ1·cosφ·cosΔλ < 0) → NaN."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    phi1, r = np.radians(p["lat0"]), p["r"]
+    cosc = np.sin(phi1) * np.sin(phi) + np.cos(phi1) * np.cos(phi) * np.cos(dlam)
+    x = r * np.cos(phi) * np.sin(dlam)
+    y = r * (np.cos(phi1) * np.sin(phi) - np.sin(phi1) * np.cos(phi) * np.cos(dlam))
+    bad = cosc < 0
+    return (np.where(bad, np.nan, x) + p["x0"],
+            np.where(bad, np.nan, y) + p["y0"])
+
+
+def _ortho_inverse(x, y, p):
+    """Snyder §20 inverse (eq. 20-14..20-17 with c = arcsin(ρ/R)):
+    ρ > R (outside the disk) → NaN; ρ = 0 → the center."""
+    phi1, lam0, r = np.radians(p["lat0"]), p["lon0"], p["r"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = np.asarray(y, np.float64) - p["y0"]
+    rho = np.hypot(xx, yy)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c = np.arcsin(rho / r)  # NaN outside the disk — propagates
+        phi = np.where(rho == 0, phi1,
+                       np.arcsin(np.cos(c) * np.sin(phi1)
+                                 + yy * np.sin(c) * np.cos(phi1)
+                                 / np.where(rho == 0, 1.0, rho)))
+        lam = np.arctan2(xx * np.sin(c),
+                         rho * np.cos(phi1) * np.cos(c) - yy * np.sin(phi1) * np.sin(c))
+    return lam0 + np.degrees(lam), np.degrees(phi)
+
+
 def _moll_forward(lon, lat, p):
     """Spherical Mollweide (Snyder PP 1395 §31): solve
     2θ + sin 2θ = π·sinφ (Newton, eq. 31-5), then x = (2√2/π)·R·Δλ·cosθ
@@ -745,6 +847,29 @@ def _parse_crs(crs: str) -> dict:
         return {"kind": "lcc", "lon0": _proj4_param(c, "lon_0", 0.0),
                 "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
                 "r": r, "n": float(n), "F": float(Fc), "rho0": float(rho0)}
+    if "+proj=geos" in c:
+        # GOES-R / MSG view geometry: +h is satellite height above the
+        # ellipsoid SURFACE (proj4 convention) → H = h + r_eq from
+        # center; sweep=x is the GOES fixed-grid convention, sweep=y
+        # the MSG one. Ellipsoid from +ellps/+datum (default GRS80 —
+        # the GOES-R PUG constants).
+        ell = _crs_ellipsoid(c) or _ELLPS["GRS80"]
+        req, e2 = ell
+        rpol = req * float(np.sqrt(1.0 - e2))
+        h = _proj4_param(c, "h", 35786023.0)
+        sweep = c.split("+sweep=")[1].split()[0] if "+sweep=" in c else "y"
+        if sweep not in ("x", "y"):
+            raise ValueError(f"geos sweep must be x or y: {crs!r}")
+        return {"kind": "geos", "req": req, "rpol": rpol, "h": h,
+                "H": h + req, "sweep": sweep,
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0)}
+    if "+proj=ortho" in c:
+        return {"kind": "ortho",
+                "lat0": _proj4_param(c, "lat_0", 0.0),
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+                "r": _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))}
     if c.upper() in _EPSG_LAEA:
         c = _EPSG_LAEA[c.upper()]
     if "+proj=laea" in c:
@@ -757,9 +882,11 @@ def _parse_crs(crs: str) -> dict:
                 "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
                 "r": _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))}
     raise ValueError(
-        f"unsupported CRS: {crs!r} (supported: EPSG:4326, UTM, AEQD, sinusoidal, "
-        f"Albers equal-area conic, Lambert conformal conic, Lambert azimuthal equal-area, "
-        f"polar stereographic EPSG:3413/3031 / +proj=stere lat_0=±90)")
+        f"unsupported CRS: {crs!r} (supported families: EPSG:4326, UTM, AEQD, "
+        f"sinusoidal, Albers equal-area conic, Lambert conformal conic, Lambert "
+        f"azimuthal equal-area (spherical + ellipsoidal: EPSG:3035/6931/6932), "
+        f"polar stereographic EPSG:3413/3031/3995 / +proj=stere lat_0=±90, "
+        f"Web Mercator, Mollweide, geostationary +proj=geos, orthographic)")
 
 
 def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
@@ -782,6 +909,10 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _laea_inverse(x, y, s)
     elif s["kind"] == "elaea":
         lon, lat = _elaea_inverse(x, y, s)
+    elif s["kind"] == "geos":
+        lon, lat = _geos_inverse(x, y, s)
+    elif s["kind"] == "ortho":
+        lon, lat = _ortho_inverse(x, y, s)
     elif s["kind"] == "ps":
         lon, lat = _ps_inverse(x, y, s)
     elif s["kind"] == "webmerc":
@@ -815,6 +946,10 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _laea_forward(lon, lat, d)
     if d["kind"] == "elaea":
         return _elaea_forward(lon, lat, d)
+    if d["kind"] == "geos":
+        return _geos_forward(lon, lat, d)
+    if d["kind"] == "ortho":
+        return _ortho_forward(lon, lat, d)
     if d["kind"] == "ps":
         return _ps_forward(lon, lat, d)
     if d["kind"] == "webmerc":

@@ -690,3 +690,67 @@ def test_webmerc_pole_is_inf_not_nan():
                              "EPSG:4326", "EPSG:3857")
     assert y[0] == np.inf and y[1] == -np.inf
     assert y[2] == np.inf  # beyond-pole input clamps the same way
+
+
+def test_transform_geostationary_goes_and_msg():
+    """Geostationary view geometry (+proj=geos — GOES-R ABI fixed grid
+    sweep=x / MSG SEVIRI sweep=y; public GOES-R PUG §5.1.2 math):
+    sub-satellite anchor, the PUG's published worked example, exact
+    round trips over the visible disk, off-disk → NaN."""
+    goes = "+proj=geos +h=35786023 +lon_0=-75 +sweep=x +ellps=GRS80"
+    # sub-satellite point maps to the grid origin
+    x, y = C.transform_xy_np(np.array([-75.0]), np.array([0.0]), "EPSG:4326", goes)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    # GOES-R PUG worked example (§5.1.2.8.1): 33.846162°N 84.690932°W
+    # → scan angles x=−0.024052, y=0.095340 rad (map = angle·h)
+    h = 35786023.0
+    x, y = C.transform_xy_np(np.array([-84.690932]), np.array([33.846162]),
+                             "EPSG:4326", goes)
+    assert x[0] / h == pytest.approx(-0.024052, abs=5e-7)
+    assert y[0] / h == pytest.approx(0.095340, abs=5e-7)
+    # round trips across the visible disk
+    lon = np.array([-75.0, -100.0, -40.0, -84.690932])
+    lat = np.array([0.0, 35.0, -45.0, 33.846162])
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", goes)
+    l2, p2 = C.transform_xy_np(px, py, goes, "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-9)
+    # the far side of the planet is not visible
+    ox, oy = C.transform_xy_np(np.array([100.0]), np.array([0.0]), "EPSG:4326", goes)
+    assert np.isnan(ox[0]) and np.isnan(oy[0])
+    # MSG convention: sweep=y default, lon_0=0
+    msg = "+proj=geos +h=35785831 +lon_0=0"
+    lon = np.array([10.0, -20.0, 40.0])
+    lat = np.array([48.0, -30.0, 5.0])
+    mx, my = C.transform_xy_np(lon, lat, "EPSG:4326", msg)
+    l3, p3 = C.transform_xy_np(mx, my, msg, "EPSG:4326")
+    np.testing.assert_allclose(l3, lon, atol=1e-9)
+    np.testing.assert_allclose(p3, lat, atol=1e-9)
+    # sweep matters: same point, different scan order → different map xy
+    gx, gy = C.transform_xy_np(np.array([10.0]), np.array([48.0]),
+                               "EPSG:4326", msg.replace("+lon_0=0", "+lon_0=0 +sweep=x"))
+    assert abs(gx[0] - mx[0]) > 100.0 or abs(gy[0] - my[0]) > 100.0
+
+
+def test_transform_orthographic():
+    """Spherical orthographic (Snyder §20): center anchor, pinned
+    forward against the transcribed closed form, round trip, far
+    hemisphere → NaN, disk edge ρ=R."""
+    ortho = "+proj=ortho +lat_0=40 +lon_0=-100 +R=6371000"
+    x, y = C.transform_xy_np(np.array([-100.0]), np.array([40.0]), "EPSG:4326", ortho)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    lon = np.array([-110.0, -80.0, -100.0, -130.0])
+    lat = np.array([30.0, 55.0, -10.0, 42.0])
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", ortho)
+    R, p0 = 6371000.0, np.radians(40.0)
+    phi, dl = np.radians(lat), np.radians(lon + 100.0)
+    np.testing.assert_allclose(px, R * np.cos(phi) * np.sin(dl), rtol=1e-13, atol=1e-6)
+    np.testing.assert_allclose(
+        py, R * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(dl)),
+        rtol=1e-13, atol=1e-6)
+    l2, p2 = C.transform_xy_np(px, py, ortho, "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-8)
+    np.testing.assert_allclose(p2, lat, atol=1e-8)
+    # antipodal hemisphere hidden
+    hx, hy = C.transform_xy_np(np.array([80.0]), np.array([-40.0]), "EPSG:4326", ortho)
+    assert np.isnan(hx[0]) and np.isnan(hy[0])
