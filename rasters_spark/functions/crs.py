@@ -742,8 +742,19 @@ def _parse_stere(c: str, orig: str) -> dict:
 
 def _parse_crs(crs: str) -> dict:
     c = crs.strip()
-    if c in GEOGRAPHIC_CRS:
+    # any WGS84 longlat spelling is plain geographic: the canonical
+    # tuple, case-insensitive EPSG:4326, OGC:CRS84 (axis order is
+    # lon/lat here either way), or any +proj=longlat WGS84 variant
+    if c in GEOGRAPHIC_CRS or c.upper() in ("EPSG:4326", "OGC:CRS84", "CRS84", "WGS84"):
         return {"kind": "geographic"}
+    if "+proj=longlat" in c:
+        rest = [t for t in c.split()
+                if t not in ("+proj=longlat", "+no_defs", "+type=crs",
+                             "+datum=WGS84", "+ellps=WGS84")]
+        if not rest:
+            return {"kind": "geographic"}
+        raise ValueError(f"unsupported longlat datum/params: {crs!r} "
+                         "(only WGS84 geographic is supported)")
     if c.upper() in ("EPSG:3857", "EPSG:900913") or "+proj=webmerc" in c:
         return {"kind": "webmerc"}
     if "+proj=moll" in c:
