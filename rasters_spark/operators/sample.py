@@ -154,7 +154,8 @@ MAX_SHARDS = 64
 
 
 def _sharded_tile_agg(skinny: DataFrame, keep: list[str], payload: DataFrame,
-                      shard_target: int, max_shards: int):
+                      shard_target: int, max_shards: int,
+                      tile_counts: DataFrame | None = None):
     """Adaptive hot-tile salting for the per-tile cogroup aggregates
     (VERDICT r04 weak #1). Returns ``(agg, payload2)`` joinable on
     ``payload2["_img"] == agg["_aimg"]``.
@@ -166,12 +167,21 @@ def _sharded_tile_agg(skinny: DataFrame, keep: list[str], payload: DataFrame,
     aggregate groups on (image_id, _shard), and the payload side fans
     out one row per shard (``explode(sequence)`` on the STREAMED side
     of a broadcast join — CLAUDE.md fanout rule), with the shard id
-    folded into the ``_img`` join key. Sampling is per-point
-    independent, so sharding never changes results — only how many
-    aggregate rows (and kernel tasks) a hot tile spreads over. A cold
-    tile (n ≤ shard_target) keeps _ns=1: no payload fanout, no extra
-    kernel rows. The shard key hashes the point identity columns
-    (deterministic murmur), never a random.
+    folded into the string ``_img``/``_aimg`` join key so the final
+    join's partitioning spreads a hot tile's shards across tasks.
+    Sampling is per-point independent, so sharding never changes
+    results — only how many aggregate rows (and kernel tasks) a hot
+    tile spreads over. A cold tile (n ≤ shard_target) keeps _ns=1: no
+    payload fanout, no extra kernel rows. The shard key hashes the
+    point identity columns (deterministic murmur), never a random.
+
+    Cost (measured, tools/bench_skew_grouped.py): the counts branch is
+    ONE extra pass over the pair-index lineage (column-pruned to
+    image_id on relational sources) — hot-tile workloads gain 2.05×,
+    uniform workloads pay the extra pass. Callers that already
+    materialize the pair index (persist/checkpoint) or keep per-tile
+    match counts as table stats should pass ``tile_counts``
+    (image_id, n) to skip the internal branch entirely.
 
     Scale boundary (documented): ``counts`` is one slim int row per
     MATCHED tile and broadcasts so neither the skinny index rows nor
@@ -183,11 +193,12 @@ def _sharded_tile_agg(skinny: DataFrame, keep: list[str], payload: DataFrame,
     if max_shards <= 1:
         agg = skinny.groupBy(F.col("image_id").alias("_aimg")).agg(structs)
         return agg, payload
-    counts = (skinny.groupBy("image_id")
-              .agg(F.count(F.lit(1)).alias("_n"))
+    if tile_counts is None:
+        tile_counts = skinny.groupBy("image_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = (tile_counts
               .withColumn("_ns", F.least(
                   F.lit(max_shards),
-                  F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(float(shard_target))))
+                  F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(float(shard_target))))
               ).cast("int"))
               .select(F.col("image_id").alias("_cimg"), "_ns"))
     counts = F.broadcast(counts)
@@ -207,7 +218,8 @@ def _sharded_tile_agg(skinny: DataFrame, keep: list[str], payload: DataFrame,
 def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
                value_name: str = "value", power: float = 2.0,
                shard_target: int = SHARD_TARGET,
-               max_shards: int = MAX_SHARDS) -> DataFrame:
+               max_shards: int = MAX_SHARDS,
+               tile_counts: DataFrame | None = None) -> DataFrame:
     """IDW sampling with per-tile grouped decode (VERDICT r02 #2).
 
     IDW legitimately needs every pixel of the matched tile
@@ -262,7 +274,7 @@ def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
     skinny = joined.drop("bytes")
     out_cols = list(skinny.columns)
     agg, payload = _sharded_tile_agg(skinny, out_cols, payload,
-                                     shard_target, max_shards)
+                                     shard_target, max_shards, tile_counts)
     withp = payload.join(agg, payload["_img"] == agg["_aimg"]).drop("_img", "_aimg")
     # list() copy: StructType.add mutates in place
     out_schema = StructType(
@@ -303,7 +315,8 @@ def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
 def sample_nearest_grouped(joined: DataFrame, tiles: DataFrame,
                            value_name: str = "value",
                            shard_target: int = SHARD_TARGET,
-                           max_shards: int = MAX_SHARDS) -> DataFrame:
+                           max_shards: int = MAX_SHARDS,
+                           tile_counts: DataFrame | None = None) -> DataFrame:
     """Nearest sampling for a HUGE point side — the same cogroup shape
     as sample_idw, specialized to O(1) pixel reads.
 
@@ -339,7 +352,7 @@ def sample_nearest_grouped(joined: DataFrame, tiles: DataFrame,
                          "x_origin", "y_origin", "cell_width", "cell_height", "crs")]
     skinny = joined.select(*keep)
     agg, payload = _sharded_tile_agg(skinny, keep, payload,
-                                     shard_target, max_shards)
+                                     shard_target, max_shards, tile_counts)
     withp = payload.join(agg, payload["_img"] == agg["_aimg"]).drop("_img", "_aimg")
     out_cols = keep + [c for c in ("caption",) if c in tiles.columns]
     out_schema = StructType(

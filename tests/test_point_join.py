@@ -241,3 +241,28 @@ def test_grouped_hot_tile_shards_spread_and_match(spark):
     assert len(sizes) > len(per_tile)
     # no aggregate row reaches the hottest tile's full match count
     assert sizes["n"].max() < per_tile["count"].max()
+
+
+def test_grouped_tile_counts_override_identical(spark):
+    """The tile_counts hint skips the internal counts pass; supplied
+    counts — even deliberately WRONG (2× over-estimated) ones — never
+    change results, only shard balance (the shard key is value-derived,
+    counts only size _ns)."""
+    tiles = load_tiles(spark, SF)
+    pts = load_points(spark, SF)
+    idx = point_join.point_in_tile_join(pts, tiles, payload_cols=())
+    counts = idx.groupBy("image_id").agg(F.count(F.lit(1)).alias("n"))
+    cols = ["point_id", "image_id", "prow", "pcol", "value"]
+
+    def run(**kw):
+        return (sample.sample_nearest_grouped(idx, tiles, shard_target=50,
+                                              max_shards=8, **kw)
+                .select(*cols).toPandas()
+                .sort_values(["point_id", "image_id"]).reset_index(drop=True))
+
+    a = run()
+    b = run(tile_counts=counts)
+    c = run(tile_counts=counts.withColumn("n", F.col("n") * 2))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    pd.testing.assert_frame_equal(a, c, check_exact=True)

@@ -30,7 +30,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_POINTS = int(os.environ.get("SKEW_POINTS", "2000000"))
-HOT_FRAC = 0.3
+# HOT_FRAC=0 measures the UNIFORM case: what the adaptive salt costs
+# when no tile is hot (every _ns=1 — only the counts branch remains)
+HOT_FRAC = float(os.environ.get("SKEW_HOT_FRAC", "0.3"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
