@@ -754,3 +754,20 @@ def test_transform_orthographic():
     # antipodal hemisphere hidden
     hx, hy = C.transform_xy_np(np.array([80.0]), np.array([-40.0]), "EPSG:4326", ortho)
     assert np.isnan(hx[0]) and np.isnan(hy[0])
+
+
+def test_transform_xy_kernel_new_families(spark):
+    """The struct-returning Spark kernel routes the round-5 families
+    (ellipsoidal LAEA, geostationary, orthographic) identically to the
+    numpy path — grouped per (src, dst) pair inside one Arrow batch."""
+    rows = [(1, 10.0, 52.0, "EPSG:4326", "EPSG:3035"),
+            (2, -84.690932, 33.846162, "EPSG:4326",
+             "+proj=geos +h=35786023 +lon_0=-75 +sweep=x +ellps=GRS80"),
+            (3, -110.0, 30.0, "EPSG:4326", "+proj=ortho +lat_0=40 +lon_0=-100 +R=6371000")]
+    df = spark.createDataFrame(rows, "id long, x double, y double, crs string, dst string")
+    got = {r.id: (r.x_t, r.y_t)
+           for r in C.transform_xy(df, src="crs", dst="dst").collect()}
+    for rid, x, y, src, dst in rows:
+        ex, ey = C.transform_xy_np(np.array([x]), np.array([y]), src, dst)
+        assert got[rid][0] == pytest.approx(ex[0], abs=1e-9)
+        assert got[rid][1] == pytest.approx(ey[0], abs=1e-9)
