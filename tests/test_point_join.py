@@ -235,8 +235,8 @@ def test_grouped_hot_tile_shards_spread_and_match(spark):
             if c not in ("bytes", "w", "h", "fmt", "grid", "bbox", "caption", "phash",
                          "x_origin", "y_origin", "cell_width", "cell_height", "crs")]
     payload = tiles.select(F.col("image_id").alias("_img"), "bytes", "w", "h", "fmt")
-    agg, _ = sample._sharded_tile_agg(idx.select(*keep), keep, payload, 50, 8)
-    sizes = agg.select(F.col("_aimg"), F.size("_rows").alias("n")).toPandas()
+    withp = sample._sharded_tile_agg(idx.select(*keep), keep, payload, 50, 8)
+    sizes = withp.select(F.size("_rows").alias("n")).toPandas()
     # more aggregate rows than matched tiles → at least one tile sharded
     assert len(sizes) > len(per_tile)
     # no aggregate row reaches the hottest tile's full match count

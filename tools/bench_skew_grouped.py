@@ -84,11 +84,16 @@ def main():
 
     probe_pre = host_probe.probe()
     fixtures.ensure_fixtures(SF_DIR)
-    spark = get_spark("bench-skew-grouped", master="local[8]", shuffle_partitions=8)
+    spark = get_spark("bench-skew-grouped", master="local[8]",
+                  shuffle_partitions=int(os.environ.get("SKEW_SHUFFLE_PARTITIONS", "8")))
     tiles = load_tiles(spark, SF_DIR).localCheckpoint(eager=True)
     pts = build_points(spark, tiles).localCheckpoint(eager=True)
-    idx = point_join.point_in_tile_join(pts, tiles, payload_cols=()) \
-        .localCheckpoint(eager=True)  # A/B times the grouped AGGREGATE+KERNEL only
+    idx = point_join.point_in_tile_join(pts, tiles, payload_cols=())
+    if os.environ.get("SKEW_CHECKPOINT", "1") == "1":
+        # A/B times the grouped AGGREGATE+KERNEL only; disable for the
+        # OOM-boundary runs (the checkpoint materialization itself OOMs
+        # before the variant under test does at ≥5M pairs on 4g)
+        idx = idx.localCheckpoint(eager=True)
     n_pairs = idx.count()
 
     def run(**kw):
@@ -98,19 +103,33 @@ def main():
         force(out)
         return round(time.time() - t0, 3)
 
-    run(max_shards=1)  # warm pool/codegen, untimed
-    t_unsalted = min(run(max_shards=1), run(max_shards=1))
-    t_sharded = min(run(shard_target=8192, max_shards=64),
-                    run(shard_target=8192, max_shards=64))
     out = {
         "n_tiles": tiles.count(), "n_points": N_POINTS, "n_pairs": n_pairs,
         "hot_frac": HOT_FRAC, "master": "local[8]",
-        "unsalted_grouped_s": t_unsalted,
-        "sharded_grouped_s": t_sharded,
-        "sharded_speedup": round(t_unsalted / t_sharded, 2),
         "host_probe_pre": probe_pre,
-        "host_probe_post": host_probe.probe(),
     }
+    variant = os.environ.get("SKEW_VARIANT", "both")
+    if variant == "both":
+        run(max_shards=1)  # warm pool/codegen, untimed
+        # INTERLEAVED A/B/A/B so a host-contention window hits both
+        # variants equally (a sequential AABB once mis-attributed a 2×
+        # difference to the variant when it was the window)
+        us, sh = [], []
+        for _ in range(3):
+            us.append(run(max_shards=1))
+            sh.append(run())  # ships defaults
+        out["unsalted_grouped_s"] = min(us)
+        out["sharded_grouped_s"] = min(sh)
+        out["sharded_speedup"] = round(min(us) / min(sh), 2)
+    else:
+        # single-variant mode for the OOM-boundary demonstration: an
+        # executor OOM kills the local JVM, so each variant gets its
+        # own process (an unsalted hot row that exceeds the heap must
+        # not take the sharded measurement down with it)
+        kw = {"max_shards": 1} if variant == "unsalted" else {}
+        run(**kw)
+        out[f"{variant}_grouped_s"] = min(run(**kw), run(**kw))
+    out["host_probe_post"] = host_probe.probe()
     print(json.dumps(out))
 
 
