@@ -224,6 +224,37 @@ def q_netcdf_cdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "w", "h", "x_origin", "y_origin", "n_pixels", "n_valid", "vsum")
 
 
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup filtering at ingest (round 5): the
+    documents table split into 3 files drains availableNow; each
+    micro-batch MinHash-bands its docs, probes the disk-backed band
+    -table state (TableIO snapshots, never recomputed from text),
+    exact-Jaccard-verifies candidates, and commits (doc_id, dup_of, j)
+    partials exactly-once. A pair is evaluated exactly once (in the
+    later doc's batch), so the final per-doc min reduce equals the
+    batch answer — the oracle is the exact-Jaccard pair set grouped
+    per doc (complete LSH recall on the fixtures, as for
+    minhash_lsh_pairs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.streaming import stream_minhash_dedup_available_now
+    from rasters_spark.tableio import TableIO
+
+    work = os.path.join(tempfile.gettempdir(),
+                        f"stream-dedup-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "in")
+    _docs(spark, sf_dir).select("doc_id", "text").repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    return stream_minhash_dedup_available_now(
+        spark, src, TableIO(os.path.join(work, "out")),
+        TableIO(os.path.join(work, "docs_state")),
+        TableIO(os.path.join(work, "bands_state")),
+        os.path.join(work, "ckpt"))
+
+
 def q_pq_topk_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk-query ADC over PQ codes (VERDICT r04 #3): the dedup-sweep
     shape — raw query vectors broadcast once, LUTs built chunk-wise on
@@ -1423,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (round 5) -----------------------------------
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
         # ---- position 46+ from here: r04-certified (certify in r06) ----
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_sigs": q_simhash_sigs,
@@ -2238,6 +2270,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_dedup_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _JACCARD_SQL,
+        # streaming incremental dedup: pair (a<b) evaluated exactly once
+        # (in the later doc's micro-batch) → per-doc min reduce equals
+        # the batch exact-Jaccard answer; same recall license as
+        # minhash_lsh_pairs
+        "stream_minhash_dedup": f"""
+            select doc_b as doc_id, min(doc_a) as dup_of,
+                   arg_min(j, doc_a) as j
+            from ( {_JACCARD_SQL} ) pairs
+            group by doc_b
+        """,
         "minhash_lsh_bucketed": _JACCARD_SQL,
         "audio_wav_features": """
             with d as (select doc_id from documents where doc_id < 100),

@@ -239,3 +239,103 @@ def ingest_available_now(
     )
     q.awaitTermination()
     return len([s for s in table.snapshots() if s["operation"] == "stream-append"])
+
+
+def stream_minhash_dedup_available_now(
+    spark: SparkSession,
+    docs_path: str,
+    table: TableIO,
+    state_docs: TableIO,
+    state_bands: TableIO,
+    checkpoint_dir: str,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    jaccard_k: int = 3,
+    threshold: float = 0.85,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """INCREMENTAL near-duplicate filtering at ingest — the streaming
+    face of the MinHash+LSH dedup family (datapipe/dedup.py): documents
+    arrive as a file stream; each micro-batch MinHash-bands its docs,
+    probes them against the DISK-BACKED state of everything seen so far
+    (the band table, appended per batch as TableIO snapshots and never
+    recomputed from text; texts re-attach only for matched candidate
+    ids — index-then-fetch. The state is a table, not executor memory,
+    so it scales to the 10^12-doc corpus, bucketed on (band, bucket)
+    at rest),
+    generates candidates (new⋈prior plus new⋈new within the batch),
+    verifies them with the EXACT k-gram Jaccard (dedup's
+    verify-then-emit rule — every emitted pair is exact), and commits
+    the verified (doc_id, dup_of, j) partials exactly-once.
+
+    A pair (a < b) is evaluated exactly once — in the micro-batch where
+    the LATER of the two arrives — so the final reduce (per doc: the
+    MINIMUM dup_of and that pair's j) is independent of arrival order
+    and equals the batch answer: the DuckDB oracle is the exact-Jaccard
+    pair set grouped per doc (complete LSH recall on the fixtures is
+    what licenses it, as for minhash_lsh_pairs).
+    → (doc_id, dup_of, j)."""
+    from rasters_spark.datapipe import dedup
+
+    schema = spark.read.parquet(docs_path).schema
+    ds = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(docs_path))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        new_docs = batch_df.dropDuplicates(["doc_id"]).select("doc_id", "text")
+        banded_new = dedup.minhash_band_table(new_docs, k, num_hashes, bands)
+        n_prior_snaps = len(state_bands.snapshots())
+        cand_parts = []
+        # in-batch pairs (both sides new)
+        a = banded_new.alias("a")
+        b = banded_new.alias("b")
+        cand_parts.append(
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")))
+        if n_prior_snaps:
+            # the signatures of everything seen so far come from the
+            # band-table STATE — never recomputed from text
+            banded_prior = state_bands.read(spark)
+            p = banded_prior.alias("p")
+            n = banded_new.alias("n")
+            # prior⋈new, smaller id first regardless of arrival order
+            pn = p.join(n, (F.col("p.band") == F.col("n.band"))
+                        & (F.col("p.bucket") == F.col("n.bucket"))
+                        & (F.col("p.doc_id") != F.col("n.doc_id")))
+            cand_parts.append(pn.select(
+                F.least("p.doc_id", "n.doc_id").alias("doc_a"),
+                F.greatest("p.doc_id", "n.doc_id").alias("doc_b")))
+        cand = cand_parts[0]
+        for c in cand_parts[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.distinct()
+        pool = new_docs if not n_prior_snaps else \
+            new_docs.unionByName(state_docs.read(spark).select("doc_id", "text"))
+        ids = (cand.select(F.col("doc_a").alias("doc_id"))
+               .unionByName(cand.select(F.col("doc_b").alias("doc_id"))).distinct())
+        verified = dedup._verify_candidates(
+            pool.join(ids, "doc_id", "left_semi"), cand, jaccard_k, threshold)
+        out = verified.select(F.col("doc_b").alias("doc_id"),
+                              F.col("doc_a").alias("dup_of"), "j")
+        table.write(out, operation="stream-dedup", job_id="minhash_dedup",
+                    chunk_id=f"batch-{batch_id}", inputs=[docs_path])
+        state_docs.write(new_docs, operation="stream-dedup-state",
+                         job_id="minhash_dedup", chunk_id=f"docs-{batch_id}")
+        state_bands.write(banded_new, operation="stream-dedup-state",
+                          job_id="minhash_dedup", chunk_id=f"bands-{batch_id}")
+
+    q = (
+        ds.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = table.read(spark)
+    # per doc: the minimum-id verified partner and that pair's jaccard
+    return rows.groupBy("doc_id").agg(
+        F.min("dup_of").alias("dup_of"), F.min_by("j", "dup_of").alias("j"))

@@ -274,3 +274,32 @@ def test_write_zordered_shrinks_rowgroup_spans(spark, tmp_path):
     assert zs < plain / 5
     # and the rewrite preserves the rows
     assert spark.read.parquet(zdir).count() == t.count()
+
+
+def test_stream_minhash_dedup_matches_batch_and_is_incremental(spark):
+    """Round-5 streaming dedup: the availableNow drain (1 file per
+    micro-batch, disk-backed band-table state) must equal the batch
+    exact-Jaccard answer reduced per doc, and must actually have run
+    incrementally (one output snapshot per micro-batch)."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from rasters_spark.datapipe import dedup
+    from rasters_spark.tableio import TableIO
+
+    sf = "/root/testdata/sf0.001"
+    got = (e.q_stream_minhash_dedup(spark, sf).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, 3, 0.85)
+    exp = (pairs.groupBy(F.col("doc_b").alias("doc_id"))
+           .agg(F.min("doc_a").alias("dup_of"), F.min_by("j", "doc_a").alias("j"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+    # incremental: 3 source files → 3 exactly-once output snapshots
+    import os
+    import tempfile
+    work = os.path.join(tempfile.gettempdir(), "stream-dedup-sf0.001")
+    snaps = TableIO(os.path.join(work, "out")).snapshots()
+    assert len([s for s in snaps if s["operation"] == "stream-dedup"]) == 3
