@@ -183,13 +183,13 @@ def _sharded_tile_agg(skinny: DataFrame, keep: list[str], payload: DataFrame,
     payload fanout, no extra kernel rows. The shard key hashes the
     point identity columns (deterministic murmur), never a random.
 
-    Cost (measured, tools/bench_skew_grouped.py): the counts branch is
-    ONE extra pass over the pair-index lineage (column-pruned to
-    image_id on relational sources) — hot-tile workloads gain 2.05×,
-    uniform workloads pay the extra pass. Callers that already
-    materialize the pair index (persist/checkpoint) or keep per-tile
-    match counts as table stats should pass ``tile_counts``
-    (image_id, n) to skip the internal branch entirely.
+    Cost (measured, tools/bench_skew_grouped.py, interleaved A/B):
+    worst-case PROTECTION, not a steady-state speedup — 0.94× on a
+    30%-hot-tile workload, 0.77× uniform, and at a 3.6M-match tile the
+    unsalted single-group buffer OOMs the 4 GiB JVM while the sharded
+    plan spills bounded groups and completes (BENCH.md round-5).
+    Callers that keep per-tile match counts as table stats should pass
+    ``tile_counts`` (image_id, n) to skip the internal branch.
 
     Scale boundary (documented): ``counts`` is one slim int row per
     MATCHED tile and broadcasts so neither the skinny index rows nor
