@@ -404,7 +404,10 @@ def sample_nearest_grouped(joined: DataFrame, tiles: DataFrame,
 
 
 def sample_auto(joined: DataFrame, tiles: DataFrame | None = None,
-                value_name: str = "value", power: float = 2.0) -> DataFrame:
+                value_name: str = "value", power: float = 2.0,
+                shard_target: int = SHARD_TARGET,
+                max_shards: int = MAX_SHARDS,
+                tile_counts: DataFrame | None = None) -> DataFrame:
     """Dtype-dispatched sampling (raster.py:1295-1322): integer-family
     tiles (i32/b1 — ``codec.INT_FMTS``) always sample NEAREST, float
     tiles sample IDW. The split is a cheap fmt predicate on the joined
@@ -417,5 +420,6 @@ def sample_auto(joined: DataFrame, tiles: DataFrame | None = None,
     flt_tiles = None
     if tiles is not None:
         flt_tiles = tiles.filter(~F.col("fmt").isin(*codec.INT_FMTS))
-    idw = sample_idw(flt_rows, flt_tiles, value_name, power)
+    idw = sample_idw(flt_rows, flt_tiles, value_name, power,
+                     shard_target, max_shards, tile_counts)
     return near.select(*idw.columns).unionByName(idw)
