@@ -33,7 +33,7 @@ from rasters_spark.datapipe import dedup, multimodal, similarity, textstats
 from rasters_spark.functions import crs as crsfn
 from rasters_spark.functions import render as renderfn
 from rasters_spark.functions import vector as vecfn
-from rasters_spark.operators import bands, neighbors
+from rasters_spark.operators import bands, focal, neighbors
 from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
 from rasters_spark.operators import swath as swathops
 from rasters_spark.operators import rastermath as rm
@@ -222,6 +222,25 @@ def q_netcdf_cdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = back.select("image_id", "w", "h", "x_origin", "y_origin")
     return s.join(geo, "image_id").select(
         "image_id", "w", "h", "x_origin", "y_origin", "n_pixels", "n_valid", "vsum")
+
+
+def q_focal_halo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3×3 neighborhood) statistics with CROSS-TILE halo
+    exchange — an extension beyond the reference (no focal family
+    there): each tile's edge cells see the abutting tiles' edge pixels
+    via a skinny r-wide strip exchange (operators/focal.py). The
+    fixture's native tiles don't abut, so the query first re-origins
+    the first 300 raw tiles onto a dense row-major lattice
+    (``lattice_remap`` — metadata only, replicated in the oracle with
+    the identical row_number() window), which makes the halo path
+    load-bearing: dropping or misplacing a single strip changes the
+    per-tile focal sums. Quarter-integer fixture pixels keep every
+    window sum exact in double, so the oracle — which sums the same
+    (center, neighbor) pairs relationally via a 9-offset equi-join on
+    global pixel coordinates — matches bit-for-bit."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return focal.focal_stats(focal.lattice_remap(t, per_row=40), radius=1)
 
 
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1399,9 +1418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver row is r03, then to_grid_lanczos/to_grid_gauss (rows-only in
     r04, now carrying printf-quantized oracles that need a first
     oracle-green driver row), point_sample_join_grouped (aggregate
-    resharded this round), and the two new round-5 entries
-    (netcdf_cdf5_roundtrip, pq_topk_bulk). The 47 r04-certified
-    entries sit at position 46+ and rotate back into the r06 head.
+    resharded this round), and the round-5 entries
+    (netcdf_cdf5_roundtrip, pq_topk_bulk, stream_minhash_dedup,
+    focal_halo_stats). The 47 r04-certified entries sit behind the
+    position marker and rotate back into the r06 head.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
@@ -1455,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
         "stream_minhash_dedup": q_stream_minhash_dedup,
+        "focal_halo_stats": q_focal_halo_stats,
         # ---- position 46+ from here: r04-certified (certify in r06) ----
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_sigs": q_simhash_sigs,
@@ -1958,6 +1979,53 @@ def oracle_sql() -> dict[str, str]:
             where t.fmt = 'raw' and t.image_id >= 'img000000000150'
               and t.image_id < 'img000000000300'
             group by 1, 2, 3, 4, 5
+        """,
+        "focal_halo_stats": f"""
+            with tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+            ),
+            tl2 as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     rn % 40 as tx, rn // 40 as ty
+              from tl
+            ),
+            px as (
+              select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as value
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            offs(dx, dy) as (values (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            -- expand centers x offsets BEFORE the neighbor join so its
+            -- gx/gy keys are plain columns: leaving the +dx arithmetic
+            -- inside a 3-relation join lets the join-order search pick
+            -- the layout-columns-only c><n pairing first (a near cross
+            -- product -- the CLAUDE.md DuckDB join-order pitfall)
+            cand as (
+              select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                     c.gx, c.gy, c.gx + o.dx as ngx, c.gy + o.dy as ngy
+              from px c cross join offs o
+            ),
+            nb as (
+              select cand.image_id, cand.gx, cand.gy, n.value
+              from cand
+              join px n
+                on n.crs = cand.crs and n.cell_width = cand.cell_width
+               and n.cell_height = cand.cell_height and n.w = cand.w and n.h = cand.h
+               and n.gx = cand.ngx and n.gy = cand.ngy
+              where n.value is not null
+            ),
+            cellagg as (
+              select image_id, gx, gy, sum(value) as s from nb group by 1, 2, 3
+            )
+            select image_id, count(*) as focal_cells, sum(s) as focal_sum
+            from cellagg group by 1
         """,
         "bool_mask_counts": f"""
             select t.image_id, count(*) as n_pixels,
