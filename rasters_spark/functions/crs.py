@@ -93,12 +93,7 @@ def _tm_forward(lon, lat, lon0):
     T = np.tan(phi) ** 2
     C = ep2 * np.cos(phi) ** 2
     Aa = (lam - lam0) * np.cos(phi)
-    M = _A * (
-        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
-        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
-        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
-        - (35 * e2**3 / 3072) * np.sin(6 * phi)
-    )
+    M = _merid_dist(phi, _A, e2)
     x = _K0 * N * (Aa + (1 - T + C) * Aa**3 / 6
                    + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * Aa**5 / 120) + 500000.0
     y = _K0 * (M + N * np.tan(phi) * (Aa**2 / 2 + (5 - T + 9 * C + 4 * C**2) * Aa**4 / 24
@@ -110,13 +105,9 @@ def _tm_inverse(x, y, lon0):
     """Transverse Mercator → geographic (Snyder 8-17..8-25)."""
     e2 = _E2
     ep2 = e2 / (1 - e2)
-    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
     M = y / _K0
     mu = M / (_A * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
-    phi1 = (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
-            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
-            + (151 * e1**3 / 96) * np.sin(6 * mu)
-            + (1097 * e1**4 / 512) * np.sin(8 * mu))
+    phi1 = _mu_to_phi(mu, e2)
     C1 = ep2 * np.cos(phi1) ** 2
     T1 = np.tan(phi1) ** 2
     N1 = _A / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
@@ -195,6 +186,31 @@ def _beta_to_phi(beta, e2: float):
             + (e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040) * np.sin(2 * beta)
             + (23 * e2**2 / 360 + 251 * e2**3 / 3780) * np.sin(4 * beta)
             + (761 * e2**3 / 45360) * np.sin(6 * beta))
+
+
+def _merid_dist(phi, a: float, e2: float):
+    """Snyder eq. 3-21: meridian distance M(φ) from the equator (the
+    series inside _tm_forward, factored for reuse). e²=0 → a·φ."""
+    return a * ((1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+                - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+                + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+                - (35 * e2**3 / 3072) * np.sin(6 * phi))
+
+
+def _mu_to_phi(mu, e2: float):
+    """Snyder eq. 7-19 (3-26): rectifying → geodetic latitude series
+    (the footpoint series inside _tm_inverse, factored for reuse)."""
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    return (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+            + (151 * e1**3 / 96) * np.sin(6 * mu)
+            + (1097 * e1**4 / 512) * np.sin(8 * mu))
+
+
+def _q_sphere_safe(phi, e2: float):
+    """_ell_q with the e→0 limit (q = 2·sinφ) so spherical variants of
+    the equal-area families share the ellipsoidal code path."""
+    return 2.0 * np.sin(phi) if e2 == 0.0 else _ell_q(phi, e2)
 
 
 #: supported reference ellipsoids (semi-major axis, e²) — WGS84 and
@@ -520,6 +536,86 @@ def _webmerc_inverse(x, y, p):
     return lon, lat
 
 
+def _emerc_forward(lon, lat, p):
+    """Mercator forward, ellipsoidal or spherical by e² (Snyder PP 1395
+    §7, eq. 7-6/7-7 via the conformal auxiliary t of eq. 15-9):
+    x = a·k0·Δλ, y = −a·k0·ln t(φ). With e²=0, t reduces to
+    tan(π/4−φ/2) and the kernel IS spherical Mercator. k0 = m(lat_ts)
+    (eq. 14-15) when a standard parallel is given; EPSG:3395 (WGS 84 /
+    World Mercator) is k0=1. |φ| ≥ 90° → ±inf y explicitly (same
+    contract as the Web-Mercator kernel)."""
+    la = np.asarray(lat, np.float64)
+    phi = np.radians(la)
+    dlam = np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    ak = p["a"] * p["k0"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y = -ak * np.log(_ps_t(phi, np.sqrt(p["e2"])))
+    y = np.where(la >= 90.0, np.inf, np.where(la <= -90.0, -np.inf, y))
+    return ak * dlam + p["x0"], y + p["y0"]
+
+
+def _emerc_inverse(x, y, p):
+    """Snyder §7 inverse (eq. 7-9/7-10 + the conformal series 3-5):
+    t = e^(−y/(a·k0)), χ = π/2 − 2·arctan t, φ = _chi_to_phi(χ)."""
+    ak = p["a"] * p["k0"]
+    t = np.exp(-(np.asarray(y, np.float64) - p["y0"]) / ak)
+    chi = np.pi / 2 - 2.0 * np.arctan(t)
+    lat = np.degrees(_chi_to_phi(chi, p["e2"]))
+    lon = p["lon0"] + np.degrees((np.asarray(x, np.float64) - p["x0"]) / ak)
+    return lon, lat
+
+
+def _cea_forward(lon, lat, p):
+    """Cylindrical equal-area forward (Snyder PP 1395 §10, eq.
+    10-1/10-2 ellipsoidal; e²=0 reduces to the Lambert/Behrmann sphere
+    x = R·Δλ·cosφs, y = R·sinφ/cosφs): x = a·k0·Δλ, y = a·q/(2·k0)
+    with k0 = m(lat_ts) = cosφs/√(1−e²sin²φs). EPSG:6933 (EASE-Grid
+    2.0 global, lat_ts=30, WGS84 — Brodzik et al. 2012) and EPSG:3410
+    (EASE 1.0 global, sphere R=6371228) route here."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    x = p["a"] * p["k0"] * dlam
+    y = p["a"] * _q_sphere_safe(phi, p["e2"]) / (2.0 * p["k0"])
+    return x + p["x0"], y + p["y0"]
+
+
+def _cea_inverse(x, y, p):
+    """Snyder §10 inverse (eq. 10-6 then the authalic series 3-18):
+    q = 2·k0·y/a, β = arcsin(q/qp), φ = _beta_to_phi(β)."""
+    q = 2.0 * p["k0"] * (np.asarray(y, np.float64) - p["y0"]) / p["a"]
+    beta = np.arcsin(np.clip(q / p["qp"], -1.0, 1.0))
+    lat = np.degrees(_beta_to_phi(beta, p["e2"]))
+    lon = p["lon0"] + np.degrees((np.asarray(x, np.float64) - p["x0"])
+                                 / (p["a"] * p["k0"]))
+    return lon, lat
+
+
+def _eqc_forward(lon, lat, p):
+    """Equidistant cylindrical forward (EPSG method 1028, Snyder §12
+    eq. 12-1..12-3 generalized to the ellipsoid): x = ν(φ1)·cosφ1·Δλ =
+    a·m(φ1)·Δλ, y = M(φ) (true meridian distance, eq. 3-21 series).
+    e²=0 reduces to Plate Carrée x = R·Δλ·cosφ1, y = R·φ — the PROJ
+    +proj=eqc spherical form. EPSG:4087 / EPSG:32662 (WGS 84 / World
+    Equidistant Cylindrical, lat_ts=0) route here."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    x = p["a"] * p["k0"] * dlam  # k0 = m(lat_ts): ν(φ1)·cosφ1 = a·m(φ1)
+    y = _merid_dist(phi, p["a"], p["e2"])
+    return x + p["x0"], y + p["y0"]
+
+
+def _eqc_inverse(x, y, p):
+    """EPSG 1028 inverse: μ = M/(a·c0) rectifying latitude then the
+    footpoint series (Snyder eq. 7-19); λ = Δx/(a·m(φ1))."""
+    e2 = p["e2"]
+    mu = ((np.asarray(y, np.float64) - p["y0"])
+          / (p["a"] * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256)))
+    lat = np.degrees(_mu_to_phi(mu, e2))
+    lon = p["lon0"] + np.degrees((np.asarray(x, np.float64) - p["x0"])
+                                 / (p["a"] * p["k0"]))
+    return lon, lat
+
+
 def _eaea_forward(lon, lat, p):
     """ELLIPSOIDAL Albers equal-area conic (Snyder §14, eq. 14-1..14-4
     with q/m auxiliaries 3-12/14-15): ρ = a·√(C − n·q)/n. EPSG:5070
@@ -585,7 +681,8 @@ def _crs_ellipsoid(c: str) -> tuple[float, float] | None:
     # +datum=WGS84 on the conics/laea: ellipsoidal WGS84 (on utm/stere
     # the datum token is already implied by their dedicated parsers)
     if "+datum=WGS84" in c and ("+proj=aea" in c or "+proj=lcc" in c
-                                or "+proj=laea" in c):
+                                or "+proj=laea" in c or "+proj=merc" in c
+                                or "+proj=cea" in c or "+proj=eqc" in c):
         return _ELLPS["WGS84"]
     return None
 
@@ -757,6 +854,42 @@ def _parse_crs(crs: str) -> dict:
                          "(only WGS84 geographic is supported)")
     if c.upper() in ("EPSG:3857", "EPSG:900913") or "+proj=webmerc" in c:
         return {"kind": "webmerc"}
+    if c.upper() == "EPSG:3395":  # WGS 84 / World Mercator
+        c = "+proj=merc +ellps=WGS84"
+    if "+proj=merc" in c:
+        ell = _crs_ellipsoid(c)
+        a, e2 = ell if ell is not None else (
+            _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R)), 0.0)
+        if "+lat_ts=" in c:  # PROJ: lat_ts wins over k_0
+            k0 = float(_ell_m(np.radians(_proj4_param(c, "lat_ts", 0.0)), e2))
+        else:
+            k0 = _proj4_param(c, "k_0", 1.0)
+        return {"kind": "emerc", "a": a, "e2": e2, "k0": k0,
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0)}
+    if c.upper() == "EPSG:6933":  # EASE-Grid 2.0 global (Brodzik 2012)
+        c = "+proj=cea +lat_ts=30 +ellps=WGS84"
+    if c.upper() == "EPSG:3410":  # EASE-Grid 1.0 global (sphere)
+        c = "+proj=cea +lat_ts=30 +R=6371228.0"
+    if "+proj=cea" in c:
+        ell = _crs_ellipsoid(c)
+        a, e2 = ell if ell is not None else (
+            _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R)), 0.0)
+        k0 = float(_ell_m(np.radians(_proj4_param(c, "lat_ts", 0.0)), e2))
+        return {"kind": "cea", "a": a, "e2": e2, "k0": k0,
+                "qp": float(_q_sphere_safe(np.pi / 2, e2)),
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0)}
+    if c.upper() in ("EPSG:4087", "EPSG:32662"):  # World Equidistant Cylindrical
+        c = "+proj=eqc +ellps=WGS84"
+    if "+proj=eqc" in c:
+        ell = _crs_ellipsoid(c)
+        a, e2 = ell if ell is not None else (
+            _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R)), 0.0)
+        k0 = float(_ell_m(np.radians(_proj4_param(c, "lat_ts", 0.0)), e2))
+        return {"kind": "eqc", "a": a, "e2": e2, "k0": k0,
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0)}
     if "+proj=moll" in c:
         return {"kind": "moll", "lon0": _proj4_param(c, "lon_0", 0.0),
                 "r": _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R))}
@@ -897,7 +1030,9 @@ def _parse_crs(crs: str) -> dict:
         f"sinusoidal, Albers equal-area conic, Lambert conformal conic, Lambert "
         f"azimuthal equal-area (spherical + ellipsoidal: EPSG:3035/6931/6932), "
         f"polar stereographic EPSG:3413/3031/3995 / +proj=stere lat_0=±90, "
-        f"Web Mercator, Mollweide, geostationary +proj=geos, orthographic)")
+        f"Web Mercator, Mercator EPSG:3395/+proj=merc, cylindrical equal-area "
+        f"EPSG:6933/3410/+proj=cea, equidistant cylindrical EPSG:4087/32662/"
+        f"+proj=eqc, Mollweide, geostationary +proj=geos, orthographic)")
 
 
 def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
@@ -928,6 +1063,12 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _ps_inverse(x, y, s)
     elif s["kind"] == "webmerc":
         lon, lat = _webmerc_inverse(x, y, s)
+    elif s["kind"] == "emerc":
+        lon, lat = _emerc_inverse(x, y, s)
+    elif s["kind"] == "cea":
+        lon, lat = _cea_inverse(x, y, s)
+    elif s["kind"] == "eqc":
+        lon, lat = _eqc_inverse(x, y, s)
     elif s["kind"] == "eaea":
         lon, lat = _eaea_inverse(x, y, s)
     elif s["kind"] == "elcc":
@@ -965,6 +1106,12 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _ps_forward(lon, lat, d)
     if d["kind"] == "webmerc":
         return _webmerc_forward(lon, lat, d)
+    if d["kind"] == "emerc":
+        return _emerc_forward(lon, lat, d)
+    if d["kind"] == "cea":
+        return _cea_forward(lon, lat, d)
+    if d["kind"] == "eqc":
+        return _eqc_forward(lon, lat, d)
     if d["kind"] == "eaea":
         return _eaea_forward(lon, lat, d)
     if d["kind"] == "elcc":

@@ -771,3 +771,118 @@ def test_transform_xy_kernel_new_families(spark):
         ex, ey = C.transform_xy_np(np.array([x]), np.array([y]), src, dst)
         assert got[rid][0] == pytest.approx(ex[0], abs=1e-9)
         assert got[rid][1] == pytest.approx(ey[0], abs=1e-9)
+
+
+def test_transform_world_mercator_ellipsoidal():
+    """EPSG:3395 / +proj=merc (Snyder PP 1395 §7, eq. 7-6/7-7): y is
+    independently checked against the isometric-latitude identity
+    y/a = atanh(sinφ) − e·atanh(e·sinφ) (a different closed form than
+    the kernel's conformal-t path), the spherical spelling must agree
+    with the separate Web-Mercator kernel bit-for-bit-ish, round trips
+    are sub-1e-7°, and poles give ±inf like the webmerc contract."""
+    a, e2 = C._ELLPS["WGS84"]
+    e = float(np.sqrt(e2))
+    x, y = C.transform_xy_np(np.array([180.0, 0.0, 0.0]),
+                             np.array([0.0, 0.0, 45.0]),
+                             "EPSG:4326", "EPSG:3395")
+    assert x[0] == pytest.approx(a * np.pi, abs=1e-6)  # x = a·Δλ, k0=1
+    assert y[1] == 0.0                                  # equator exactly
+    s45 = np.sin(np.radians(45.0))
+    y_iso = a * (np.arctanh(s45) - e * np.arctanh(e * s45))
+    assert y[2] == pytest.approx(y_iso, abs=1e-6)
+    # ellipsoidal y < spherical y everywhere off the equator
+    _, y_sph = C.transform_xy_np(np.array([0.0]), np.array([45.0]),
+                                 "EPSG:4326", "EPSG:3857")
+    assert y[2] < y_sph[0]
+    # spherical spelling ≡ the independent Web-Mercator kernel
+    lon = np.linspace(-179.0, 179.0, 17)
+    lat = np.linspace(-84.0, 84.0, 17)
+    xs, ys = C.transform_xy_np(lon, lat, "EPSG:4326", "+proj=merc +R=6378137")
+    xw, yw = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:3857")
+    np.testing.assert_allclose(xs, xw, rtol=1e-13)
+    np.testing.assert_allclose(ys, yw, rtol=1e-12, atol=1e-6)
+    # round trip (ellipsoidal, incl. a lat_ts parameterization)
+    for crs in ("EPSG:3395", "+proj=merc +lat_ts=20 +ellps=WGS84"):
+        px, py = C.transform_xy_np(lon, lat, "EPSG:4326", crs)
+        l2, p2 = C.transform_xy_np(px, py, crs, "EPSG:4326")
+        np.testing.assert_allclose(l2, lon, atol=1e-9)
+        np.testing.assert_allclose(p2, lat, atol=1e-7)
+    # lat_ts scales x by m(lat_ts) (PROJ: lat_ts wins over k_0)
+    xts, _ = C.transform_xy_np(np.array([180.0]), np.array([0.0]),
+                               "EPSG:4326", "+proj=merc +lat_ts=20 +ellps=WGS84")
+    assert xts[0] == pytest.approx(a * np.pi * C._ell_m(np.radians(20.0), e2), rel=1e-12)
+    _, yp = C.transform_xy_np(np.array([0.0, 0.0]), np.array([90.0, -90.0]),
+                              "EPSG:4326", "EPSG:3395")
+    assert yp[0] == np.inf and yp[1] == -np.inf
+
+
+def test_transform_cea_ease_grids():
+    """Cylindrical equal-area (Snyder §10): EPSG:6933 (EASE-Grid 2.0
+    global, lat_ts=30 on WGS84 — Brodzik et al. 2012) holds the
+    defining EQUAL-AREA property on the ellipsoidal area element across
+    the service area; EPSG:3410 (EASE 1.0, authalic sphere R=6371228)
+    reduces to the Lambert x = R·cosφs·Δλ, y = R·sinφ/cosφs closed
+    form; both round-trip."""
+    a, e2 = C._ELLPS["WGS84"]
+    k0 = float(C._ell_m(np.radians(30.0), e2))
+    x, y = C.transform_xy_np(np.array([180.0, 0.0]), np.array([0.0, 0.0]),
+                             "EPSG:4326", "EPSG:6933")
+    assert x[0] == pytest.approx(a * k0 * np.pi, rel=1e-12)
+    assert y[1] == 0.0
+    for lon0, lat0 in ((-120.0, -60.0), (0.0, 35.0), (140.0, 70.0)):
+        assert _ell_area_scale("EPSG:6933", lon0, lat0) == pytest.approx(1.0, abs=1e-6)
+    lon = np.linspace(-179.0, 179.0, 17)
+    lat = np.linspace(-85.0, 85.0, 17)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:6933")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:6933", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-7)
+    # EASE 1.0 sphere: exact Lambert closed form
+    R = 6371228.0
+    sx, sy = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:3410")
+    np.testing.assert_allclose(sx, R * np.cos(np.radians(30.0)) * np.radians(lon), rtol=1e-13)
+    np.testing.assert_allclose(sy, R * np.sin(np.radians(lat)) / np.cos(np.radians(30.0)),
+                               rtol=1e-13, atol=1e-6)
+    l3, p3 = C.transform_xy_np(sx, sy, "EPSG:3410", "EPSG:4326")
+    np.testing.assert_allclose(l3, lon, atol=1e-9)
+    np.testing.assert_allclose(p3, lat, atol=1e-9)
+
+
+def test_transform_eqc_world_equidistant():
+    """Equidistant cylindrical (EPSG method 1028 / Snyder §12):
+    EPSG:4087's defining property is TRUE distance along meridians —
+    dy/dφ must equal the meridian radius of curvature
+    M(φ) = a(1−e²)/(1−e²sin²φ)^{3/2} everywhere, and y(90°) is the
+    WGS84 quarter meridian (10 001 965.729 m). The spherical spelling
+    is Plate Carrée."""
+    a, e2 = C._ELLPS["WGS84"]
+    x, y = C.transform_xy_np(np.array([180.0, 0.0]), np.array([0.0, 90.0]),
+                             "EPSG:4326", "EPSG:4087")
+    assert x[0] == pytest.approx(a * np.pi, abs=1e-6)
+    assert y[1] == pytest.approx(10001965.729, abs=0.05)  # quarter meridian
+    for lat0 in (-66.0, 0.0, 23.0, 71.0):
+        h = 1e-5
+        _, yy = C.transform_xy_np(np.array([0.0, 0.0]), np.array([lat0 + h, lat0 - h]),
+                                  "EPSG:4326", "EPSG:4087")
+        dy_dphi = (yy[0] - yy[1]) / np.radians(2 * h)
+        s = np.sin(np.radians(lat0))
+        M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        assert dy_dphi == pytest.approx(M, rel=1e-8)
+    lon = np.linspace(-179.0, 179.0, 17)
+    lat = np.linspace(-89.0, 89.0, 17)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", "EPSG:4087")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:4087", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-7)
+    # EPSG:32662 is an alias; lat_ts scales x by m(lat_ts)
+    ax, ay = C.transform_xy_np(np.array([45.0]), np.array([10.0]), "EPSG:4326", "EPSG:32662")
+    bx, by = C.transform_xy_np(np.array([45.0]), np.array([10.0]), "EPSG:4326", "EPSG:4087")
+    assert ax[0] == bx[0] and ay[0] == by[0]
+    xts, _ = C.transform_xy_np(np.array([180.0]), np.array([0.0]),
+                               "EPSG:4326", "+proj=eqc +lat_ts=45 +ellps=WGS84")
+    assert xts[0] == pytest.approx(a * np.pi * C._ell_m(np.radians(45.0), e2), rel=1e-12)
+    # spherical Plate Carrée: x = R·Δλ·cosφ1, y = R·φ
+    R = 6371000.0
+    sx, sy = C.transform_xy_np(lon, lat, "EPSG:4326", "+proj=eqc +R=6371000")
+    np.testing.assert_allclose(sx, R * np.radians(lon), rtol=1e-13)
+    np.testing.assert_allclose(sy, R * np.radians(lat), rtol=1e-13, atol=1e-6)
