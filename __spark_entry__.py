@@ -737,6 +737,94 @@ def q_local_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_cyl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cylindrical CRS families under a FULL DuckDB oracle — the
+    first oracle-green `transform_xy` entry (`reproject_utm` stays
+    rows-only because Snyder TM is a long series, but Mercator /
+    cylindrical-equal-area / equidistant-cylindrical are short closed
+    forms both engines can spell identically). Events-derived lon/lat
+    (the `local_utm` derivation, reference transform_xy.py:5-54
+    surface), each point exploded to three targets: EPSG:3395 (World
+    Mercator, Snyder eq. 7-6/7-7), EPSG:6933 (EASE-Grid 2.0 global,
+    eq. 10-1/10-2) and EPSG:4087 (equidistant cylindrical, EPSG method
+    1028 / eq. 3-21 meridian series). Coordinates are %.9e-printf-
+    quantized on BOTH engines (the CLAUDE.md sin/exp oracle rule:
+    Java format_string ≡ C printf for doubles, absorbing libm last-ulp
+    drift while pinning 9 significant digits; outputs stay in metre
+    magnitude — no near-zero cancellation). The oracle SQL inlines the
+    ellipsoid-derived constants computed by the SAME Python
+    expressions the kernel parser uses, so only per-row libm calls
+    can drift. Explode is on the streamed scan side; the transform is
+    one Arrow kernel pass grouped per (src,dst) pair — map-only, zero
+    exchanges at any scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0 - 180.0
+    lat = (F.col("user_id") % 180).cast("double") - 90.0 + 0.5
+    d = ev.select(
+        "event_id", lon.alias("lon"), lat.alias("lat"),
+        F.lit("EPSG:4326").alias("src"),
+        F.explode(F.array(F.lit("EPSG:3395"), F.lit("EPSG:6933"),
+                          F.lit("EPSG:4087"))).alias("dst"))
+    t = crsfn.transform_xy(d, x="lon", y="lat", src="src", dst="dst")
+    return t.select(
+        "event_id", "dst",
+        F.format_string("%.9e", F.col("x_t")).alias("x_q"),
+        F.format_string("%.9e", F.col("y_t")).alias("y_q"))
+
+
+def _transform_cyl_sql() -> str:
+    """DuckDB twin of q_transform_cyl: same formulas, constants inlined
+    from the same Python expressions the kernel's _parse_crs uses
+    (bit-identical parse-time doubles), %.9e quantization."""
+    import numpy as np
+
+    _a, _e2 = crsfn._ELLPS["WGS84"]
+
+    def dbl(v: float) -> str:
+        # DuckDB types bare decimal literals as DECIMAL (a 19-digit
+        # repr overflows DECIMAL multiplication) — force DOUBLE
+        return f"cast({v!r} as double)"
+
+    a, e2 = dbl(_a), dbl(_e2)
+    e = dbl(float(np.sqrt(_e2)))
+    k0cea = dbl(float(crsfn._ell_m(np.radians(30.0), _e2)))
+    one_m_e2 = dbl(1 - _e2)
+    c0 = dbl(1 - _e2 / 4 - 3 * _e2**2 / 64 - 5 * _e2**3 / 256)
+    c2 = dbl(3 * _e2 / 8 + 3 * _e2**2 / 32 + 45 * _e2**3 / 1024)
+    c4 = dbl(15 * _e2**2 / 256 + 45 * _e2**3 / 1024)
+    c6 = dbl(35 * _e2**3 / 3072)
+    return f"""
+        with pts as (
+          select event_id,
+                 value - floor(value / 360.0) * 360.0 - 180.0 as lon,
+                 cast(user_id % 180 as double) - 90.0 + 0.5 as lat
+          from events
+        ), g as (
+          select event_id, radians(lon) as dlam, radians(lat) as phi,
+                 sin(radians(lat)) as s
+          from pts
+        )
+        select event_id, 'EPSG:3395' as dst,
+               printf('%.9e', {a} * dlam) as x_q,
+               printf('%.9e', -{a} * ln(tan(pi()/4 - phi/2)
+                 / pow((1 - {e}*s)/(1 + {e}*s), {e}/2))) as y_q
+        from g
+        union all
+        select event_id, 'EPSG:6933' as dst,
+               printf('%.9e', {a} * {k0cea} * dlam) as x_q,
+               printf('%.9e', {a} * ({one_m_e2} * (s/(1 - {e2}*s*s)
+                 - (1/(2*{e})) * ln((1 - {e}*s)/(1 + {e}*s))))
+                 / (2 * {k0cea})) as y_q
+        from g
+        union all
+        select event_id, 'EPSG:4087' as dst,
+               printf('%.9e', {a} * dlam) as x_q,
+               printf('%.9e', {a} * ({c0}*phi - {c2}*sin(2*phi)
+                 + {c4}*sin(4*phi) - {c6}*sin(6*phi))) as y_q
+        from g
+    """
+
+
 def q_pixel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector: every valid pixel as a value-attached point.
     Deterministic 200-tile slice (id-range filter, not limit — limit
@@ -1412,7 +1500,7 @@ def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is a coverage lever: the driver's correctness gate
     certifies the first 50 entries each round (rotation policy in
-    CLAUDE.md). Round-5 head (45 entries): mosaic_first/to_grid_average
+    CLAUDE.md). Round-5 head (48 entries): mosaic_first/to_grid_average
     first — ADVICE r04 flagged that they sat at positions 51-52 and
     missed the r04 window — then the 38 tail entries whose newest
     driver row is r03, then to_grid_lanczos/to_grid_gauss (rows-only in
@@ -1420,8 +1508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-green driver row), point_sample_join_grouped (aggregate
     resharded this round), and the round-5 entries
     (netcdf_cdf5_roundtrip, pq_topk_bulk, stream_minhash_dedup,
-    focal_halo_stats). The 47 r04-certified entries sit behind the
-    position marker and rotate back into the r06 head.
+    focal_halo_stats, transform_cyl). Positions 49-50 (minhash_lsh_pairs,
+    simhash_sigs) also land in the window; the remaining r04-certified
+    entries sit behind the position marker and rotate into the r06 head.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
@@ -1476,7 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_bulk": q_pq_topk_bulk,
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "focal_halo_stats": q_focal_halo_stats,
-        # ---- position 46+ from here: r04-certified (certify in r06) ----
+        "transform_cyl": q_transform_cyl,
+        # ---- position 49+ from here: r04-certified (certify in r06) ----
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_sigs": q_simhash_sigs,
         "doc_stats": q_doc_stats,
@@ -2510,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
             where t.fmt = 'raw'
             group by t.image_id, t.bytes, t.w, t.h, t.phash
         """,
+        "transform_cyl": _transform_cyl_sql(),
         "local_utm": """
             with e as (
               select event_id,
