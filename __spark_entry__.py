@@ -825,6 +825,40 @@ def _transform_cyl_sql() -> str:
     """
 
 
+def q_table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-maintenance seam end-to-end under a FULL row-level
+    oracle: documents ingested as 5 chunked append snapshots (each
+    repartition(4) → 20 small parquet files — the streaming small-files
+    problem in miniature), then ``TableIO.compact`` bin-packs the live
+    set into one ``replace`` snapshot (the ``rewrite_data_files``
+    analogue) and ``expire_snapshots(keep_last=1)`` physically deletes
+    the 20 pre-compaction files (``expireSnapshots``). Rows are read
+    back AFTER both maintenance ops — a hash match against
+    ``select doc_id, n_chars, lang from documents`` proves compaction
+    and expiration preserve row-level content exactly. File-count,
+    horizon, idempotence and the typed time-travel error are pinned in
+    tests/test_tableio_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.tableio import TableIO
+
+    work = os.path.join(tempfile.gettempdir(),
+                        f"compact-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tbl = TableIO(os.path.join(work, "tbl"))
+    for i in range(5):
+        tbl.write(docs.filter(F.col("doc_id") % 5 == i).repartition(4),
+                  job_id="chunked-ingest", chunk_id=f"c{i}")
+    n_small = len(tbl._live_files(tbl.snapshots()))
+    entry = tbl.compact(spark)
+    assert entry is not None and entry["rewritten_files"] == n_small
+    tbl.expire_snapshots(keep_last=1)
+    return tbl.read(spark).select("doc_id", "n_chars", "lang")
+
+
 def q_pixel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector: every valid pixel as a value-attached point.
     Deterministic 200-tile slice (id-range filter, not limit — limit
@@ -1500,7 +1534,7 @@ def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is a coverage lever: the driver's correctness gate
     certifies the first 50 entries each round (rotation policy in
-    CLAUDE.md). Round-5 head (48 entries): mosaic_first/to_grid_average
+    CLAUDE.md). Round-5 head (49 entries): mosaic_first/to_grid_average
     first — ADVICE r04 flagged that they sat at positions 51-52 and
     missed the r04 window — then the 38 tail entries whose newest
     driver row is r03, then to_grid_lanczos/to_grid_gauss (rows-only in
@@ -1508,9 +1542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-green driver row), point_sample_join_grouped (aggregate
     resharded this round), and the round-5 entries
     (netcdf_cdf5_roundtrip, pq_topk_bulk, stream_minhash_dedup,
-    focal_halo_stats, transform_cyl). Positions 49-50 (minhash_lsh_pairs,
-    simhash_sigs) also land in the window; the remaining r04-certified
-    entries sit behind the position marker and rotate into the r06 head.
+    focal_halo_stats, transform_cyl, table_compaction). Position 50
+    (minhash_lsh_pairs) also lands in the window; the remaining
+    r04-certified entries sit behind the position marker and rotate
+    into the r06 head.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
@@ -1566,7 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "focal_halo_stats": q_focal_halo_stats,
         "transform_cyl": q_transform_cyl,
-        # ---- position 49+ from here: r04-certified (certify in r06) ----
+        "table_compaction": q_table_compaction,
+        # ---- position 50+ from here: r04-certified (certify in r06) ----
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_sigs": q_simhash_sigs,
         "doc_stats": q_doc_stats,
@@ -2601,6 +2637,9 @@ def oracle_sql() -> dict[str, str]:
             group by t.image_id, t.bytes, t.w, t.h, t.phash
         """,
         "transform_cyl": _transform_cyl_sql(),
+        "table_compaction": """
+            select doc_id, n_chars, lang from documents
+        """,
         "local_utm": """
             with e as (
               select event_id,

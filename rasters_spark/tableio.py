@@ -31,6 +31,13 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
+class SnapshotExpiredError(LookupError):
+    """Time travel below the expiration horizon: the snapshot's data
+    files were deleted by ``expire_snapshots`` (Iceberg's
+    ``expireSnapshots`` contract — history is bounded, reads of
+    retained snapshots are unaffected)."""
+
+
 class TableIO:
     def __init__(self, base_path: str):
         self.base = Path(base_path)
@@ -75,15 +82,7 @@ class TableIO:
         t0 = time.time()
         snap_dir = self.base / "data" / f"snap-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(str(snap_dir))
-        files = []
-        for f in sorted(snap_dir.glob("*.parquet")):
-            md = pq.read_metadata(f)
-            files.append({
-                "path": str(f.relative_to(self.base)),
-                "rows": md.num_rows,
-                "bytes": f.stat().st_size,
-                "row_groups": md.num_row_groups,
-            })
+        files = self._file_stats(snap_dir)
         entry = {
             "operation": operation,
             "job_id": job_id,
@@ -97,17 +96,146 @@ class TableIO:
         self._append_ledger(entry)
         return entry
 
+    def _file_stats(self, snap_dir: Path) -> list[dict]:
+        """Per-file row/byte stats read back from the parquet footers —
+        the ledger's (real) manifest metrics."""
+        files = []
+        for f in sorted(snap_dir.glob("*.parquet")):
+            md = pq.read_metadata(f)
+            files.append({
+                "path": str(f.relative_to(self.base)),
+                "rows": md.num_rows,
+                "bytes": f.stat().st_size,
+                "row_groups": md.num_row_groups,
+            })
+        return files
+
     # --- read / time travel -------------------------------------------------------
 
+    @staticmethod
+    def _live_files(ledger: list[dict]) -> list[dict]:
+        """The live file set after replaying a ledger prefix: every
+        operation contributes its files (append semantics) except
+        ``replace`` — a compaction commit that carries the FULL new
+        live list (rewritten + carried-over refs), exactly like an
+        Iceberg rewrite_data_files snapshot — and ``expire``, which is
+        metadata-only."""
+        live: list[dict] = []
+        for e in ledger:
+            if e["operation"] == "replace":
+                live = list(e["files"])
+            elif e["operation"] != "expire":
+                live.extend(e["files"])
+        return live
+
+    def expiration_horizon(self) -> int:
+        """Earliest snapshot id still travelable (1 if never expired)."""
+        return max((e.get("expired_through", 1) for e in self._read_ledger()
+                    if e["operation"] == "expire"), default=1)
+
     def read(self, spark: SparkSession, as_of_snapshot: int | None = None) -> DataFrame:
-        """Union of all appended files up to a snapshot (time travel)."""
+        """The table's live files as of a snapshot (time travel).
+        Travel below the expiration horizon raises SnapshotExpiredError
+        (the files are gone); reads at/after the horizon — including
+        the current table — are unaffected by expiration."""
         ledger = self._read_ledger()
         if as_of_snapshot is not None:
+            horizon = self.expiration_horizon()
+            if as_of_snapshot < horizon:
+                raise SnapshotExpiredError(
+                    f"snapshot {as_of_snapshot} of {self.base} expired "
+                    f"(horizon: {horizon})")
             ledger = ledger[:as_of_snapshot]
-        paths = [str(self.base / f["path"]) for e in ledger for f in e["files"]]
+        paths = [str(self.base / f["path"]) for f in self._live_files(ledger)]
         if not paths:
             raise FileNotFoundError(f"table {self.base} has no snapshots")
         return spark.read.parquet(*paths)
+
+    # --- maintenance: compaction + snapshot expiration ----------------------------
+
+    def compact(self, spark: SparkSession, small_file_bytes: int = 32 << 20,
+                target_file_bytes: int = 128 << 20) -> dict | None:
+        """Bin-pack small live files into ~target-size files and commit
+        ONE ``replace`` snapshot (Iceberg ``rewrite_data_files``, the
+        small-files maintenance a streaming/chunked-append table needs
+        at 100 TB: thousands of KB-scale commit files become
+        read-amplification and driver/manifest pressure; a scan of N
+        tiny files costs N task launches + N footer reads).
+
+        Only files < ``small_file_bytes`` are rewritten; larger ones
+        are carried over BY REFERENCE into the new live list (no data
+        copy). Row-level content is untouched — pinned by the
+        ``table_compaction`` contract oracle and time travel to
+        pre-compaction snapshots still resolves the original files.
+        Returns the ledger entry, or None when there is nothing to do
+        (0 or 1 small file — a rewrite would churn bytes for no file-
+        count reduction)."""
+        import math
+
+        ledger = self._read_ledger()
+        live = self._live_files(ledger)
+        small = [f for f in live if f["bytes"] < small_file_bytes]
+        keep = [f for f in live if f["bytes"] >= small_file_bytes]
+        if len(small) <= 1:
+            return None
+        t0 = time.time()
+        nparts = max(1, math.ceil(sum(f["bytes"] for f in small) / target_file_bytes))
+        df = spark.read.parquet(*[str(self.base / f["path"]) for f in small])
+        snap_dir = self.base / "data" / f"snap-{uuid.uuid4().hex[:12]}"
+        # coalesce, not repartition: bin-packing needs no shuffle — the
+        # scan's existing splits merge map-side into nparts output files
+        df.coalesce(nparts).write.mode("overwrite").parquet(str(snap_dir))
+        entry = {
+            "operation": "replace",
+            "job_id": "compact",
+            "chunk_id": None,
+            "inputs": [f["path"] for f in small],
+            "files": keep + self._file_stats(snap_dir),
+            "row_count": sum(f["rows"] for f in keep) + parquet_row_count(str(snap_dir)),
+            "rewritten_files": len(small),
+            "wall_sec": round(time.time() - t0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._append_ledger(entry)
+        return entry
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire history older than the last ``keep_last`` snapshots
+        (Iceberg ``expireSnapshots``): physically delete data files no
+        retained snapshot's live set references, bounding storage for
+        an append/compact-forever table. The ledger keeps every entry
+        (lineage is history, not data); reads of retained snapshots are
+        byte-identical; time travel below the new horizon raises
+        SnapshotExpiredError. Idempotent — a second call with the same
+        ``keep_last`` deletes nothing."""
+        ledger = self._read_ledger()
+        horizon = max(1, len(ledger) + 1 - keep_last)
+        referenced = {f["path"]
+                      for s in range(horizon, len(ledger) + 1)
+                      for f in self._live_files(ledger[:s])}
+        deleted = []
+        for p in sorted((self.base / "data").glob("snap-*/*.parquet")):
+            rel = str(p.relative_to(self.base))
+            if rel not in referenced:
+                p.unlink()
+                deleted.append(rel)
+        for d in sorted((self.base / "data").glob("snap-*")):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+        entry = {
+            "operation": "expire",
+            "job_id": "expire",
+            "chunk_id": None,
+            "inputs": [],
+            "files": [],
+            "row_count": 0,
+            "expired_through": horizon,
+            "deleted_files": deleted,
+            "wall_sec": 0.0,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._append_ledger(entry)
+        return entry
 
     # --- resumability ---------------------------------------------------------------
 

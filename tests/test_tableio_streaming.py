@@ -303,3 +303,69 @@ def test_stream_minhash_dedup_matches_batch_and_is_incremental(spark):
     work = os.path.join(tempfile.gettempdir(), "stream-dedup-sf0.001")
     snaps = TableIO(os.path.join(work, "out")).snapshots()
     assert len([s for s in snaps if s["operation"] == "stream-dedup"]) == 3
+
+
+def test_compact_bin_packs_small_files_and_preserves_content(spark, tmp_table):
+    """Iceberg rewrite_data_files analogue: 6 small append snapshots
+    (each multi-file) bin-pack into ONE replace snapshot; row-level
+    content is untouched; the live file count actually drops; time
+    travel to a pre-compaction snapshot still reads the ORIGINAL files;
+    a table of already-big files is a no-op."""
+    for i in range(6):
+        tmp_table.write(
+            spark.range(i * 100, (i + 1) * 100)
+            .withColumn("v", F.col("id") * 3).repartition(4), job_id="ingest")
+    before = tmp_table._live_files(tmp_table.snapshots())
+    assert len(before) == 24
+    rows_before = sorted((r.id, r.v) for r in tmp_table.read(spark).collect())
+
+    entry = tmp_table.compact(spark, small_file_bytes=32 << 20,
+                              target_file_bytes=128 << 20)
+    assert entry is not None and entry["operation"] == "replace"
+    assert entry["rewritten_files"] == 24
+    after = tmp_table._live_files(tmp_table.snapshots())
+    assert len(after) == 1                       # bin-packed into one file
+    assert entry["row_count"] == 600
+    assert sorted((r.id, r.v) for r in tmp_table.read(spark).collect()) == rows_before
+    # time travel below the compaction still resolves the original files
+    assert tmp_table.read(spark, as_of_snapshot=2).count() == 200
+    # appends after compaction extend the replaced live set
+    tmp_table.write(spark.range(600, 650).withColumn("v", F.col("id") * 3))
+    assert tmp_table.read(spark).count() == 650
+    # second compact: everything already packed → rewrites the two
+    # (compacted + appended) files into one again
+    e2 = tmp_table.compact(spark)
+    assert e2 is not None and tmp_table.read(spark).count() == 650
+    # nothing small left but one file → no-op, no ledger churn
+    n = tmp_table.current_snapshot()
+    assert tmp_table.compact(spark) is None
+    assert tmp_table.current_snapshot() == n
+
+
+def test_expire_snapshots_bounds_history(spark, tmp_table):
+    """expireSnapshots contract: files unreferenced by any retained
+    snapshot are physically deleted, current reads are byte-identical,
+    travel below the horizon raises the typed error, and the call is
+    idempotent."""
+    from rasters_spark.tableio import SnapshotExpiredError
+
+    for i in range(4):
+        tmp_table.write(spark.range(i * 10, (i + 1) * 10).repartition(2))
+    tmp_table.compact(spark)                      # snapshot 5 (replace)
+    rows = sorted(r.id for r in tmp_table.read(spark).collect())
+    n_files_before = len(list((Path(tmp_table.base) / "data").glob("snap-*/*.parquet")))
+
+    entry = tmp_table.expire_snapshots(keep_last=1)
+    assert entry["operation"] == "expire" and entry["expired_through"] == 5
+    # the 8 pre-compaction originals are gone; the compacted file remains
+    assert len(entry["deleted_files"]) == 8
+    remaining = list((Path(tmp_table.base) / "data").glob("snap-*/*.parquet"))
+    assert len(remaining) == n_files_before - 8
+    assert sorted(r.id for r in tmp_table.read(spark).collect()) == rows
+    assert tmp_table.read(spark, as_of_snapshot=5).count() == 40  # horizon ok
+    with pytest.raises(SnapshotExpiredError):
+        tmp_table.read(spark, as_of_snapshot=4)
+    # idempotent: a second expire deletes nothing further
+    assert tmp_table.expire_snapshots(keep_last=1)["deleted_files"] == []
+    # ledger keeps full lineage history even for expired snapshots
+    assert [e["snapshot_id"] for e in tmp_table.snapshots()][:5] == [1, 2, 3, 4, 5]
