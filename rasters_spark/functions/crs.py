@@ -215,9 +215,12 @@ def _q_sphere_safe(phi, e2: float):
 
 #: supported reference ellipsoids (semi-major axis, e²) — WGS84 and
 #: GRS80 (NAD83 / EPSG:5070 / RGF93) differ only in the 1e-10 of e².
+_BESSEL_F = 1.0 / 299.1528128
 _ELLPS = {
     "WGS84": (6378137.0, _E2),
     "GRS80": (6378137.0, 0.006694380022903416),  # 1/f = 298.257222101
+    # Bessel 1841 (Amersfoort / RD New EPSG:28992, DHDN): e² = 2f − f²
+    "bessel": (6377397.155, 2 * _BESSEL_F - _BESSEL_F * _BESSEL_F),
 }
 
 
@@ -616,6 +619,88 @@ def _eqc_inverse(x, y, p):
     return lon, lat
 
 
+def _sterea_params(c: str, a: float, e2: float) -> dict:
+    """Precompute the per-CRS constants of the OBLIQUE (double)
+    stereographic, EPSG method 9809 (IOGP Guidance Note 7-2): the
+    ellipsoid maps conformally onto a Gaussian sphere of radius
+    R = √(ρ0·ν0), then sphere → plane by ordinary oblique
+    stereographic. PROJ spells it +proj=sterea; the flagship user is
+    the Dutch national grid EPSG:28992 (Amersfoort / RD New, Bessel
+    1841). e²=0 degenerates exactly to the sphere (n=1, conf=1,
+    χ0=φ0, R=a) — the spherical oblique/equatorial stereographic.
+    ``conf`` is GN7-2's constant *c* (renamed: ``c`` is the proj
+    string here)."""
+    e = float(np.sqrt(e2))
+    phi0 = np.radians(_proj4_param(c, "lat_0", 0.0))
+    s0 = np.sin(phi0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / np.sqrt(1 - e2 * s0 * s0)
+    big_r = float(np.sqrt(rho0 * nu0))
+    n = float(np.sqrt(1 + e2 * np.cos(phi0) ** 4 / (1 - e2)))
+    w1 = float(((1 + s0) / (1 - s0) * ((1 - e * s0) / (1 + e * s0)) ** e) ** n)
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    conf = (n + s0) * (1 - sin_chi00) / ((n - s0) * (1 + sin_chi00))
+    w2 = conf * w1
+    chi0 = float(np.arcsin((w2 - 1) / (w2 + 1)))
+    return {"kind": "sterea", "a": a, "e2": e2, "e": e, "n": n,
+            "R": big_r, "conf": float(conf), "chi0": chi0,
+            "k0": _proj4_param(c, "k_0", 1.0),
+            "lat0": _proj4_param(c, "lat_0", 0.0),
+            "lon0": _proj4_param(c, "lon_0", 0.0),
+            "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0)}
+
+
+def _sterea_forward(lon, lat, p):
+    """EPSG 9809 forward: geodetic → conformal-sphere latitude χ via
+    w = c·(S1·S2^e)^n, conformal longitude Λ−Λ0 = n·(λ−λ0), then the
+    spherical oblique stereographic
+    x = 2Rk0·cosχ·sinΔΛ/B, y = 2Rk0·(sinχ·cosχ0 − cosχ·sinχ0·cosΔΛ)/B
+    with B = 1 + sinχ·sinχ0 + cosχ·cosχ0·cosΔΛ."""
+    e, n, conf = p["e"], p["n"], p["conf"]
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = n * np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    s = np.sin(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = conf * ((1 + s) / (1 - s) * ((1 - e * s) / (1 + e * s)) ** e) ** n
+        chi = np.arcsin((w - 1) / (w + 1))
+    sc0, cc0 = np.sin(p["chi0"]), np.cos(p["chi0"])
+    b = 1 + np.sin(chi) * sc0 + np.cos(chi) * cc0 * np.cos(dlam)
+    rk2 = 2.0 * p["R"] * p["k0"]
+    x = rk2 * np.cos(chi) * np.sin(dlam) / b
+    y = rk2 * (np.sin(chi) * cc0 - np.cos(chi) * sc0 * np.cos(dlam)) / b
+    return x + p["x0"], y + p["y0"]
+
+
+def _sterea_inverse(x, y, p):
+    """EPSG 9809 reverse: invert the spherical stereographic with the
+    g/h/i/j construction to (χ, Λ), λ = λ0 + ΔΛ/n, then recover φ from
+    the conformal-sphere isometric latitude
+    ψ = ln((1+sinχ)/(c·(1−sinχ)))/(2n) by Newton iteration on the
+    ellipsoidal isometric latitude (4 rounds; the GN7-2 worked example
+    converges in 3)."""
+    e, e2, n, conf = p["e"], p["e2"], p["n"], p["conf"]
+    rk2 = 2.0 * p["R"] * p["k0"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = np.asarray(y, np.float64) - p["y0"]
+    chi0 = p["chi0"]
+    g = rk2 * np.tan(np.pi / 4 - chi0 / 2)
+    h = 2.0 * rk2 * np.tan(chi0) + g
+    i = np.arctan(xx / (h + yy))
+    j = np.arctan(xx / (g - yy)) - i
+    chi = chi0 + 2.0 * np.arctan((yy - xx * np.tan(j / 2)) / rk2)
+    dlam = j + 2.0 * i
+    lon = p["lon0"] + np.degrees(dlam) / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        psi = np.log((1 + np.sin(chi)) / (conf * (1 - np.sin(chi)))) / (2.0 * n)
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(4):
+        s = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                       * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+    return lon, np.degrees(phi)
+
+
 def _eaea_forward(lon, lat, p):
     """ELLIPSOIDAL Albers equal-area conic (Snyder §14, eq. 14-1..14-4
     with q/m auxiliaries 3-12/14-15): ρ = a·√(C − n·q)/n. EPSG:5070
@@ -897,9 +982,16 @@ def _parse_crs(crs: str) -> dict:
         c = _EPSG_CONIC[c.upper()]
     if c.upper() in _EPSG_STERE:
         return _parse_stere(_EPSG_STERE[c.upper()], c)
-    # exact proj token: '+proj=sterea' (OBLIQUE stereographic, e.g.
-    # Dutch RD) must fall through to the unsupported-CRS error, not
-    # substring-match the polar parser
+    if c.upper() == "EPSG:28992":  # Amersfoort / RD New (EPSG 9809 params)
+        c = ("+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+             "+k_0=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+    if "+proj=sterea" in c:
+        # OBLIQUE (double) stereographic — must be matched BEFORE the
+        # polar 'stere' token test so it never reaches the polar parser
+        ell = _crs_ellipsoid(c)
+        a, e2 = ell if ell is not None else (
+            _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R)), 0.0)
+        return _sterea_params(c, a, e2)
     if re.search(r"\+proj=stere(\s|$)", c):
         return _parse_stere(c, c)
     if c.upper().startswith("EPSG:32"):
@@ -1030,6 +1122,7 @@ def _parse_crs(crs: str) -> dict:
         f"sinusoidal, Albers equal-area conic, Lambert conformal conic, Lambert "
         f"azimuthal equal-area (spherical + ellipsoidal: EPSG:3035/6931/6932), "
         f"polar stereographic EPSG:3413/3031/3995 / +proj=stere lat_0=±90, "
+        f"oblique double stereographic EPSG:28992/+proj=sterea, "
         f"Web Mercator, Mercator EPSG:3395/+proj=merc, cylindrical equal-area "
         f"EPSG:6933/3410/+proj=cea, equidistant cylindrical EPSG:4087/32662/"
         f"+proj=eqc, Mollweide, geostationary +proj=geos, orthographic)")
@@ -1073,6 +1166,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _eaea_inverse(x, y, s)
     elif s["kind"] == "elcc":
         lon, lat = _elcc_inverse(x, y, s)
+    elif s["kind"] == "sterea":
+        lon, lat = _sterea_inverse(x, y, s)
     elif s["kind"] == "moll":
         lon, lat = _moll_inverse(x, y, s)
     else:
@@ -1116,6 +1211,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _eaea_forward(lon, lat, d)
     if d["kind"] == "elcc":
         return _elcc_forward(lon, lat, d)
+    if d["kind"] == "sterea":
+        return _sterea_forward(lon, lat, d)
     if d["kind"] == "moll":
         return _moll_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])

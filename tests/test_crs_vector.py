@@ -76,10 +76,9 @@ def test_transform_xy_dataframe_kernel(spark):
 def test_unsupported_crs_raises():
     with pytest.raises(ValueError, match="unsupported CRS"):
         C.transform_xy_np(np.array([0.0]), np.array([0.0]), "+proj=robin", "EPSG:4326")
-    # oblique stereographic is a DIFFERENT projection — must not
-    # substring-match the polar parser
-    with pytest.raises(ValueError, match="unsupported CRS"):
-        C._parse_crs("+proj=sterea +lat_0=52.15 +lon_0=5.38")
+    # oblique stereographic is a DIFFERENT projection — it must route
+    # to its own EPSG-9809 parser, never substring-match the polar one
+    assert C._parse_crs("+proj=sterea +lat_0=52.15 +lon_0=5.38")["kind"] == "sterea"
     # named non-WGS84 ellipsoid on polar stereo: loud error, not
     # silently-wrong metres
     with pytest.raises(ValueError, match="WGS84 only"):
@@ -886,3 +885,58 @@ def test_transform_eqc_world_equidistant():
     sx, sy = C.transform_xy_np(lon, lat, "EPSG:4326", "+proj=eqc +R=6371000")
     np.testing.assert_allclose(sx, R * np.radians(lon), rtol=1e-13)
     np.testing.assert_allclose(sy, R * np.radians(lat), rtol=1e-13, atol=1e-6)
+
+
+def test_transform_oblique_stereographic_rd_new():
+    """Oblique (double) stereographic, EPSG method 9809: the ellipsoid
+    maps conformally onto a Gaussian sphere, then sphere → plane. The
+    flagship CRS is Dutch RD New (EPSG:28992, Bessel 1841). Anchors are
+    the IOGP Guidance Note 7-2 worked example — 53°N 6°E →
+    E 196 105.283 m, N 557 057.739 m — plus the false origin at the
+    projection centre, sub-mm round trips over the Netherlands, and the
+    e²→0 degeneration to the plain spherical oblique stereographic."""
+    # GN7-2 worked example, both directions
+    x, y = C.transform_xy_np(np.array([6.0]), np.array([53.0]),
+                             "EPSG:4326", "EPSG:28992")
+    assert x[0] == pytest.approx(196105.283, abs=1e-3)
+    assert y[0] == pytest.approx(557057.739, abs=1e-3)
+    lon, lat = C.transform_xy_np(np.array([196105.283]), np.array([557057.739]),
+                                 "EPSG:28992", "EPSG:4326")
+    # anchor input is mm-rounded (true E is …28299246), so ~0.4 mm ≈
+    # 3.5e-9° of genuine displacement is in the input, not the kernel
+    assert lon[0] == pytest.approx(6.0, abs=1e-7)
+    assert lat[0] == pytest.approx(53.0, abs=1e-7)
+    # projection centre lands on the false origin (x_0, y_0)
+    cx, cy = C.transform_xy_np(np.array([5.38763888888889]),
+                               np.array([52.15616055555555]),
+                               "EPSG:4326", "EPSG:28992")
+    assert cx[0] == pytest.approx(155000.0, abs=1e-6)
+    assert cy[0] == pytest.approx(463000.0, abs=1e-6)
+    # round trip across the RD New domain
+    lons = np.linspace(3.3, 7.2, 23)
+    lats = np.linspace(50.7, 53.6, 23)
+    LO, LA = np.meshgrid(lons, lats)
+    px, py = C.transform_xy_np(LO.ravel(), LA.ravel(), "EPSG:4326", "EPSG:28992")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:28992", "EPSG:4326")
+    np.testing.assert_allclose(l2, LO.ravel(), atol=1e-12)
+    np.testing.assert_allclose(p2, LA.ravel(), atol=1e-12)
+    # e²=0 degenerates exactly: n=1, conf=1, χ0=φ0, R=a (Gaussian
+    # sphere IS the sphere), matching the closed-form spherical oblique
+    # stereographic x = 2Rk0·cosφ·sinΔλ/B (Snyder eq. 21-2..21-4)
+    sph = "+proj=sterea +lat_0=40 +lon_0=-100 +R=6370997"
+    p = C._parse_crs(sph)
+    assert p["n"] == pytest.approx(1.0) and p["conf"] == pytest.approx(1.0)
+    assert np.degrees(p["chi0"]) == pytest.approx(40.0) and p["R"] == 6370997.0
+    sx, sy = C.transform_xy_np(np.array([-75.0]), np.array([30.0]), "EPSG:4326", sph)
+    R, p0, l0 = 6370997.0, np.radians(40.0), np.radians(-100.0)
+    phi, lam = np.radians(30.0), np.radians(-75.0)
+    k = 2.0 / (1 + np.sin(p0) * np.sin(phi)
+               + np.cos(p0) * np.cos(phi) * np.cos(lam - l0))
+    assert sx[0] == pytest.approx(R * k * np.cos(phi) * np.sin(lam - l0), rel=1e-12)
+    assert sy[0] == pytest.approx(
+        R * k * (np.cos(p0) * np.sin(phi)
+                 - np.sin(p0) * np.cos(phi) * np.cos(lam - l0)), rel=1e-12)
+    # polar 'stere' parser must still reject/keep its own token space:
+    # '+proj=stere' with oblique lat_0 raises, sterea handles it
+    with pytest.raises(ValueError):
+        C._parse_crs("+proj=stere +lat_0=52 +lon_0=5")
