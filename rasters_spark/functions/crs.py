@@ -82,43 +82,68 @@ def center_aeqd_proj4(lat, lon) -> Column:
 
 # --- numpy transform kernels (Snyder transverse Mercator + spherical AEQD) -----
 
-def _tm_forward(lon, lat, lon0):
-    """Geographic → transverse Mercator easting/northing (Snyder 8-9..8-13)."""
+def _tmerc_forward(lon, lat, p):
+    """Geographic → transverse Mercator easting/northing (Snyder
+    8-9..8-13), parameterized over ellipsoid / k_0 / lat_0 / false
+    origin. UTM is the (WGS84, 0.9996, lat_0=0, x_0=500000) instance;
+    the generic spelling covers the national Gauss-Krüger grids and
+    OSGB (EPSG:27700). y measures from M(lat_0) (Snyder 8-13's M − M0
+    term), so a nonzero lat_0 plus y_0 reproduces the OS false
+    northing convention exactly."""
     lam = np.radians(lon)
     phi = np.radians(lat)
-    lam0 = np.radians(lon0)
-    e2 = _E2
+    lam0 = np.radians(p["lon0"])
+    a, e2, k0 = p["a"], p["e2"], p["k0"]
     ep2 = e2 / (1 - e2)
-    N = _A / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
     T = np.tan(phi) ** 2
     C = ep2 * np.cos(phi) ** 2
     Aa = (lam - lam0) * np.cos(phi)
-    M = _merid_dist(phi, _A, e2)
-    x = _K0 * N * (Aa + (1 - T + C) * Aa**3 / 6
-                   + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * Aa**5 / 120) + 500000.0
-    y = _K0 * (M + N * np.tan(phi) * (Aa**2 / 2 + (5 - T + 9 * C + 4 * C**2) * Aa**4 / 24
-                                      + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * Aa**6 / 720))
+    M = _merid_dist(phi, a, e2) - p["m0"]
+    x = k0 * N * (Aa + (1 - T + C) * Aa**3 / 6
+                  + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * Aa**5 / 120) + p["x0"]
+    y = k0 * (M + N * np.tan(phi) * (Aa**2 / 2 + (5 - T + 9 * C + 4 * C**2) * Aa**4 / 24
+                                     + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * Aa**6 / 720)) + p["y0"]
     return x, y
 
 
-def _tm_inverse(x, y, lon0):
-    """Transverse Mercator → geographic (Snyder 8-17..8-25)."""
-    e2 = _E2
+def _tmerc_inverse(x, y, p):
+    """Transverse Mercator → geographic (Snyder 8-17..8-25),
+    parameterized like :func:`_tmerc_forward`."""
+    a, e2, k0 = p["a"], p["e2"], p["k0"]
     ep2 = e2 / (1 - e2)
-    M = y / _K0
-    mu = M / (_A * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    M = (y - p["y0"]) / k0 + p["m0"]
+    mu = M / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
     phi1 = _mu_to_phi(mu, e2)
     C1 = ep2 * np.cos(phi1) ** 2
     T1 = np.tan(phi1) ** 2
-    N1 = _A / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
-    R1 = _A * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
-    D = (x - 500000.0) / (N1 * _K0)
+    N1 = a / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
+    R1 = a * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
+    D = (x - p["x0"]) / (N1 * k0)
     phi = phi1 - (N1 * np.tan(phi1) / R1) * (
         D**2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
         + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2) * D**6 / 720)
     lam = (D - (1 + 2 * T1 + C1) * D**3 / 6
            + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2) * D**5 / 120) / np.cos(phi1)
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return np.degrees(lam) + p["lon0"], np.degrees(phi)
+
+
+def _utm_tmerc_params(lon0: float) -> dict:
+    """The UTM instance of the generic TM kernel — bit-identical to the
+    former fixed-constant `_tm_forward/_tm_inverse` (m0/y0 are exact
+    zeros, so the extra −m0/+y0 terms are floating no-ops)."""
+    return {"a": _A, "e2": _E2, "k0": _K0, "lon0": lon0,
+            "m0": 0.0, "x0": 500000.0, "y0": 0.0}
+
+
+def _tm_forward(lon, lat, lon0):
+    """Geographic → UTM easting/northing (Snyder 8-9..8-13)."""
+    return _tmerc_forward(lon, lat, _utm_tmerc_params(lon0))
+
+
+def _tm_inverse(x, y, lon0):
+    """UTM → geographic (Snyder 8-17..8-25)."""
+    return _tmerc_inverse(x, y, _utm_tmerc_params(lon0))
 
 
 def _aeqd_forward(lon, lat, lon0, lat0):
@@ -216,11 +241,14 @@ def _q_sphere_safe(phi, e2: float):
 #: supported reference ellipsoids (semi-major axis, e²) — WGS84 and
 #: GRS80 (NAD83 / EPSG:5070 / RGF93) differ only in the 1e-10 of e².
 _BESSEL_F = 1.0 / 299.1528128
+_AIRY_F = 1.0 / 299.3249646
 _ELLPS = {
     "WGS84": (6378137.0, _E2),
     "GRS80": (6378137.0, 0.006694380022903416),  # 1/f = 298.257222101
     # Bessel 1841 (Amersfoort / RD New EPSG:28992, DHDN): e² = 2f − f²
     "bessel": (6377397.155, 2 * _BESSEL_F - _BESSEL_F * _BESSEL_F),
+    # Airy 1830 (OSGB36 / British National Grid EPSG:27700)
+    "airy": (6377563.396, 2 * _AIRY_F - _AIRY_F * _AIRY_F),
 }
 
 
@@ -1002,6 +1030,22 @@ def _parse_crs(crs: str) -> dict:
     if "+proj=utm" in c:
         zone = int(c.split("+zone=")[1].split()[0])
         return {"kind": "utm", "lon0": zone * 6 - 183, "south": "+south" in c}
+    if c.upper() == "EPSG:27700":  # OSGB36 / British National Grid
+        c = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
+             "+x_0=400000 +y_0=-100000 +ellps=airy")
+    if "+proj=tmerc" in c:
+        # generic transverse Mercator / Gauss-Krüger: arbitrary
+        # ellipsoid, scale, origin latitude, and false origin
+        ell = _crs_ellipsoid(c)
+        a, e2 = ell if ell is not None else (
+            _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R)), 0.0)
+        lat0 = _proj4_param(c, "lat_0", 0.0)
+        return {"kind": "tmerc", "a": a, "e2": e2,
+                "k0": _proj4_param(c, "k_0", _proj4_param(c, "k", 1.0)),
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "m0": float(_merid_dist(np.radians(lat0), a, e2)),
+                "x0": _proj4_param(c, "x_0", 0.0),
+                "y0": _proj4_param(c, "y_0", 0.0)}
     if "+proj=aeqd" in c:
         lat0 = float(c.split("+lat_0=")[1].split()[0])
         lon0 = float(c.split("+lon_0=")[1].split()[0])
@@ -1123,6 +1167,7 @@ def _parse_crs(crs: str) -> dict:
         f"azimuthal equal-area (spherical + ellipsoidal: EPSG:3035/6931/6932), "
         f"polar stereographic EPSG:3413/3031/3995 / +proj=stere lat_0=±90, "
         f"oblique double stereographic EPSG:28992/+proj=sterea, "
+        f"generic transverse Mercator EPSG:27700/+proj=tmerc, "
         f"Web Mercator, Mercator EPSG:3395/+proj=merc, cylindrical equal-area "
         f"EPSG:6933/3410/+proj=cea, equidistant cylindrical EPSG:4087/32662/"
         f"+proj=eqc, Mollweide, geostationary +proj=geos, orthographic)")
@@ -1168,6 +1213,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _elcc_inverse(x, y, s)
     elif s["kind"] == "sterea":
         lon, lat = _sterea_inverse(x, y, s)
+    elif s["kind"] == "tmerc":
+        lon, lat = _tmerc_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s)
     elif s["kind"] == "moll":
         lon, lat = _moll_inverse(x, y, s)
     else:
@@ -1213,6 +1260,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _elcc_forward(lon, lat, d)
     if d["kind"] == "sterea":
         return _sterea_forward(lon, lat, d)
+    if d["kind"] == "tmerc":
+        return _tmerc_forward(lon, lat, d)
     if d["kind"] == "moll":
         return _moll_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])

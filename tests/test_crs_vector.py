@@ -940,3 +940,46 @@ def test_transform_oblique_stereographic_rd_new():
     # '+proj=stere' with oblique lat_0 raises, sterea handles it
     with pytest.raises(ValueError):
         C._parse_crs("+proj=stere +lat_0=52 +lon_0=5")
+
+
+def test_transform_generic_tmerc_osgb_and_gauss_kruger():
+    """Generic transverse Mercator (+proj=tmerc, Snyder 8-9..8-25 with
+    arbitrary ellipsoid / k_0 / lat_0 / false origin). Anchors: the OS
+    Guide worked example for the British National Grid (EPSG:27700,
+    Airy 1830) — 52°39′27.2531″N 1°43′4.5177″E → E 651 409.903,
+    N 313 177.270 — the UTM bit-identity (the former fixed-constant
+    kernel is the (WGS84, 0.9996, 500000) instance), and a DHDN
+    Gauss-Krüger zone-4 round trip on Bessel 1841."""
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = C.transform_xy_np(np.array([lon]), np.array([lat]),
+                             "EPSG:4326", "EPSG:27700")
+    assert x[0] == pytest.approx(651409.903, abs=2e-3)
+    assert y[0] == pytest.approx(313177.270, abs=2e-3)
+    # true origin lands on the false origin (x_0, y_0) exactly
+    ox, oy = C.transform_xy_np(np.array([-2.0]), np.array([49.0]),
+                               "EPSG:4326", "EPSG:27700")
+    assert ox[0] == pytest.approx(400000.0, abs=1e-6)
+    assert oy[0] == pytest.approx(-100000.0, abs=1e-6)
+    # round trip over Great Britain (series-truncation bound ~1e-7°)
+    LO, LA = np.meshgrid(np.linspace(-7.5, 1.8, 19), np.linspace(49.9, 60.8, 19))
+    bx, by = C.transform_xy_np(LO.ravel(), LA.ravel(), "EPSG:4326", "EPSG:27700")
+    l2, p2 = C.transform_xy_np(bx, by, "EPSG:27700", "EPSG:4326")
+    np.testing.assert_allclose(l2, LO.ravel(), atol=5e-7)
+    np.testing.assert_allclose(p2, LA.ravel(), atol=5e-7)
+    # UTM is the fixed instance — BITWISE equal through the generic kernel
+    lons = np.linspace(6.0, 12.0, 41)
+    lats = np.linspace(-60.0, 70.0, 41)
+    xu, yu = C.transform_xy_np(lons, lats, "EPSG:4326", "EPSG:32632")
+    xt, yt = C.transform_xy_np(
+        lons, lats, "EPSG:4326",
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k_0=0.9996 +x_0=500000 +ellps=WGS84")
+    assert np.array_equal(xu, xt) and np.array_equal(yu, yt)
+    # Gauss-Krüger zone 4 (DHDN spelling: +k=1 alias, Bessel 1841)
+    gk = "+proj=tmerc +lat_0=0 +lon_0=12 +k=1 +x_0=4500000 +ellps=bessel"
+    assert C._parse_crs(gk)["k0"] == 1.0
+    GO, GA = np.meshgrid(np.linspace(10.5, 13.5, 15), np.linspace(47.2, 55.0, 15))
+    gx, gy = C.transform_xy_np(GO.ravel(), GA.ravel(), "EPSG:4326", gk)
+    g2, a2 = C.transform_xy_np(gx, gy, gk, "EPSG:4326")
+    np.testing.assert_allclose(g2, GO.ravel(), atol=1e-8)
+    np.testing.assert_allclose(a2, GA.ravel(), atol=1e-8)
