@@ -729,6 +729,83 @@ def _sterea_inverse(x, y, p):
     return lon, np.degrees(phi)
 
 
+def _somerc_params(c: str, a: float, e2: float) -> dict:
+    """Swiss oblique Mercator / 'oblique cylindrical' (EPSG method
+    9814, PROJ +proj=somerc; swisstopo's published rigorous formulas):
+    ellipsoid → conformal Gaussian sphere (the same α/K/R construction
+    as EPSG 9809, swisstopo's a/K notation), sphere rotated so the
+    projection centre becomes the pseudo-equator origin, then plain
+    Mercator on the rotated sphere. The flagship users are the Swiss
+    LV95 (EPSG:2056, E0/N0 = 2 600 000/1 200 000) and LV03
+    (EPSG:21781, 600 000/200 000) grids on Bessel 1841."""
+    e = float(np.sqrt(e2))
+    phi0 = np.radians(_proj4_param(c, "lat_0", 0.0))
+    s0 = np.sin(phi0)
+    alpha = float(np.sqrt(1 + e2 * np.cos(phi0) ** 4 / (1 - e2)))
+    big_r = float(a * np.sqrt(1 - e2) / (1 - e2 * s0 * s0))
+    b0 = float(np.arcsin(s0 / alpha))
+    # K fixes the conformal-latitude gauge so that φ0 ↦ b0 exactly
+    big_k = float(np.log(np.tan(np.pi / 4 + b0 / 2))
+                  - alpha * np.log(np.tan(np.pi / 4 + phi0 / 2))
+                  + alpha * e / 2 * np.log((1 + e * s0) / (1 - e * s0)))
+    return {"kind": "somerc", "a": a, "e2": e2, "e": e,
+            "alpha": alpha, "R": big_r, "b0": b0, "K": big_k,
+            "k0": _proj4_param(c, "k_0", 1.0),
+            "lon0": _proj4_param(c, "lon_0", 0.0),
+            "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0)}
+
+
+def _somerc_forward(lon, lat, p):
+    """EPSG 9814 forward: conformal-sphere latitude b from
+    S = α·ln tan(π/4+φ/2) − αe/2·ln((1+e sinφ)/(1−e sinφ)) + K,
+    sphere longitude l = α(λ−λ0); rotate to the pseudo-equator frame
+    (b̄, l̄) centred on b0; Mercator: E = R·l̄, N = R·atanh(sin b̄)."""
+    e, alpha = p["e"], p["alpha"]
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = (alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+             - alpha * e / 2 * np.log((1 + e * s) / (1 - e * s)) + p["K"])
+    b = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4)
+    l = alpha * np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    sb0, cb0 = np.sin(p["b0"]), np.cos(p["b0"])
+    sbb = cb0 * np.sin(b) - sb0 * np.cos(b) * np.cos(l)
+    lbar = np.arctan2(np.cos(b) * np.sin(l),
+                      sb0 * np.sin(b) + cb0 * np.cos(b) * np.cos(l))
+    rk = p["R"] * p["k0"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y = rk * np.arctanh(sbb)
+    return rk * lbar + p["x0"], y + p["y0"]
+
+
+def _somerc_inverse(x, y, p):
+    """EPSG 9814 reverse: un-Mercator to (b̄, l̄), rotate back to the
+    Gaussian sphere, λ = λ0 + l/α, then Newton on the ellipsoidal
+    conformal latitude (same 4-round scheme as EPSG 9809)."""
+    e, e2, alpha = p["e"], p["e2"], p["alpha"]
+    rk = p["R"] * p["k0"]
+    lbar = (np.asarray(x, np.float64) - p["x0"]) / rk
+    bbar = 2.0 * (np.arctan(np.exp((np.asarray(y, np.float64) - p["y0"]) / rk))
+                  - np.pi / 4)
+    sb0, cb0 = np.sin(p["b0"]), np.cos(p["b0"])
+    # transpose of the forward's y-axis rotation:
+    # sin b = sin b0·cos b̄·cos l̄ + cos b0·sin b̄
+    b = np.arcsin(np.clip(sb0 * np.cos(bbar) * np.cos(lbar) + cb0 * np.sin(bbar),
+                          -1.0, 1.0))
+    l = np.arctan2(np.cos(bbar) * np.sin(lbar),
+                   cb0 * np.cos(bbar) * np.cos(lbar) - sb0 * np.sin(bbar))
+    lon = p["lon0"] + np.degrees(l) / alpha
+    with np.errstate(divide="ignore", invalid="ignore"):
+        psi = (np.log(np.tan(np.pi / 4 + b / 2)) - p["K"]) / alpha
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(4):
+        s = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                       * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+    return lon, np.degrees(phi)
+
+
 def _eaea_forward(lon, lat, p):
     """ELLIPSOIDAL Albers equal-area conic (Snyder §14, eq. 14-1..14-4
     with q/m auxiliaries 3-12/14-15): ρ = a·√(C − n·q)/n. EPSG:5070
@@ -1030,6 +1107,17 @@ def _parse_crs(crs: str) -> dict:
     if "+proj=utm" in c:
         zone = int(c.split("+zone=")[1].split()[0])
         return {"kind": "utm", "lon0": zone * 6 - 183, "south": "+south" in c}
+    if c.upper() == "EPSG:2056":  # CH1903+ / LV95
+        c = ("+proj=somerc +lat_0=46.952405555555556 +lon_0=7.4395833333333334 "
+             "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel")
+    if c.upper() == "EPSG:21781":  # CH1903 / LV03
+        c = ("+proj=somerc +lat_0=46.952405555555556 +lon_0=7.4395833333333334 "
+             "+k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel")
+    if "+proj=somerc" in c:
+        ell = _crs_ellipsoid(c)
+        a, e2 = ell if ell is not None else (
+            _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R)), 0.0)
+        return _somerc_params(c, a, e2)
     if c.upper() == "EPSG:27700":  # OSGB36 / British National Grid
         c = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
              "+x_0=400000 +y_0=-100000 +ellps=airy")
@@ -1168,6 +1256,7 @@ def _parse_crs(crs: str) -> dict:
         f"polar stereographic EPSG:3413/3031/3995 / +proj=stere lat_0=±90, "
         f"oblique double stereographic EPSG:28992/+proj=sterea, "
         f"generic transverse Mercator EPSG:27700/+proj=tmerc, "
+        f"Swiss oblique Mercator EPSG:2056/21781/+proj=somerc, "
         f"Web Mercator, Mercator EPSG:3395/+proj=merc, cylindrical equal-area "
         f"EPSG:6933/3410/+proj=cea, equidistant cylindrical EPSG:4087/32662/"
         f"+proj=eqc, Mollweide, geostationary +proj=geos, orthographic)")
@@ -1215,6 +1304,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _sterea_inverse(x, y, s)
     elif s["kind"] == "tmerc":
         lon, lat = _tmerc_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s)
+    elif s["kind"] == "somerc":
+        lon, lat = _somerc_inverse(x, y, s)
     elif s["kind"] == "moll":
         lon, lat = _moll_inverse(x, y, s)
     else:
@@ -1262,6 +1353,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _sterea_forward(lon, lat, d)
     if d["kind"] == "tmerc":
         return _tmerc_forward(lon, lat, d)
+    if d["kind"] == "somerc":
+        return _somerc_forward(lon, lat, d)
     if d["kind"] == "moll":
         return _moll_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])

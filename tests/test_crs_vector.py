@@ -983,3 +983,54 @@ def test_transform_generic_tmerc_osgb_and_gauss_kruger():
     g2, a2 = C.transform_xy_np(gx, gy, gk, "EPSG:4326")
     np.testing.assert_allclose(g2, GO.ravel(), atol=1e-8)
     np.testing.assert_allclose(a2, GA.ravel(), atol=1e-8)
+
+
+def test_transform_swiss_oblique_mercator():
+    """Swiss oblique Mercator (EPSG method 9814, +proj=somerc): double
+    projection — ellipsoid → conformal Gaussian sphere (α/K/R), rotate
+    the centre to the pseudo-equator, Mercator on the sphere. Anchors:
+    the swisstopo rigorous worked example (Rigi —
+    47°03′28.95659233″N 8°29′11.11127154″E → LV03 E 679 520.05,
+    N 212 273.44), the projection centre on the false origin, the LV95
+    = LV03 + (2 000 000, 1 000 000) offset identity, machine-precision
+    round trips over Switzerland, and CONFORMALITY (isotropic local
+    scale, k=1 at the centre) — the defining property the rotation
+    would break if mis-transposed."""
+    lat = 47 + 3 / 60 + 28.95659233 / 3600
+    lon = 8 + 29 / 60 + 11.11127154 / 3600
+    x, y = C.transform_xy_np(np.array([lon]), np.array([lat]),
+                             "EPSG:4326", "EPSG:21781")
+    assert x[0] == pytest.approx(679520.05, abs=1e-3)
+    assert y[0] == pytest.approx(212273.44, abs=1e-3)
+    # LV95 is the same projection with the big false origin
+    X, Y = C.transform_xy_np(np.array([lon]), np.array([lat]),
+                             "EPSG:4326", "EPSG:2056")
+    assert X[0] - x[0] == pytest.approx(2000000.0, abs=1e-9)
+    assert Y[0] - y[0] == pytest.approx(1000000.0, abs=1e-9)
+    # centre → false origin
+    cx, cy = C.transform_xy_np(np.array([7.4395833333333334]),
+                               np.array([46.952405555555556]),
+                               "EPSG:4326", "EPSG:2056")
+    assert cx[0] == pytest.approx(2600000.0, abs=1e-6)
+    assert cy[0] == pytest.approx(1200000.0, abs=1e-6)
+    # round trip over the Swiss domain
+    LO, LA = np.meshgrid(np.linspace(5.9, 10.5, 17), np.linspace(45.8, 47.8, 17))
+    px, py = C.transform_xy_np(LO.ravel(), LA.ravel(), "EPSG:4326", "EPSG:2056")
+    l2, p2 = C.transform_xy_np(px, py, "EPSG:2056", "EPSG:4326")
+    np.testing.assert_allclose(l2, LO.ravel(), atol=1e-12)
+    np.testing.assert_allclose(p2, LA.ravel(), atol=1e-12)
+    # conformality: E-W and N-S local scales agree everywhere; k≈1 at φ0
+    a, e2 = C._ELLPS["bessel"]
+    for lat0, lon0 in [(46.952405555555556, 7.4395833333333334),
+                       (46.2, 6.15), (47.5, 9.8)]:
+        h = 1e-6
+        xs, ys = C.transform_xy_np(
+            np.array([lon0, lon0 + h, lon0]),
+            np.array([lat0, lat0, lat0 + h]), "EPSG:4326", "EPSG:2056")
+        s = np.sin(np.radians(lat0))
+        N = a / np.sqrt(1 - e2 * s * s)
+        M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        kx = np.hypot(xs[1] - xs[0], ys[1] - ys[0]) / (np.radians(h) * N * np.cos(np.radians(lat0)))
+        ky = np.hypot(xs[2] - xs[0], ys[2] - ys[0]) / (np.radians(h) * M)
+        assert kx == pytest.approx(ky, rel=1e-6)
+    assert float(kx) == pytest.approx(1.0, abs=2e-4)  # last point is ~60 km from centre
