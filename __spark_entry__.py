@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rasters_spark import cells, fixtures, grid
-from rasters_spark.datapipe import dedup, multimodal, similarity, textstats
+from rasters_spark.datapipe import dedup, multimodal, similarity, split, textstats
 from rasters_spark.functions import crs as crsfn
 from rasters_spark.functions import render as renderfn
 from rasters_spark.functions import vector as vecfn
@@ -859,6 +859,39 @@ def q_table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark).select("doc_id", "n_chars", "lang")
 
 
+def q_spatial_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked spatial train/val split (datapipe/split.py): every tile
+    of a 1°-block shares a split, blocks go to val iff
+    md5(block‖salt)/2⁶⁰ < 0.2 — deterministic, map-only, no rand(),
+    no spatial leakage across the split boundary. Oracle: the
+    identical md5-prefix arithmetic in DuckDB (the simhash_md5
+    cross-engine hash pattern)."""
+    return split.spatial_split(load_tiles(spark, sf_dir)).select(
+        "image_id", "block_x", "block_y", "split")
+
+
+def q_stratified_cell_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell balanced sampling (split.cap_per_group): at most 3
+    tiles per coverage cell, chosen as the smallest md5(image_id‖salt)
+    values with the id itself as the total-order tie-break — the
+    skew-flattening primitive for web-scraped imagery (hot cells are
+    capped at n BY CONSTRUCTION, so output skew cannot exist). One
+    window over the exploded cell assignment; oracle repeats the same
+    row_number() in DuckDB over the shared cell CTE."""
+    t = tiles_with_cells(load_tiles(spark, sf_dir))
+    return split.cap_per_group(t, "cell_id", 3).select("cell_id", "image_id")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sampling (split.hash_sample): keep
+    a document iff md5(doc_id‖salt)/2⁶⁰ < 0.1 — reproducible across
+    engines/retries and NESTED (the 5% sample is a subset of this 10%
+    one under the same salt), unlike df.sample(). The subset property
+    is pinned in tests; the oracle recomputes the same threshold."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split.hash_sample(docs, 0.1, key="doc_id").select("doc_id", "lang")
+
+
 def q_pixel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector: every valid pixel as a value-attached point.
     Deterministic 200-tile slice (id-range filter, not limit — limit
@@ -1604,6 +1637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_compaction": q_table_compaction,
         # ---- position 50+ from here: r04-certified (certify in r06) ----
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # brand-new late-r5 entries (join the r06 head with the rest)
+        "spatial_split": q_spatial_split,
+        "stratified_cell_cap": q_stratified_cell_cap,
+        "hash_sample": q_hash_sample,
         "simhash_sigs": q_simhash_sigs,
         "doc_stats": q_doc_stats,
         "langid": q_langid,
@@ -2475,6 +2512,52 @@ def oracle_sql() -> dict[str, str]:
             group by doc_b
         """,
         "minhash_lsh_bucketed": _JACCARD_SQL,
+        # blocked split / deterministic sampling: the md5-prefix hash is
+        # the simhash_md5 cross-engine pattern (60 bits, exact in int64
+        # and in the single double division)
+        "spatial_split": f"""
+            with t as (
+              select image_id,
+                     cast(floor(x_origin / 1.0) as bigint) as block_x,
+                     cast(floor(y_origin / 1.0) as bigint) as block_y
+              from {tiles}
+            )
+            select image_id, block_x, block_y,
+                   case when cast(('0x' || substr(md5(concat_ws('_',
+                            cast(block_x as varchar), cast(block_y as varchar),
+                            'v1')), 1, 15)) as bigint)
+                          / 1152921504606846976.0 < 0.2
+                        then 'val' else 'train' end as split
+            from t
+        """,
+        "stratified_cell_cap": f"""
+            with t as (
+              select image_id,
+                greatest(0, least({NX - 1}, cast(floor((x_origin + 180.0) / {CSZ}) as bigint))) as ix0,
+                greatest(0, least({NX - 1}, cast(floor((x_origin + cell_width * w + 180.0) / {CSZ}) as bigint))) as ix1,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - y_origin) / {CSZ}) as bigint))) as iy0,
+                greatest(0, least({NY - 1}, cast(floor((90.0 - (y_origin + cell_height * h)) / {CSZ}) as bigint))) as iy1
+              from {tiles}
+            ),
+            c as (
+              select image_id, ({LEVEL} * {PACK} + iy * {IYS} + ix) as cell_id
+              from t, unnest(range(t.iy0, t.iy1 + 1)) as ry(iy), unnest(range(t.ix0, t.ix1 + 1)) as rx(ix)
+            ),
+            r as (
+              select cell_id, image_id,
+                     row_number() over (partition by cell_id order by
+                       cast(('0x' || substr(md5(concat_ws('|', image_id, 'v1')), 1, 15)) as bigint) asc,
+                       image_id asc) as rk
+              from c
+            )
+            select cell_id, image_id from r where rk <= 3
+        """,
+        "hash_sample": """
+            select doc_id, lang from documents
+            where cast(('0x' || substr(md5(concat_ws('|',
+                    cast(doc_id as varchar), 'v1')), 1, 15)) as bigint)
+                  / 1152921504606846976.0 < 0.1
+        """,
         "audio_wav_features": """
             with d as (select doc_id from documents where doc_id < 100),
             s as (

@@ -537,3 +537,74 @@ def test_parquet_row_count_footer_only(spark):
 
     n = tableio.parquet_row_count(f"{SF}/embeddings.parquet")
     assert n == spark.read.parquet(f"{SF}/embeddings.parquet").count()
+
+
+def test_spatial_split_block_coherent_and_deterministic(spark):
+    """Every tile of a block shares its split (the no-leakage property),
+    the assignment is identical across re-runs (no rand()), a salt
+    change re-rolls it, and the holdout fraction is monotone: widening
+    0.1 → 0.3 only moves blocks train→val, never back."""
+    from rasters_spark.datapipe import split
+
+    t = load_tiles(spark, SF)
+    a = split.spatial_split(t, holdout_frac=0.2).select(
+        "image_id", "block_x", "block_y", "split")
+    rows = a.collect()
+    per_block = {}
+    for r in rows:
+        per_block.setdefault((r.block_x, r.block_y), set()).add(r.split)
+    assert all(len(v) == 1 for v in per_block.values())  # block-coherent
+    assert {r.split for r in rows} == {"train", "val"}   # both present
+    again = {r.image_id: r.split for r in split.spatial_split(t, 0.2).collect()}
+    assert again == {r.image_id: r.split for r in rows}  # deterministic
+    resalted = {r.image_id: r.split
+                for r in split.spatial_split(t, 0.2, salt="v2").collect()}
+    assert resalted != again                             # salt re-rolls
+    narrow = {r.image_id for r in split.spatial_split(t, 0.1).collect()
+              if r.split == "val"}
+    wide = {r.image_id for r in split.spatial_split(t, 0.3).collect()
+            if r.split == "val"}
+    assert narrow < wide                                 # monotone holdout
+
+
+def test_hash_sample_nested_and_unbiased(spark, docs):
+    """The 5% sample is a strict subset of the 20% sample under the
+    same salt (composability), and the realized fraction is within
+    binomial noise of the target."""
+    from rasters_spark.datapipe import split
+
+    small = {r.doc_id for r in split.hash_sample(docs, 0.05, key="doc_id").collect()}
+    big = {r.doc_id for r in split.hash_sample(docs, 0.20, key="doc_id").collect()}
+    assert small <= big
+    n = docs.count()
+    got = len(big) / n
+    assert abs(got - 0.20) < 4 * (0.2 * 0.8 / n) ** 0.5 + 0.02
+
+
+def test_cap_per_group_bound_and_total_order(spark):
+    """No group exceeds the cap, survivors are exactly the n smallest
+    (hash, id) pairs — verified by python recomputation of the same
+    md5 arithmetic — and the result is partitioning-invariant."""
+    import hashlib
+
+    from rasters_spark.datapipe import split
+    from rasters_spark.tiles import tiles_with_cells
+
+    t = tiles_with_cells(load_tiles(spark, SF))
+    capped = split.cap_per_group(t, "cell_id", 2).select("cell_id", "image_id")
+    got = {(r.cell_id, r.image_id) for r in capped.collect()}
+    sizes = {}
+    for c, _ in got:
+        sizes[c] = sizes.get(c, 0) + 1
+    assert max(sizes.values()) <= 2
+    full = [(r.cell_id, r.image_id) for r in t.select("cell_id", "image_id").collect()]
+    by_cell = {}
+    for c, i in full:
+        h = int(hashlib.md5(f"{i}|v1".encode()).hexdigest()[:15], 16)
+        by_cell.setdefault(c, []).append((h, i))
+    expect = {(c, i) for c, hs in by_cell.items() for _, i in sorted(hs)[:2]}
+    assert got == expect
+    reparted = {(r.cell_id, r.image_id)
+                for r in split.cap_per_group(t.repartition(13), "cell_id", 2)
+                .select("cell_id", "image_id").collect()}
+    assert reparted == got
