@@ -892,6 +892,36 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.hash_sample(docs, 0.1, key="doc_id").select("doc_id", "lang")
 
 
+def _zone_lattice(spark: SparkSession) -> DataFrame:
+    """48 rect zones tiling the fixture's tile band (lon −180+⅓ step
+    30 × lat 45+⅓ step 9): the ⅓ offsets keep every zone edge off the
+    dyadic pixel-centroid lattice so the half-open bbox rule and the
+    ray-cast kernel cannot disagree on a boundary. The identical
+    bounds are regenerated in the oracle from the same expressions."""
+    z = spark.range(48).select(
+        F.col("id").alias("poly_id"),
+        (F.lit(-180.0) + (F.col("id") % 12) * 30.0 + F.lit(1.0) / 3.0).alias("xmin"),
+        (F.lit(45.0) + (F.col("id") / 12).cast("long") * 9.0 + F.lit(1.0) / 3.0).alias("ymin"),
+    ).withColumn("xmax", F.col("xmin") + 30.0).withColumn("ymax", F.col("ymin") + 9.0)
+    pt = lambda xc, yc: F.struct(F.col(xc).alias("x"), F.col(yc).alias("y"))  # noqa: E731
+    return z.withColumn("ring", F.array(
+        pt("xmin", "ymin"), pt("xmax", "ymin"), pt("xmax", "ymax"),
+        pt("xmin", "ymax"), pt("xmin", "ymin"))).withColumn("is_rect", F.lit(True))
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (stats.zonal_stats): per-zone
+    (n_valid, vsum, vmin, vmax, vmean) over finite pixel CENTROIDS
+    inside each zone — mask-then-reduce fused into one Arrow pass.
+    Payload-free cell join → zones folded per tile → bytes cross ONE
+    equi-join → 4-double partials → one groupBy(poly_id). Exact-sum
+    oracle on fmt='raw' quarter-integer pixels over the shared
+    48-zone rect lattice."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return stats.zonal_stats(t, _zone_lattice(spark)).select(
+        "poly_id", "n_valid", "vsum", "vmin", "vmax", "vmean")
+
+
 def q_pixel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector: every valid pixel as a value-attached point.
     Deterministic 200-tile slice (id-range filter, not limit — limit
@@ -1641,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_split": q_spatial_split,
         "stratified_cell_cap": q_stratified_cell_cap,
         "hash_sample": q_hash_sample,
+        "zonal_stats": q_zonal_stats,
         "simhash_sigs": q_simhash_sigs,
         "doc_stats": q_doc_stats,
         "langid": q_langid,
@@ -2557,6 +2588,34 @@ def oracle_sql() -> dict[str, str]:
             where cast(('0x' || substr(md5(concat_ws('|',
                     cast(doc_id as varchar), 'v1')), 1, 15)) as bigint)
                   / 1152921504606846976.0 < 0.1
+        """,
+        # the 48-zone rect lattice is regenerated from the same literal
+        # expressions as _zone_lattice; pixel centroids use the
+        # pixel_centroids formula, sums exact (quarter-integer raw pixels)
+        "zonal_stats": f"""
+            with z as (
+              select range as i,
+                     -180.0 + (range % 12) * 30.0 + 1.0 / 3.0 as xmin,
+                     45.0 + (range // 12) * 9.0 + 1.0 / 3.0 as ymin
+              from range(48)
+            ),
+            zz as (select i as poly_id, xmin, ymin,
+                          xmin + 30.0 as xmax, ymin + 9.0 as ymax from z),
+            px as (
+              select g.poly_id, cast(px.value as double) as v
+              from {pixels} px
+              join {tiles} t using (image_id)
+              join zz g
+                on t.x_origin + t.cell_width * (px.pcol + 0.5) >= g.xmin
+               and t.x_origin + t.cell_width * (px.pcol + 0.5) <  g.xmax
+               and t.y_origin + t.cell_height * (px.prow + 0.5) >= g.ymin
+               and t.y_origin + t.cell_height * (px.prow + 0.5) <  g.ymax
+              where t.fmt = 'raw' and not isnan(px.value)
+            )
+            select poly_id, count(*) as n_valid, sum(v) as vsum,
+                   min(v) as vmin, max(v) as vmax,
+                   sum(v) / count(*) as vmean
+            from px group by poly_id
         """,
         "audio_wav_features": """
             with d as (select doc_id from documents where doc_id < 100),

@@ -149,3 +149,55 @@ def test_rasterize_huge_polygon_sharded(spark):
     agg = out.agg(F.sum("value").alias("s"), F.min("value").alias("mn"),
                   F.max("value").alias("mx")).collect()[0]
     assert agg.mn == 7.0 and agg.mx == 7.0 and agg.s == 7.0 * 160_000
+
+
+def test_zonal_stats_triangle_vs_numpy(spark):
+    """Zonal statistics through the EXACT ray-cast path (a non-rect
+    triangle zone), recomputed brute-force in numpy over the decoded
+    fixture pixels — count, sum, min, max, mean all equal (sums exact:
+    quarter-integer raw pixels)."""
+    from rasters_spark import codec
+    from rasters_spark.operators import stats
+    from rasters_spark.operators.joins import ray_cast_inside
+
+    t = load_tiles(spark, SF).filter("fmt = 'raw'")
+    rows = t.select("image_id", "bytes", "w", "h", "fmt",
+                    "x_origin", "y_origin", "cell_width", "cell_height").collect()
+    # a triangle spanning the fixture tile band, edges off the lattice
+    tri = [(-170.3, 46.1), (-100.7, 79.2), (-30.9, 46.1), (-170.3, 46.1)]
+    rx = np.array([p[0] for p in tri])
+    ry = np.array([p[1] for p in tri])
+    n = 0
+    vs = []
+    for r in rows:
+        arr = next(iter(codec.decode_batch(
+            __import__("pandas").Series([r.bytes]),
+            __import__("pandas").Series([r.w]),
+            __import__("pandas").Series([r.h]),
+            __import__("pandas").Series([r.fmt]))))
+        h, w = arr.shape
+        xs = r.x_origin + r.cell_width * (np.arange(w) + 0.5)
+        ys = r.y_origin + r.cell_height * (np.arange(h) + 0.5)
+        gx = np.broadcast_to(xs, (h, w)).ravel()
+        gy = np.repeat(ys, w)
+        v = arr.ravel()
+        m = np.isfinite(v)
+        keep = ray_cast_inside(gx[m], gy[m], rx, ry)
+        vs.append(v[m][keep].astype(np.float64))
+    expect = np.concatenate(vs)
+    zones = spark.createDataFrame(
+        [(0, float(rx.min()), float(ry.min()), float(rx.max()), float(ry.max()),
+          [{"x": float(a), "y": float(b)} for a, b in tri], False)],
+        "poly_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring array<struct<x:double,y:double>>, is_rect boolean")
+    got = stats.zonal_stats(t, zones).collect()
+    assert len(got) == 1 and expect.size > 0
+    g = got[0]
+    assert g.n_valid == expect.size
+    assert g.vsum == expect.sum()
+    assert g.vmin == expect.min() and g.vmax == expect.max()
+    assert g.vmean == g.vsum / g.n_valid
+    # plan shape: map-only over the payload — the ONLY exchange is the
+    # final 4-double partial agg; tile bytes never shuffle, no join
+    plan = stats.zonal_stats(t, zones)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Join" not in plan
