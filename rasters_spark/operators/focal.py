@@ -272,6 +272,131 @@ def focal_stats(tiles: DataFrame, radius: int = 1) -> DataFrame:
     return src.mapInPandas(run, schema=schema)
 
 
+def _kernel_array(kernel) -> np.ndarray:
+    """Validate an odd-square 2-D weight kernel → float64 array."""
+    k = np.asarray(kernel, dtype=np.float64)
+    if k.ndim != 2 or k.shape[0] != k.shape[1] or k.shape[0] % 2 == 0:
+        raise ValueError(f"kernel must be odd-square 2-D, got shape {k.shape}")
+    return k
+
+
+#: 3×3 binomial (Gaussian-approximating) blur — the separable
+#: [1,2,1]/4 ⊗ [1,2,1]/4 kernel. All weights are dyadic rationals
+#: (sixteenths), so weight·quarter-integer products and their sums stay
+#: EXACT in float64 — the kernel family the exact-sum oracle rule allows.
+BINOMIAL3 = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64) / 16.0
+
+#: 3×3 Laplacian (4-neighbor second difference) — integer weights,
+#: classic sharpen/edge-detect companion to the blur.
+LAPLACIAN3 = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], dtype=np.float64)
+
+
+def _convolve_grids(pad: np.ndarray, hh: int, ww: int, k: np.ndarray):
+    """Weighted (2r+1)²-shifted reduction: per-cell
+    ``num = Σ w_j·v_j`` and ``den = Σ w_j`` over the VALID window
+    pixels, plus the valid count. Shifted adds keep one Arrow pass per
+    tile; with dyadic weights and exactly-representable pixels every
+    product and partial sum is exact, so ``num`` is order-independent
+    and bit-reproducible relationally."""
+    r = k.shape[0] // 2
+    valid = np.isfinite(pad)
+    vz = np.where(valid, pad, 0.0)
+    num = np.zeros((hh, ww), dtype=np.float64)
+    den = np.zeros((hh, ww), dtype=np.float64)
+    n = np.zeros((hh, ww), dtype=np.int64)
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            w = k[dy, dx]
+            sl_v = vz[dy:dy + hh, dx:dx + ww]
+            sl_m = valid[dy:dy + hh, dx:dx + ww]
+            if w != 0.0:
+                num += w * sl_v
+                den += w * sl_m
+            n += sl_m
+    return num, den, n
+
+
+def convolve_tiles(tiles: DataFrame, kernel=BINOMIAL3,
+                   normalize: bool = True) -> DataFrame:
+    """Raster→raster focal convolution with cross-tile halo exchange —
+    the blur/sharpen/edge map-algebra operator (EXTENSION beyond the
+    reference, which has no convolution family; companion to
+    ``focal_tiles``). Returns the tile set with ``bytes`` replaced by
+    the convolved grid (fmt raw).
+
+    ``normalize=True`` renormalizes by the weight mass of the VALID
+    window pixels (partial-kernel renormalization, the GIS blur
+    convention, NaN where the valid weight mass is 0); ``False``
+    returns the raw weighted sum (NaN where no valid pixel), the right
+    form for difference kernels like ``LAPLACIAN3`` whose full-window
+    weight mass is 0. Scale shape: identical to ``focal_tiles`` — the
+    skinny strip exchange + ONE payload join, then a map-only kernel."""
+    k = _kernel_array(kernel)
+    radius = k.shape[0] // 2
+    t = _with_halo_payload(tiles, radius)
+    schema = ", ".join(
+        ["image_id string", "x_origin double", "y_origin double",
+         "cell_width double", "cell_height double", "crs string",
+         "w int", "h int", "fmt string", "bytes binary"])
+    src = t.select("image_id", "x_origin", "y_origin", "cell_width",
+                   "cell_height", "crs", "w", "h", "fmt", "bytes", "halos")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in ("image_id", "x_origin", "y_origin", "cell_width",
+                                    "cell_height", "crs", "w", "h", "fmt", "bytes")}
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                pad = _place_halos(arr, pdf["halos"].iloc[i], radius)
+                num, den, n = _convolve_grids(pad, hh, ww, k)
+                if normalize:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        out = np.where(den != 0.0, num / den, np.nan)
+                else:
+                    out = np.where(n > 0, num, np.nan)
+                for c in ("image_id", "x_origin", "y_origin", "cell_width",
+                          "cell_height", "crs", "w", "h"):
+                    rows[c].append(pdf[c].iloc[i])
+                rows["fmt"].append("raw")
+                rows["bytes"].append(out.astype(np.float32).tobytes())
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def convolve_stats(tiles: DataFrame, kernel=BINOMIAL3) -> DataFrame:
+    """Per-tile reduction of the UNNORMALIZED convolution — the
+    oracle-friendly contract shape (mirror of ``focal_stats``):
+    ``(image_id, conv_cells, conv_sum)`` with ``conv_sum`` the sum over
+    cells of ``Σ w_j·v_j`` (valid window pixels only) and
+    ``conv_cells`` the cells with ≥1 valid window pixel. With dyadic
+    kernel weights and quarter-integer pixels every term is exact, so a
+    relational twin joining the same (center, neighbor, weight) triples
+    matches bit-for-bit in any accumulation order."""
+    k = _kernel_array(kernel)
+    radius = k.shape[0] // 2
+    t = _with_halo_payload(tiles, radius)
+    src = t.select("image_id", "w", "h", "fmt", "bytes", "halos")
+    schema = "image_id string, conv_cells long, conv_sum double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cells, sums = [], [], []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                pad = _place_halos(arr, pdf["halos"].iloc[i], radius)
+                num, _den, n = _convolve_grids(pad, hh, ww, k)
+                ids.append(pdf["image_id"].iloc[i])
+                cells.append(int((n > 0).sum()))
+                sums.append(float(np.where(n > 0, num, 0.0).sum()))
+            yield pd.DataFrame({"image_id": ids, "conv_cells": cells,
+                                "conv_sum": sums})
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def lattice_remap(tiles: DataFrame, per_row: int = 40) -> DataFrame:
     """Deterministically re-origin tiles onto a dense row-major lattice
     (per layout group, ordered by image_id) — a metadata-only transform

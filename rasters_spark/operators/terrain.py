@@ -1,0 +1,184 @@
+"""Terrain analysis — Horn slope / aspect / hillshade over tiled DEMs.
+
+EXTENSION beyond the reference (no terrain family in /root/reference —
+verified by grep): the classic DEM derivatives (Horn 1981, "Hill
+shading and the reflectance map", Proc. IEEE 69(1); same weighted
+finite-difference stencil GDAL DEMProcessing and ESRI use), expressed
+for Spark's execution model by reusing the focal halo-exchange
+machinery (operators/focal.py) — strips cross tile seams so derivative
+cells at tile edges are seamless.
+
+Semantics (STRICT window): a cell gets values only when all 9 pixels
+of its 3×3 window are finite — partial windows are excluded, which
+both engines can express identically (the oracle requires a 9/9
+valid-neighbor count). With the fixtures' quarter-integer pixels the
+Horn weighted differences are EXACT dyadic doubles, so the gradients
+``gx``/``gy`` are bit-identical between the numpy kernel and a
+relational twin. The remaining transcendentals (atan, atan2) differ by
+≤1 ulp across libms, absorbed by the %.9e printf-quantization rule
+(CLAUDE.md); hillshade avoids the branch-cut entirely via the
+normal·light dot-product form whose every operation is deterministic
+IEEE (mul/add/sub/sqrt), with the light-vector constants inlined
+bit-identically into both engines' expressions.
+
+Grid orientation: ``gx`` is the derivative toward +pcol (east),
+``gy`` toward +prow; north is −prow when ``cell_height < 0`` (the
+normal north-up layout), so the northward derivative is
+``gn = −gy·sign(cell_height)``. Aspect is compass-convention (0°=N,
+90°=E, facing DOWNslope), NULL on flat cells; hillshade is the
+UNCLAMPED Lambertian reflectance × 255 (can be negative on
+anti-facing steep slopes — clamp at render time, not in the analytic
+value, so near-zero values stay deterministic).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from rasters_spark import codec
+from rasters_spark.operators.focal import _place_halos, _with_halo_payload
+
+#: default illumination (the GDAL/ESRI hillshade defaults).
+DEFAULT_ALTITUDE = 45.0
+DEFAULT_AZIMUTH = 315.0
+
+
+def light_vector(altitude_deg: float = DEFAULT_ALTITUDE,
+                 azimuth_deg: float = DEFAULT_AZIMUTH) -> tuple[float, float, float]:
+    """(east, north, up) unit light vector for a sun at
+    ``altitude_deg`` above the horizon, ``azimuth_deg`` compass-from-
+    north. Computed ONCE in Python and inlined into both the numpy
+    kernel and the SQL oracle so the constants are bit-identical."""
+    alt = math.radians(altitude_deg)
+    az = math.radians(azimuth_deg)
+    return (math.cos(alt) * math.sin(az),
+            math.cos(alt) * math.cos(az),
+            math.sin(alt))
+
+
+def slope_aspect_hillshade(tiles: DataFrame, z_factor: float = 1.0,
+                           altitude_deg: float = DEFAULT_ALTITUDE,
+                           azimuth_deg: float = DEFAULT_AZIMUTH) -> DataFrame:
+    """Per-cell Horn derivatives over a tiled DEM with halo exchange:
+    ``(image_id, prow, pcol, slope_deg, aspect_deg, hillshade)`` for
+    every cell whose full 3×3 window is finite.
+
+    Scale shape: identical to ``focal_tiles`` — a skinny O(perimeter)
+    strip exchange, ONE payload join, then a map-only Arrow kernel;
+    the output is skinny per-cell doubles (no tile blobs cross any
+    further exchange)."""
+    lx, ly, lz = light_vector(altitude_deg, azimuth_deg)
+    zf = float(z_factor)
+    t = _with_halo_payload(tiles, 1)
+    src = t.select("image_id", "cell_width", "cell_height",
+                   "w", "h", "fmt", "bytes", "halos")
+    schema = ("image_id string, prow int, pcol int, "
+              "slope_deg double, aspect_deg double, hillshade double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                cw = float(pdf["cell_width"].iloc[i])
+                ch = float(pdf["cell_height"].iloc[i])
+                pad = _place_halos(arr, pdf["halos"].iloc[i], 1)
+                # z1..z9 row-major over (prow-1..+1, pcol-1..+1)
+                z = [pad[dy:dy + hh, dx:dx + ww]
+                     for dy in range(3) for dx in range(3)]
+                z1, z2, z3, z4, _z5, z6, z7, z8, z9 = z
+                ok = np.isfinite(pad)
+                complete = np.ones((hh, ww), dtype=bool)
+                for dy in range(3):
+                    for dx in range(3):
+                        complete &= ok[dy:dy + hh, dx:dx + ww]
+                # Horn weighted differences — dyadic-exact for
+                # quarter-integer pixels; expression order mirrors the
+                # oracle SQL text verbatim (CLAUDE.md shared-text rule).
+                gx = zf * (((z3 + 2.0 * z6 + z9) - (z1 + 2.0 * z4 + z7)) / (8.0 * abs(cw)))
+                gy = zf * (((z7 + 2.0 * z8 + z9) - (z1 + 2.0 * z2 + z3)) / (8.0 * abs(ch)))
+                gn = -gy if ch < 0 else gy
+                with np.errstate(invalid="ignore"):
+                    slope = np.degrees(np.arctan(np.sqrt(gx * gx + gn * gn)))
+                    aspect = np.fmod(np.degrees(np.arctan2(-gx, gn)) + 360.0, 360.0)
+                    hs = (255.0 * (lx * (-gx) + ly * (-gn) + lz)
+                          / np.sqrt(1.0 + gx * gx + gn * gn))
+                flat = (gx == 0.0) & (gn == 0.0)
+                rows, cols = np.nonzero(complete)
+                if rows.size == 0:
+                    continue
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rows.astype(np.int32),
+                    "pcol": cols.astype(np.int32),
+                    "slope_deg": slope[rows, cols],
+                    "aspect_deg": np.where(flat, np.nan, aspect)[rows, cols],
+                    "hillshade": hs[rows, cols],
+                }))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "slope_deg": pd.Series([], dtype=float),
+                                 "aspect_deg": pd.Series([], dtype=float),
+                                 "hillshade": pd.Series([], dtype=float)}))
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def hillshade_tiles(tiles: DataFrame, z_factor: float = 1.0,
+                    altitude_deg: float = DEFAULT_ALTITUDE,
+                    azimuth_deg: float = DEFAULT_AZIMUTH) -> DataFrame:
+    """Raster→raster hillshade: the tile set with ``bytes`` replaced by
+    the render-ready CLAMPED [0,255] hillshade grid (fmt raw; NaN where
+    the window is incomplete). The clamp lives HERE (the render
+    surface), not in the analytic per-cell values, so the oracle-checked
+    path never hashes a max(0,·) boundary."""
+    lx, ly, lz = light_vector(altitude_deg, azimuth_deg)
+    zf = float(z_factor)
+    t = _with_halo_payload(tiles, 1)
+    src = t.select("image_id", "x_origin", "y_origin", "cell_width",
+                   "cell_height", "crs", "w", "h", "fmt", "bytes", "halos")
+    schema = ", ".join(
+        ["image_id string", "x_origin double", "y_origin double",
+         "cell_width double", "cell_height double", "crs string",
+         "w int", "h int", "fmt string", "bytes binary"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in ("image_id", "x_origin", "y_origin", "cell_width",
+                                    "cell_height", "crs", "w", "h", "fmt", "bytes")}
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                cw = float(pdf["cell_width"].iloc[i])
+                ch = float(pdf["cell_height"].iloc[i])
+                pad = _place_halos(arr, pdf["halos"].iloc[i], 1)
+                z = [pad[dy:dy + hh, dx:dx + ww]
+                     for dy in range(3) for dx in range(3)]
+                z1, z2, z3, z4, _z5, z6, z7, z8, z9 = z
+                ok = np.isfinite(pad)
+                complete = np.ones((hh, ww), dtype=bool)
+                for dy in range(3):
+                    for dx in range(3):
+                        complete &= ok[dy:dy + hh, dx:dx + ww]
+                gx = zf * (((z3 + 2.0 * z6 + z9) - (z1 + 2.0 * z4 + z7)) / (8.0 * abs(cw)))
+                gy = zf * (((z7 + 2.0 * z8 + z9) - (z1 + 2.0 * z2 + z3)) / (8.0 * abs(ch)))
+                gn = -gy if ch < 0 else gy
+                hs = (255.0 * (lx * (-gx) + ly * (-gn) + lz)
+                      / np.sqrt(1.0 + gx * gx + gn * gn))
+                out = np.where(complete, np.clip(hs, 0.0, 255.0), np.nan)
+                for c in ("image_id", "x_origin", "y_origin", "cell_width",
+                          "cell_height", "crs", "w", "h"):
+                    rows[c].append(pdf[c].iloc[i])
+                rows["fmt"].append("raw")
+                rows["bytes"].append(out.astype(np.float32).tobytes())
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=schema)

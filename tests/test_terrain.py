@@ -1,0 +1,163 @@
+"""Focal convolution + Horn terrain derivatives (operators/focal.py
+convolve_*, operators/terrain.py).
+
+Ground truth mirrors tests/test_focal.py: assemble the lattice into ONE
+global numpy array and brute-force every cell — tile-edge cells then
+prove the halo exchange feeds the stencils correctly.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from rasters_spark import codec
+from rasters_spark.operators import focal, terrain
+
+from tests.test_focal import (  # noqa: F401  (spark, lattice fixtures)
+    COLS, CW, CH, H, NX, NY, W, _global_array, _lattice_rows, lattice,
+)
+
+
+def _collect_tiles(df):
+    got = {}
+    for row in df.collect():
+        got[row["image_id"]] = codec.decode_tile(row["bytes"], row["w"], row["h"], "raw")
+    return got
+
+
+def _brute_conv(g, k, normalize):
+    r = k.shape[0] // 2
+    gh, gw = g.shape
+    pad = np.full((gh + 2 * r, gw + 2 * r), np.nan)
+    pad[r:r + gh, r:r + gw] = g
+    out = np.full((gh, gw), np.nan)
+    for i in range(gh):
+        for j in range(gw):
+            win = pad[i:i + 2 * r + 1, j:j + 2 * r + 1]
+            m = np.isfinite(win)
+            if not m.any():
+                continue
+            num = float((k[m] * win[m]).sum())
+            if normalize:
+                den = float(k[m].sum())
+                out[i, j] = num / den if den != 0.0 else np.nan
+            else:
+                out[i, j] = num
+    return out
+
+
+@pytest.mark.parametrize("kernel,normalize", [
+    (focal.BINOMIAL3, True),
+    (focal.LAPLACIAN3, False),
+])
+def test_convolve_tiles_match_global_brute(spark, lattice, kernel, normalize):
+    want = _brute_conv(_global_array(), kernel, normalize)
+    got = _collect_tiles(focal.convolve_tiles(lattice, kernel, normalize=normalize))
+    for ty in range(NY):
+        for tx in range(NX):
+            crop = want[ty * H:(ty + 1) * H, tx * W:(tx + 1) * W]
+            np.testing.assert_allclose(
+                got[f"t{ty}{tx}"], crop.astype(np.float32),
+                rtol=0, atol=1e-6, equal_nan=True,
+                err_msg=f"tile t{ty}{tx} kernel={kernel.tolist()}")
+
+
+def test_convolve_stats_match_brute(spark, lattice):
+    g = _global_array()
+    num = _brute_conv(g, focal.BINOMIAL3, normalize=False)
+    rows = {r["image_id"]: r for r in focal.convolve_stats(lattice, focal.BINOMIAL3).collect()}
+    for ty in range(NY):
+        for tx in range(NX):
+            crop = num[ty * H:(ty + 1) * H, tx * W:(tx + 1) * W]
+            r = rows[f"t{ty}{tx}"]
+            assert r["conv_cells"] == int(np.isfinite(crop).sum())
+            # binomial weights are sixteenths and pixels quarter-integers
+            # — the sums are exact doubles, so compare exactly
+            assert r["conv_sum"] == float(np.nansum(crop))
+
+
+def test_kernel_validation():
+    with pytest.raises(ValueError):
+        focal._kernel_array(np.ones((2, 2)))
+    with pytest.raises(ValueError):
+        focal._kernel_array(np.ones((3, 5)))
+
+
+def _brute_terrain(g, zf=1.0, alt=terrain.DEFAULT_ALTITUDE, az=terrain.DEFAULT_AZIMUTH):
+    """Per-cell Horn derivatives over the global array; returns dict
+    (grow, gcol) -> (slope, aspect|nan, hillshade) for complete windows."""
+    lx, ly, lz = terrain.light_vector(alt, az)
+    gh, gw = g.shape
+    out = {}
+    for i in range(1, gh - 1):
+        for j in range(1, gw - 1):
+            win = g[i - 1:i + 2, j - 1:j + 2]
+            if not np.isfinite(win).all():
+                continue
+            z1, z2, z3, z4, _z5, z6, z7, z8, z9 = win.ravel()
+            gx = zf * (((z3 + 2.0 * z6 + z9) - (z1 + 2.0 * z4 + z7)) / (8.0 * abs(CW)))
+            gy = zf * (((z7 + 2.0 * z8 + z9) - (z1 + 2.0 * z2 + z3)) / (8.0 * abs(CH)))
+            gn = -gy if CH < 0 else gy
+            slope = math.degrees(math.atan(math.sqrt(gx * gx + gn * gn)))
+            aspect = (math.fmod(math.degrees(math.atan2(-gx, gn)) + 360.0, 360.0)
+                      if not (gx == 0.0 and gn == 0.0) else np.nan)
+            hs = (255.0 * (lx * (-gx) + ly * (-gn) + lz)
+                  / math.sqrt(1.0 + gx * gx + gn * gn))
+            out[(i, j)] = (slope, aspect, hs)
+    return out
+
+
+def test_slope_aspect_hillshade_match_global_brute(spark, lattice):
+    want = _brute_terrain(_global_array())
+    got = {}
+    for r in terrain.slope_aspect_hillshade(lattice).collect():
+        ty, tx = int(r["image_id"][1]), int(r["image_id"][2])
+        got[(ty * H + r["prow"], tx * W + r["pcol"])] = (
+            r["slope_deg"], r["aspect_deg"], r["hillshade"])
+    # interior lattice cells with complete windows must agree exactly
+    # (mind NaN aspect on flat cells)
+    assert set(got) == set(want)
+    for key, (s, a, h) in want.items():
+        gs, ga, gh_ = got[key]
+        assert gs == pytest.approx(s, abs=1e-12), key
+        if math.isnan(a):
+            assert math.isnan(ga), key
+        else:
+            assert ga == pytest.approx(a, abs=1e-12), key
+        assert gh_ == pytest.approx(h, abs=1e-12), key
+
+
+def test_terrain_slope_direction_sanity(spark):
+    """A plane rising due east: slope = atan(1) everywhere, aspect=90°
+    (faces west→east downslope... the FACING direction is west, 270°),
+    hillshade brighter than flat for a NW sun? — pin the exact values."""
+    # plane z = x (in cell units): increases eastward ⇒ downslope faces
+    # WEST ⇒ aspect 270°. Use cw=1 so gx = 1 exactly.
+    r, c = np.mgrid[0:4, 0:4]
+    arr = c.astype(np.float64)
+    rows = [("p00", codec.encode_tile(arr.astype(np.float32), "raw"),
+             4, 4, "raw", "EPSG:4326", 0.0, 0.0, 1.0, -1.0)]
+    df = spark.createDataFrame(rows, COLS)
+    out = terrain.slope_aspect_hillshade(df).collect()
+    # interior cells only (strict window)
+    assert len(out) == 4
+    for row in out:
+        assert row["slope_deg"] == pytest.approx(45.0)
+        assert row["aspect_deg"] == pytest.approx(270.0)
+
+
+def test_hillshade_tiles_clamped(spark, lattice):
+    vals = {}
+    for r in terrain.slope_aspect_hillshade(lattice).collect():
+        vals[(r["image_id"], r["prow"], r["pcol"])] = r["hillshade"]
+    tiles = _collect_tiles(terrain.hillshade_tiles(lattice))
+    n_checked = 0
+    for (iid, pr, pc), hs in vals.items():
+        got = tiles[iid][pr, pc]
+        want = min(max(hs, 0.0), 255.0)
+        assert got == pytest.approx(want, abs=1e-4)
+        n_checked += 1
+    assert n_checked > 0
+    # incomplete-window cells are NaN in the raster
+    assert np.isnan(tiles["t00"][0, 0])
