@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rasters_spark import cells, fixtures, grid
-from rasters_spark.datapipe import dedup, multimodal, similarity, split, textstats
+from rasters_spark.datapipe import (dedup, multimodal, shards, similarity,
+                                    split, textstats)
 from rasters_spark.functions import crs as crsfn
 from rasters_spark.functions import render as renderfn
 from rasters_spark.functions import vector as vecfn
@@ -942,6 +943,23 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.hash_sample(docs, 0.1, key="doc_id").select("doc_id", "lang")
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard packing (datapipe/shards.py): every
+    document joins shard ``exclusive_prefix // target`` in the global
+    md5(doc_id‖salt) order — the webdataset-style shard assignment a
+    100-TB training build writes files from. The Spark side is the
+    scale-correct TWO-PHASE distributed prefix sum (fixed md5-range
+    buckets → P-row totals aggregate → per-bucket cumsum + driver
+    offsets), NOT a global unpartitioned window (one task at any
+    scale); the oracle IS that global window —
+    ``sum(n_chars) over (order by hkey, doc_id rows between unbounded
+    preceding and 1 preceding) // target`` — so a hash match proves the
+    distributed decomposition reproduces the sequential semantics
+    exactly (pure int64 arithmetic, no float anywhere)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shards.pack_shards(docs, 4096).select("doc_id", "n_chars", "shard_id")
+
+
 def _zone_lattice(spark: SparkSession) -> DataFrame:
     """48 rect zones tiling the fixture's tile band (lon −180+⅓ step
     30 × lat 45+⅓ step 9): the ⅓ offsets keep every zone edge off the
@@ -1657,15 +1675,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries (netcdf_cdf5_roundtrip, pq_topk_bulk, stream_minhash_dedup,
     focal_halo_stats, transform_cyl, table_compaction, spatial_split,
     stratified_cell_cap, hash_sample, zonal_stats, focal_convolve,
-    terrain_horn). The window is oversubscribed by five: the rows-only
-    entries (swath_resize, grid_to_size, reproject_utm, newest record
-    r03) are deliberately deprioritized — the driver can only row-count
-    them, so a fresh oracle-green row for a hash-checkable entry is
-    strictly more evidence — and rasterize_replace / swath_twohop
-    (r03-green) step aside because a sibling entry certifies the same
-    kernel path this round (rasterize_add shares the rasterize kernel;
+    terrain_horn, pack_shards). The window is oversubscribed by six:
+    the rows-only entries (swath_resize, grid_to_size, reproject_utm,
+    newest record r03) are deliberately deprioritized — the driver can
+    only row-count them, so a fresh oracle-green row for a
+    hash-checkable entry is strictly more evidence — and
+    rasterize_replace / swath_twohop / geotiff_roundtrip (r03-green)
+    step aside because a sibling entry certifies the same kernel path
+    this round (rasterize_add shares the rasterize kernel;
     swath_twohop's two hops are covered by swath_to_grid_nn +
-    to_grid_average). All five MUST head the r06 rotation. The
+    to_grid_average; cog_roundtrip exercises the same TIFF codec core
+    plus the COG layout). All six MUST head the r06 rotation. The
     r04-green remainder follows them behind the marker.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
@@ -1686,7 +1706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_in_polygons_semi": q_tiles_in_polygons_semi,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "resize_bilinear": q_resize_bilinear,
-        "geotiff_roundtrip": q_geotiff_roundtrip,
         "cog_roundtrip": q_cog_roundtrip,
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
@@ -1724,7 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "focal_convolve": q_focal_convolve,
         "terrain_horn": q_terrain_horn,
+        "pack_shards": q_pack_shards,
         # ---- position 50+ from here: r04-certified / rows-only ---------
+        "geotiff_roundtrip": q_geotiff_roundtrip,
         "rasterize_replace": q_rasterize_replace,
         "swath_twohop": q_swath_twohop,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2771,6 +2792,22 @@ def oracle_sql() -> dict[str, str]:
             where cast(('0x' || substr(md5(concat_ws('|',
                     cast(doc_id as varchar), 'v1')), 1, 15)) as bigint)
                   / 1152921504606846976.0 < 0.1
+        """,
+        # the sequential spelling of the shard assignment: one global
+        # window in hash order; the Spark side must reproduce it with
+        # the two-phase distributed prefix sum. Pure int64 arithmetic.
+        "pack_shards": """
+            with o as (
+              select doc_id, n_chars,
+                     cast(('0x' || substr(md5(concat_ws('|',
+                         cast(doc_id as varchar), 'v1')), 1, 15)) as bigint) as hkey
+              from documents
+            )
+            select doc_id, n_chars,
+                   coalesce(sum(n_chars) over (order by hkey, doc_id
+                       rows between unbounded preceding and 1 preceding), 0)
+                   // 4096 as shard_id
+            from o
         """,
         # the 48-zone rect lattice is regenerated from the same literal
         # expressions as _zone_lattice; pixel centroids use the

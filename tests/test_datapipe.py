@@ -608,3 +608,60 @@ def test_cap_per_group_bound_and_total_order(spark):
                 for r in split.cap_per_group(t.repartition(13), "cell_id", 2)
                 .select("cell_id", "image_id").collect()}
     assert reparted == got
+
+
+def test_pack_shards_matches_single_node_brute(spark, docs):
+    """The two-phase distributed prefix sum must equal the one-node
+    answer: sort ALL docs by (md5 hash, doc_id), exclusive cumsum,
+    integer-divide by target."""
+    import hashlib
+
+    from rasters_spark.datapipe import shards
+
+    target = 4096
+    got = {r.doc_id: r.shard_id
+           for r in shards.pack_shards(docs, target).collect()}
+    rows = docs.select("doc_id", "n_chars").collect()
+
+    def h60(doc_id):
+        return int(hashlib.md5(f"{doc_id}|v1".encode()).hexdigest()[:15], 16)
+
+    ordered = sorted(rows, key=lambda r: (h60(r.doc_id), r.doc_id))
+    prefix = 0
+    for r in ordered:
+        assert got[r.doc_id] == prefix // target, r.doc_id
+        prefix += r.n_chars
+    assert len(got) == len(rows)
+    # shard ids are dense 0..K
+    assert set(got.values()) == set(range(max(got.values()) + 1))
+
+
+def test_pack_shards_partitioning_invariant(spark, docs):
+    """Same assignment no matter how the input is partitioned and no
+    matter the bucket count — determinism is the whole point."""
+    from rasters_spark.datapipe import shards
+
+    a = {r.doc_id: r.shard_id
+         for r in shards.pack_shards(docs.repartition(13), 4096,
+                                     num_buckets=7).collect()}
+    b = {r.doc_id: r.shard_id
+         for r in shards.pack_shards(docs.coalesce(1), 4096,
+                                     num_buckets=64).collect()}
+    assert a == b
+
+
+def test_pack_shards_size_bounds(spark, docs):
+    """Every shard's payload is within target ± max_doc (the final
+    shard may be smaller)."""
+    from rasters_spark.datapipe import shards
+
+    target = 4096
+    out = shards.pack_shards(docs, target)
+    sizes = {r.shard_id: r.tot for r in
+             out.groupBy("shard_id").agg(F.sum("n_chars").alias("tot")).collect()}
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    last = max(sizes)
+    for sid, tot in sizes.items():
+        assert tot < target + max_doc, (sid, tot)
+        if sid != last:
+            assert tot > target - max_doc, (sid, tot)
