@@ -34,7 +34,7 @@ from rasters_spark.datapipe import (dedup, multimodal, shards, similarity,
 from rasters_spark.functions import crs as crsfn
 from rasters_spark.functions import render as renderfn
 from rasters_spark.functions import vector as vecfn
-from rasters_spark.operators import bands, focal, neighbors, terrain
+from rasters_spark.operators import bands, contour, focal, neighbors, terrain
 from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
 from rasters_spark.operators import swath as swathops
 from rasters_spark.operators import rastermath as rm
@@ -292,6 +292,31 @@ def q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.isnan(F.col("aspect_deg")),
                F.format_string("%.9e", F.col("aspect_deg"))).alias("aspect_q"),
         F.format_string("%.9e", F.col("hillshade")).alias("hs_q"))
+
+
+#: dyadic (eighth-integer) iso-levels inside the fixture's 0..999.75
+#: quarter-integer pixel range — never exactly equal to a pixel value,
+#: and exact in double on both engines.
+CONTOUR_LEVELS = (250.125, 500.25)
+
+
+def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour extraction (operators/contour.py) —
+    raster→vector iso-lines (gdal_contour analogue, EXTENSION beyond
+    the reference) over the halo-exchanged lattice: per 2×2 pixel
+    block, the level-L segments with edge crossings at
+    t=(L−a)/(b−a) — every input exact dyadic (quarter-integer pixels,
+    eighth-integer levels, power-of-two cell sizes), every op
+    correctly-rounded IEEE, so segment endpoints are BIT-IDENTICAL to
+    the relational twin (4-corner pivot → forced 2-crossing pairing in
+    the shared (top,bottom,left,right) coalesce order → center-mean
+    saddle disambiguation), no printf needed. Blocks are owned by
+    their top-left tile (single ownership — seam segments emitted
+    once, by the tile whose E/S/SE halo serves the block)."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return contour.contour_segments(
+        focal.lattice_remap(t, per_row=40), CONTOUR_LEVELS)
 
 
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1675,17 +1700,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries (netcdf_cdf5_roundtrip, pq_topk_bulk, stream_minhash_dedup,
     focal_halo_stats, transform_cyl, table_compaction, spatial_split,
     stratified_cell_cap, hash_sample, zonal_stats, focal_convolve,
-    terrain_horn, pack_shards). The window is oversubscribed by six:
-    the rows-only entries (swath_resize, grid_to_size, reproject_utm,
-    newest record r03) are deliberately deprioritized — the driver can
-    only row-count them, so a fresh oracle-green row for a
-    hash-checkable entry is strictly more evidence — and
-    rasterize_replace / swath_twohop / geotiff_roundtrip (r03-green)
-    step aside because a sibling entry certifies the same kernel path
-    this round (rasterize_add shares the rasterize kernel;
-    swath_twohop's two hops are covered by swath_to_grid_nn +
-    to_grid_average; cog_roundtrip exercises the same TIFF codec core
-    plus the COG layout). All six MUST head the r06 rotation. The
+    terrain_horn, pack_shards, contour_segments). The window is
+    oversubscribed by seven: the rows-only entries (swath_resize,
+    grid_to_size, reproject_utm, newest record r03) are deliberately
+    deprioritized — the driver can only row-count them, so a fresh
+    oracle-green row for a hash-checkable entry is strictly more
+    evidence — and rasterize_replace / swath_twohop /
+    geotiff_roundtrip / jpeg_roundtrip (r03-green) step aside because
+    a sibling entry certifies the same kernel path this round
+    (rasterize_add shares the rasterize kernel; swath_twohop's two
+    hops are covered by swath_to_grid_nn + to_grid_average;
+    cog_roundtrip exercises the same TIFF codec core plus the COG
+    layout; media_render decode-back re-encodes through the same T.81
+    codec byte-for-byte). All seven MUST head the r06 rotation. The
     r04-green remainder follows them behind the marker.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
@@ -1721,7 +1748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hour_window": q_events_hour_window,
         "multipolygon_pip": q_multipolygon_pip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
-        "jpeg_roundtrip": q_jpeg_roundtrip,
         "simhash_md5": q_simhash_md5,
         "tile_z_order": q_tile_z_order,
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
@@ -1744,7 +1770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_convolve": q_focal_convolve,
         "terrain_horn": q_terrain_horn,
         "pack_shards": q_pack_shards,
+        "contour_segments": q_contour_segments,
         # ---- position 50+ from here: r04-certified / rows-only ---------
+        "jpeg_roundtrip": q_jpeg_roundtrip,
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "rasterize_replace": q_rasterize_replace,
         "swath_twohop": q_swath_twohop,
@@ -2272,6 +2300,120 @@ def _terrain_horn_sql(tiles: str, pixels: str) -> str:
     """
 
 
+def _contour_sql(tiles: str, pixels: str) -> str:
+    """DuckDB twin of q_contour_segments: pivot the 4 block corners
+    with ONE join + conditional max (join-stack rule), cross the
+    levels, compute the same exact-dyadic crossings, pair the forced
+    2-crossing case by the shared coalesce order, disambiguate saddles
+    by the center mean, canonicalize endpoints lexicographically.
+    Every expression mirrors the kernel text — all inputs dyadic and
+    all ops correctly rounded, so the doubles hash bit-identically."""
+    lvs = ", ".join(f"({lv!r})" for lv in CONTOUR_LEVELS)
+    return f"""
+        with tl as (
+          select image_id, crs, cell_width, cell_height, w, h,
+                 row_number() over (partition by crs, cell_width, cell_height, w, h
+                                    order by image_id) - 1 as rn
+          from {tiles}
+          where fmt = 'raw' and image_id < 'img000000000300'
+        ),
+        tl2 as (
+          select image_id, crs, cell_width, cell_height, w, h,
+                 rn % 40 as tx, rn // 40 as ty
+          from tl
+        ),
+        px as (
+          select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                 t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                 case when isnan(p.value) then NULL
+                      else cast(p.value as double) end as value
+          from tl2 t join {pixels} p using (image_id)
+        ),
+        offs(dx, dy) as (values (0,0),(1,0),(0,1),(1,1)),
+        cand as (
+          select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                 c.gx, c.gy, c.gx + o.dx as ngx, c.gy + o.dy as ngy, o.dx, o.dy
+          from px c cross join offs o
+        ),
+        blk as (
+          select cand.image_id, cand.cell_width as cw, cand.cell_height as ch,
+                 cand.gx, cand.gy,
+                 max(case when cand.dx = 0 and cand.dy = 0 then n.value end) as za,
+                 max(case when cand.dx = 1 and cand.dy = 0 then n.value end) as zb,
+                 max(case when cand.dx = 0 and cand.dy = 1 then n.value end) as zc,
+                 max(case when cand.dx = 1 and cand.dy = 1 then n.value end) as zd,
+                 count(n.value) as nv
+          from cand
+          join px n
+            on n.crs = cand.crs and n.cell_width = cand.cell_width
+           and n.cell_height = cand.cell_height and n.w = cand.w and n.h = cand.h
+           and n.gx = cand.ngx and n.gy = cand.ngy
+          group by 1, 2, 3, 4, 5
+        ),
+        c2 as (
+          select b.image_id, cast(l.level as double) as level,
+                 b.za, b.zb, b.zc, b.zd,
+                 (b.gx + 0.5) * b.cw as xa, (b.gx + 1.5) * b.cw as xb,
+                 (b.gy + 0.5) * b.ch as ya, (b.gy + 1.5) * b.ch as yc,
+                 (b.za >= l.level) as ia, (b.zb >= l.level) as ib,
+                 (b.zc >= l.level) as ic, (b.zd >= l.level) as idd
+          from blk b cross join (values {lvs}) l(level)
+          where b.nv = 4
+        ),
+        cr as (
+          select image_id, level, ia, ib, ic, idd, za, zb, zc, zd,
+                 case when ia != ib
+                      then xa + ((level - za) / (zb - za)) * (xb - xa) end as tx,
+                 case when ia != ib then ya end as tyy,
+                 case when ic != idd
+                      then xa + ((level - zc) / (zd - zc)) * (xb - xa) end as bx,
+                 case when ic != idd then yc end as byy,
+                 case when ia != ic then xa end as lx,
+                 case when ia != ic
+                      then ya + ((level - za) / (zc - za)) * (yc - ya) end as ly,
+                 case when ib != idd then xb end as rx,
+                 case when ib != idd
+                      then ya + ((level - zb) / (zd - zb)) * (yc - ya) end as ry,
+                 cast(ia != ib as int) + cast(ic != idd as int)
+                   + cast(ia != ic as int) + cast(ib != idd as int) as nc,
+                 ((za + zb + zc + zd) / 4.0 >= level) as cin
+          from c2
+        ),
+        rawseg as (
+          -- forced case: exactly two crossings, first/last in the
+          -- (top, bottom, left, right) edge order
+          select image_id, level,
+                 coalesce(tx, bx, lx, rx) as p1x, coalesce(tyy, byy, ly, ry) as p1y,
+                 coalesce(rx, lx, bx, tx) as p2x, coalesce(ry, ly, byy, tyy) as p2y
+          from cr where nc = 2
+          union all
+          -- saddles: q = connect-the-(top,right)/(left,bottom) pairing
+          select image_id, level,
+                 case when (ia and cin) or (ib and not cin) then tx else tx end as p1x,
+                 case when (ia and cin) or (ib and not cin) then tyy else tyy end as p1y,
+                 case when (ia and cin) or (ib and not cin) then rx else lx end as p2x,
+                 case when (ia and cin) or (ib and not cin) then ry else ly end as p2y
+          from cr where nc = 4
+          union all
+          select image_id, level,
+                 case when (ia and cin) or (ib and not cin) then lx else rx end as p1x,
+                 case when (ia and cin) or (ib and not cin) then ly else ry end as p1y,
+                 bx as p2x, byy as p2y
+          from cr where nc = 4
+        )
+        select image_id, level,
+               case when (p1x < p2x) or (p1x = p2x and p1y <= p2y)
+                    then p1x else p2x end as x1,
+               case when (p1x < p2x) or (p1x = p2x and p1y <= p2y)
+                    then p1y else p2y end as y1,
+               case when (p1x < p2x) or (p1x = p2x and p1y <= p2y)
+                    then p2x else p1x end as x2,
+               case when (p1x < p2x) or (p1x = p2x and p1y <= p2y)
+                    then p2y else p1y end as y2
+        from rawseg
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tiles = f"read_parquet('{FD}/tiles.parquet')"
     points = f"read_parquet('{FD}/points.parquet')"
@@ -2425,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
             from cellagg group by 1
         """,
         "terrain_horn": _terrain_horn_sql(tiles, pixels),
+        "contour_segments": _contour_sql(tiles, pixels),
         "bool_mask_counts": f"""
             select t.image_id, count(*) as n_pixels,
                    count(*) filter (not isnan(px.value) and px.value > 500.0) as n_true
