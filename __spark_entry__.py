@@ -34,7 +34,8 @@ from rasters_spark.datapipe import (dedup, multimodal, shards, similarity,
 from rasters_spark.functions import crs as crsfn
 from rasters_spark.functions import render as renderfn
 from rasters_spark.functions import vector as vecfn
-from rasters_spark.operators import bands, contour, focal, neighbors, terrain
+from rasters_spark.operators import (bands, contour, focal, neighbors,
+                                     polygonize, terrain)
 from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
 from rasters_spark.operators import swath as swathops
 from rasters_spark.operators import rastermath as rm
@@ -317,6 +318,24 @@ def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fmt = 'raw' and image_id < 'img000000000300'")
     return contour.contour_segments(
         focal.lattice_remap(t, per_row=40), CONTOUR_LEVELS)
+
+
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed polygonize (operators/polygonize.py — GDAL
+    polygonize analogue, EXTENSION beyond the reference): 4-adjacency
+    connected components of the mask ``value >= 750`` across the
+    lattice, seams included — tile-local run union-find → skinny
+    boundary-pixel seam joins → global label propagation with the SAME
+    operator that clusters near-dup documents (dedup.dup_groups).
+    Region id = the component's min global pixel key (gy·2³²+gx) —
+    visit-order independent, so the DuckDB twin can recompute it with
+    a recursive-CTE transitive closure + min-ancestor fold. One layout
+    group (w=64, h=48 — keys are lattice-local), per_row=6 so BOTH
+    seam directions carry merges; threshold 750 keeps the mask
+    subcritical (p=0.25) so the closure stays small."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300' and w = 64 and h = 48")
+    return polygonize.polygonize(focal.lattice_remap(t, per_row=6), 750.0)
 
 
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1700,20 +1719,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries (netcdf_cdf5_roundtrip, pq_topk_bulk, stream_minhash_dedup,
     focal_halo_stats, transform_cyl, table_compaction, spatial_split,
     stratified_cell_cap, hash_sample, zonal_stats, focal_convolve,
-    terrain_horn, pack_shards, contour_segments). The window is
-    oversubscribed by seven: the rows-only entries (swath_resize,
-    grid_to_size, reproject_utm, newest record r03) are deliberately
-    deprioritized — the driver can only row-count them, so a fresh
-    oracle-green row for a hash-checkable entry is strictly more
-    evidence — and rasterize_replace / swath_twohop /
-    geotiff_roundtrip / jpeg_roundtrip (r03-green) step aside because
-    a sibling entry certifies the same kernel path this round
-    (rasterize_add shares the rasterize kernel; swath_twohop's two
-    hops are covered by swath_to_grid_nn + to_grid_average;
-    cog_roundtrip exercises the same TIFF codec core plus the COG
-    layout; media_render decode-back re-encodes through the same T.81
-    codec byte-for-byte). All seven MUST head the r06 rotation. The
-    r04-green remainder follows them behind the marker.
+    terrain_horn, pack_shards, contour_segments, polygonize). The
+    window is oversubscribed by eight: the rows-only entries
+    (swath_resize, grid_to_size, reproject_utm, newest record r03) are
+    deliberately deprioritized — the driver can only row-count them,
+    so a fresh oracle-green row for a hash-checkable entry is strictly
+    more evidence — and rasterize_replace / swath_twohop /
+    geotiff_roundtrip / jpeg_roundtrip / events_hour_window
+    (r03-green) step aside: a sibling certifies the same kernel path
+    this round (rasterize_add shares the rasterize kernel;
+    swath_twohop's hops are covered by swath_to_grid_nn +
+    to_grid_average; cog_roundtrip exercises the same TIFF codec core
+    plus the COG layout; media_render decode-back re-encodes through
+    the same T.81 codec byte-for-byte; events_cell_count covers the
+    built-in-aggregation surface that events_hour_window's pure
+    date_trunc groupBy lives on). All eight MUST head the r06
+    rotation; the r04-green remainder follows behind the marker.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
@@ -1745,7 +1766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
-        "events_hour_window": q_events_hour_window,
         "multipolygon_pip": q_multipolygon_pip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "simhash_md5": q_simhash_md5,
@@ -1771,7 +1791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_horn": q_terrain_horn,
         "pack_shards": q_pack_shards,
         "contour_segments": q_contour_segments,
+        "polygonize": q_polygonize,
         # ---- position 50+ from here: r04-certified / rows-only ---------
+        "events_hour_window": q_events_hour_window,
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "rasterize_replace": q_rasterize_replace,
@@ -2568,6 +2590,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "terrain_horn": _terrain_horn_sql(tiles, pixels),
         "contour_segments": _contour_sql(tiles, pixels),
+        # recursive-CTE transitive closure over the masked-pixel
+        # adjacency graph; min-ancestor per node = the same canonical
+        # region id the distributed three-stage CCL produces
+        "polygonize": f"""
+            with recursive tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+                and w = 64 and h = 48
+            ),
+            tl2 as (
+              select image_id, w, h, rn % 6 as tx, rn // 6 as ty from tl
+            ),
+            n as (
+              select (t.ty * t.h + p.prow) * 4294967296 + (t.tx * t.w + p.pcol) as k,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy
+              from tl2 t join {pixels} p using (image_id)
+              where not isnan(p.value) and p.value >= 750.0
+            ),
+            e as (
+              select a.k as src, b.k as dst
+              from n a join n b on b.gx = a.gx + 1 and b.gy = a.gy
+              union all
+              select a.k as src, b.k as dst
+              from n a join n b on b.gx = a.gx and b.gy = a.gy + 1
+            ),
+            eu as (
+              select src, dst from e union all select dst as src, src as dst from e
+            ),
+            r as (
+              select k as node, k as anc from n
+              union
+              select eu.dst as node, r.anc from r join eu on eu.src = r.node
+            ),
+            comp as (
+              select node, min(anc) as root from r group by node
+            )
+            select root as region_id, count(*) as n_pixels
+            from comp group by root
+        """,
         "bool_mask_counts": f"""
             select t.image_id, count(*) as n_pixels,
                    count(*) filter (not isnan(px.value) and px.value > 500.0) as n_true
