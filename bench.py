@@ -27,6 +27,34 @@ def force(df) -> int:
     return 0
 
 
+def host_canary() -> float:
+    """Absolute host-speed canary: seconds for a FIXED single-threaded
+    numpy workload (deterministic, ~1-2 s on an idle core). The
+    tools/host_probe.py scaling probe catches RELATIVE multi-core
+    contention but is blind to absolute slowdowns of the whole VM;
+    stamping the same fixed workload into every round's JSON lets
+    cross-round wall-time comparisons be discounted when the canary
+    differs (BENCH.md 'Measurement variance': same-workload walls have
+    swung ±77% across same-day windows with the scaling probe at 1.0)."""
+    import time as _t
+
+    import numpy as _np
+    # ufunc-only: numpy ufuncs run single-threaded (BLAS matmul would
+    # measure thread-pool config, not host speed)
+    a = _np.random.default_rng(0).random(4_000_000)
+    for _ in range(3):                      # untimed: page-fault warmup
+        a = _np.tanh(a * 1.0001 + 0.1)
+    best = None
+    for _ in range(3):                      # min-of-3 timed passes
+        t0 = _t.time()
+        b = a
+        for _ in range(25):
+            b = _np.tanh(b * 1.0001 + 0.1)
+        dt = _t.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
     from pyspark.sql import functions as F
 
@@ -36,6 +64,7 @@ def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
     import __spark_entry__ as e
 
     fixtures.ensure_fixtures(sf_dir)
+    canary_pre = host_canary()
     spark = get_spark(app, master=master)
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
@@ -124,6 +153,8 @@ def run(sf_dir: str, master: str | None = None, app: str = "bench") -> dict:
         "warmup_runs": 0,
         "repeats": repeats,
         "agg": "min_warm_plus_first_cold",
+        "canary_pre_sec": canary_pre,
+        "canary_post_sec": host_canary(),
     }
 
 
