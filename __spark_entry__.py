@@ -320,6 +320,41 @@ def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         focal.lattice_remap(t, per_row=40), CONTOUR_LEVELS)
 
 
+def q_tile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-bin histogram (stats.histogram — gdalinfo -hist
+    analogue): 64 bins of width 16 over [0, 1024) across every valid
+    raw pixel. Map-side partial bincounts (≤64 skinny rows per task
+    regardless of pixel count) → one groupBy(bin); dyadic lo/width
+    make floor((v−lo)/16) exact in double, so the oracle bins the same
+    pixels relationally — pure integer counts, no float aggregation."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return stats.histogram(t, 0.0, 1024.0, 64)
+
+
+def q_layer_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-LAYER band math (rastermath.layer_algebra — the NDVI
+    shape): raw tiles i<100 paired with raw tiles i+153 (same (w,h) by
+    the fixture's size cycles: 153 ≡ 0 mod 3 and 51 ≡ 0 mod 3), then
+    per-pixel (a−b)/(a+b) for pixels finite in BOTH layers, NULL where
+    a+b=0 (exact test). Numerator/denominator are exact dyadic
+    differences of quarter-integer pixels and the single division is
+    correctly rounded, so the doubles hash BIT-IDENTICALLY against the
+    relational twin — no printf. NaN→NULL at the boundary per the
+    CLAUDE.md rule."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    idx = F.expr("cast(substring(image_id, 4, 12) as bigint)")
+    a = t.filter(idx < 100).withColumn("pid", idx)
+    b = (t.filter((idx >= 153) & (idx < 253)).withColumn("pid", idx - 153)
+         .select("pid", F.col("fmt").alias("fmt_b"), F.col("bytes").alias("bytes_b")))
+    pairs = (a.select("image_id", "pid", "w", "h",
+                      F.col("fmt").alias("fmt_a"), F.col("bytes").alias("bytes_a"))
+             .join(b, "pid"))
+    out = rm.layer_algebra(pairs, "ndiff")
+    return out.select(
+        "image_id", "prow", "pcol",
+        F.when(~F.isnan(F.col("value")), F.col("value")).alias("ndiff"))
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed polygonize (operators/polygonize.py — GDAL
     polygonize analogue, EXTENSION beyond the reference): 4-adjacency
@@ -1719,22 +1754,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries (netcdf_cdf5_roundtrip, pq_topk_bulk, stream_minhash_dedup,
     focal_halo_stats, transform_cyl, table_compaction, spatial_split,
     stratified_cell_cap, hash_sample, zonal_stats, focal_convolve,
-    terrain_horn, pack_shards, contour_segments, polygonize). The
-    window is oversubscribed by eight: the rows-only entries
-    (swath_resize, grid_to_size, reproject_utm, newest record r03) are
-    deliberately deprioritized — the driver can only row-count them,
-    so a fresh oracle-green row for a hash-checkable entry is strictly
-    more evidence — and rasterize_replace / swath_twohop /
-    geotiff_roundtrip / jpeg_roundtrip / events_hour_window
-    (r03-green) step aside: a sibling certifies the same kernel path
-    this round (rasterize_add shares the rasterize kernel;
+    terrain_horn, pack_shards, contour_segments, polygonize,
+    tile_histogram, layer_ndvi). The window is oversubscribed by ten:
+    the rows-only entries (swath_resize, grid_to_size, reproject_utm,
+    newest record r03) are deliberately deprioritized — the driver can
+    only row-count them, so a fresh oracle-green row for a
+    hash-checkable entry is strictly more evidence — and
+    rasterize_replace / swath_twohop / geotiff_roundtrip /
+    jpeg_roundtrip / events_hour_window / stream_ingest /
+    boundary_ring (r03-green) step aside: a sibling certifies the same
+    kernel path this round (rasterize_add shares the rasterize kernel;
     swath_twohop's hops are covered by swath_to_grid_nn +
     to_grid_average; cog_roundtrip exercises the same TIFF codec core
     plus the COG layout; media_render decode-back re-encodes through
     the same T.81 codec byte-for-byte; events_cell_count covers the
-    built-in-aggregation surface that events_hour_window's pure
-    date_trunc groupBy lives on). All eight MUST head the r06
-    rotation; the r04-green remainder follows behind the marker.
+    built-in-aggregation surface of events_hour_window's date_trunc
+    groupBy; stream_minhash_dedup exercises the same availableNow +
+    TableIO-ledger ingest machinery as stream_ingest; neighbour_
+    distances + knn_tiles cover neighbors.py's ring/shift family).
+    All ten MUST head the r06 rotation; the r04-green remainder
+    follows behind the marker.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
@@ -1758,11 +1797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,
-        "boundary_ring": q_boundary_ring,
         "snap_grids": q_snap_grids,
         "media_render": q_media_render,
         "polygons_geojson": q_polygons_geojson,
-        "stream_ingest": q_stream_ingest,
         "stream_window_counts": q_stream_window_counts,
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -1792,7 +1829,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "contour_segments": q_contour_segments,
         "polygonize": q_polygonize,
+        "tile_histogram": q_tile_histogram,
+        "layer_ndvi": q_layer_ndvi,
         # ---- position 50+ from here: r04-certified / rows-only ---------
+        "stream_ingest": q_stream_ingest,
+        "boundary_ring": q_boundary_ring,
         "events_hour_window": q_events_hour_window,
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "geotiff_roundtrip": q_geotiff_roundtrip,
@@ -2590,6 +2631,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "terrain_horn": _terrain_horn_sql(tiles, pixels),
         "contour_segments": _contour_sql(tiles, pixels),
+        "tile_histogram": f"""
+            select cast(floor((cast(p.value as double) - 0.0) / 16.0) as bigint) as bin,
+                   count(*) as n_pixels
+            from {tiles} t join {pixels} p using (image_id)
+            where t.fmt = 'raw' and not isnan(p.value)
+              and cast(p.value as double) >= 0.0 and cast(p.value as double) < 1024.0
+            group by 1
+        """,
+        "layer_ndvi": f"""
+            with ids as (
+              select image_id,
+                     cast(substring(image_id, 4, 12) as bigint) as i
+              from {tiles} where fmt = 'raw'
+            ),
+            pr as (
+              select a.image_id as image_id, b.image_id as bid
+              from ids a join ids b on b.i = a.i + 153
+              where a.i < 100
+            )
+            select pr.image_id, pa.prow, pa.pcol,
+                   case when (cast(pa.value as double) + cast(pb.value as double)) = 0.0
+                        then NULL
+                        else (cast(pa.value as double) - cast(pb.value as double))
+                             / (cast(pa.value as double) + cast(pb.value as double))
+                   end as ndiff
+            from pr
+            join {pixels} pa on pa.image_id = pr.image_id
+            join {pixels} pb on pb.image_id = pr.bid
+                            and pb.prow = pa.prow and pb.pcol = pa.pcol
+            where not isnan(pa.value) and not isnan(pb.value)
+        """,
         # recursive-CTE transitive closure over the masked-pixel
         # adjacency graph; min-ancestor per node = the same canonical
         # region id the distributed three-stage CCL produces

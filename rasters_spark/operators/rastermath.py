@@ -249,3 +249,91 @@ def trim(tiles: DataFrame) -> DataFrame:
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "x_origin", "y_origin", "cell_width", "cell_height", "crs"]
     return tiles.select(*cols).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# cross-LAYER algebra: two aligned rasters → one (NDVI-style band math)
+# ---------------------------------------------------------------------------
+
+_LAYER_OPS = ("ndiff", "diff", "ratio")
+
+
+def align_layers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join two tile layers on layout + printf-quantized origins (the
+    focal strip-exchange key rule): one row per co-registered tile
+    pair, carrying ``bytes_a``/``bytes_b``. Both sides hash-shuffle on
+    the skinny grid key — the payloads cross exactly one exchange
+    each and meet 1:1 (no fanout)."""
+    from pyspark.sql import functions as F
+
+    from rasters_spark.operators.focal import _origin_key
+    keyed = lambda df: df.withColumn(  # noqa: E731
+        "ox_key", _origin_key(F.col("x_origin"))).withColumn(
+        "oy_key", _origin_key(F.col("y_origin")))
+    left = keyed(a).select(
+        "image_id", "x_origin", "y_origin", "cell_width", "cell_height",
+        "crs", "w", "h", "ox_key", "oy_key",
+        F.col("fmt").alias("fmt_a"), F.col("bytes").alias("bytes_a"))
+    right = keyed(b).select(
+        "crs", "cell_width", "cell_height", "w", "h", "ox_key", "oy_key",
+        F.col("fmt").alias("fmt_b"), F.col("bytes").alias("bytes_b"))
+    on = ["crs", "cell_width", "cell_height", "w", "h", "ox_key", "oy_key"]
+    return left.join(right, on=on, how="inner").drop("ox_key", "oy_key")
+
+
+def layer_algebra(pairs: DataFrame, op: str = "ndiff") -> DataFrame:
+    """Per-pixel band math across two co-registered layers — the NDVI
+    shape. ``pairs`` carries (image_id, w, h, fmt_a, bytes_a, fmt_b,
+    bytes_b) — from ``align_layers`` or any caller-built pairing.
+    Returns skinny per-pixel rows ``(image_id, prow, pcol, value)``
+    for pixels finite in BOTH layers:
+
+    - ``ndiff``: (a − b) / (a + b), NULL where a + b = 0 — the exact
+      zero test and the single correctly-rounded division make the
+      result BIT-IDENTICAL to a relational twin computing the same
+      expression (numerator/denominator are exact dyadic differences
+      of quarter-integer fixture pixels);
+    - ``diff``: a − b (exact); ``ratio``: a / b, NULL where b = 0.
+
+    One Arrow pass; nothing but skinny doubles leaves the task."""
+    if op not in _LAYER_OPS:
+        raise ValueError(f"unknown layer op: {op!r} (one of {_LAYER_OPS})")
+    src = pairs.select("image_id", "w", "h", "fmt_a", "bytes_a", "fmt_b", "bytes_b")
+    schema = "image_id string, prow int, pcol int, value double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            aa = list(codec.decode_batch(pdf["bytes_a"], pdf["w"], pdf["h"], pdf["fmt_a"]))
+            bb = list(codec.decode_batch(pdf["bytes_b"], pdf["w"], pdf["h"], pdf["fmt_b"]))
+            for i in range(len(pdf)):
+                a = aa[i].astype(np.float64)
+                b = bb[i].astype(np.float64)
+                both = np.isfinite(a) & np.isfinite(b)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    if op == "ndiff":
+                        bad = (a + b) == 0.0
+                        val = np.where(bad, np.nan, (a - b) / (a + b))
+                    elif op == "diff":
+                        bad = np.zeros_like(both)
+                        val = a - b
+                    else:
+                        bad = b == 0.0
+                        val = np.where(bad, np.nan, a / b)
+                rows, cols = np.nonzero(both)
+                if rows.size == 0:
+                    continue
+                v = val[rows, cols]
+                v_null = (bad[rows, cols])
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rows.astype(np.int32),
+                    "pcol": cols.astype(np.int32),
+                    "value": np.where(v_null, np.nan, v)}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "value": pd.Series([], dtype=float)}))
+
+    return src.mapInPandas(run, schema=schema)

@@ -220,3 +220,36 @@ def zonal_stats(tiles: DataFrame, polygons: DataFrame, level: int | None = None)
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"))
         .withColumn("vmean", F.col("vsum") / F.col("n_valid")))
+
+
+def histogram(tiles: DataFrame, lo: float, hi: float, nbins: int) -> DataFrame:
+    """Exact fixed-bin histogram over every valid pixel (the
+    ``gdalinfo -hist`` analogue): ``(bin, n_pixels)`` for bins
+    ``[lo + k·wbin, lo + (k+1)·wbin)``, out-of-range and NaN dropped.
+
+    Scale shape: per-tile partial bincounts in ONE Arrow pass (the
+    map-side combine — each task emits ≤ nbins skinny rows regardless
+    of pixel count), then a single groupBy(bin) over ≤ nbins·n_tasks
+    rows. With dyadic lo/wbin the bin assignment
+    ``floor((v - lo)/wbin)`` is exact in double, so a relational twin
+    binning the same pixels matches exactly — integer counts, no
+    float aggregation at all."""
+    if nbins <= 0 or not hi > lo:
+        raise ValueError("need hi > lo and nbins > 0")
+    wbin = (hi - lo) / nbins
+    src = tiles.select("bytes", "w", "h", "fmt")
+    schema = "bin long, n_pixels long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros(nbins, dtype=np.int64)
+            for arr in codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                v = arr[np.isfinite(arr)].astype(np.float64)
+                b = np.floor((v - lo) / wbin)
+                b = b[(b >= 0) & (b < nbins)].astype(np.int64)
+                acc += np.bincount(b, minlength=nbins)
+            nz = np.nonzero(acc)[0]
+            yield pd.DataFrame({"bin": nz.astype(np.int64), "n_pixels": acc[nz]})
+
+    partials = src.mapInPandas(run, schema=schema)
+    return partials.groupBy("bin").agg(F.sum("n_pixels").alias("n_pixels"))
