@@ -2701,7 +2701,11 @@ def oracle_sql() -> dict[str, str]:
             comp as (
               select node, min(anc) as root from r group by node
             )
-            select root as region_id, count(*) as n_pixels
+            select root as region_id, count(*) as n_pixels,
+                   min(node % 4294967296) as gx_min,
+                   max(node % 4294967296) as gx_max,
+                   min(node // 4294967296) as gy_min,
+                   max(node // 4294967296) as gy_max
             from comp group by root
         """,
         "bool_mask_counts": f"""

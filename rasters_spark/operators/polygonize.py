@@ -119,8 +119,18 @@ def _tile_regions(arr: np.ndarray, threshold: float, gx0: int, gy0: int):
     np.minimum.at(minkey, root[m], key[m])
     counts = np.zeros(n_runs, dtype=np.int64)
     np.add.at(counts, root[m], 1)
+    gxmin = np.full(n_runs, np.iinfo(np.int64).max, dtype=np.int64)
+    gxmax = np.full(n_runs, np.iinfo(np.int64).min, dtype=np.int64)
+    gymin = np.full(n_runs, np.iinfo(np.int64).max, dtype=np.int64)
+    gymax = np.full(n_runs, np.iinfo(np.int64).min, dtype=np.int64)
+    np.minimum.at(gxmin, root[m], gx0 + jj[m])
+    np.maximum.at(gxmax, root[m], gx0 + jj[m])
+    np.minimum.at(gymin, root[m], gy0 + ii[m])
+    np.maximum.at(gymax, root[m], gy0 + ii[m])
     live = counts > 0
-    summary = pd.DataFrame({"node": minkey[live], "n_pixels": counts[live]})
+    summary = pd.DataFrame({"node": minkey[live], "n_pixels": counts[live],
+                            "gx_min": gxmin[live], "gx_max": gxmax[live],
+                            "gy_min": gymin[live], "gy_max": gymax[live]})
     edge = m & ((ii == 0) | (ii == h - 1) | (jj == 0) | (jj == w - 1))
     boundary = pd.DataFrame({
         "gx": (gx0 + jj[edge]), "gy": (gy0 + ii[edge]),
@@ -133,7 +143,8 @@ def _scan(tiles: DataFrame, threshold: float) -> DataFrame:
     (row_type 's'/'b')."""
     src = tiles.select("image_id", "x_origin", "y_origin", "cell_width",
                        "cell_height", "w", "h", "fmt", "bytes")
-    schema = "row_type string, gx long, gy long, node long, n_pixels long"
+    schema = ("row_type string, gx long, gy long, node long, n_pixels long, "
+              "gx_min long, gx_max long, gy_min long, gy_max long")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -148,29 +159,33 @@ def _scan(tiles: DataFrame, threshold: float) -> DataFrame:
                 if s is None:
                     continue
                 s = s.assign(row_type="s", gx=-1, gy=-1)
-                b = b.assign(row_type="b", n_pixels=-1)
-                frames.append(s[["row_type", "gx", "gy", "node", "n_pixels"]])
-                frames.append(b[["row_type", "gx", "gy", "node", "n_pixels"]])
+                b = b.assign(row_type="b", n_pixels=-1, gx_min=-1, gx_max=-1,
+                             gy_min=-1, gy_max=-1)
+                cols = ["row_type", "gx", "gy", "node", "n_pixels",
+                        "gx_min", "gx_max", "gy_min", "gy_max"]
+                frames.append(s[cols])
+                frames.append(b[cols])
             yield (pd.concat(frames, ignore_index=True) if frames else
                    pd.DataFrame({"row_type": pd.Series([], dtype=str),
-                                 "gx": pd.Series([], dtype=np.int64),
-                                 "gy": pd.Series([], dtype=np.int64),
-                                 "node": pd.Series([], dtype=np.int64),
-                                 "n_pixels": pd.Series([], dtype=np.int64)}))
+                                 **{c: pd.Series([], dtype=np.int64)
+                                    for c in ("gx", "gy", "node", "n_pixels",
+                                              "gx_min", "gx_max", "gy_min", "gy_max")}}))
 
     return src.mapInPandas(run, schema=schema)
 
 
 def polygonize(tiles: DataFrame, threshold: float) -> DataFrame:
     """Global 4-adjacency regions of ``value >= threshold`` →
-    ``(region_id, n_pixels)`` with ``region_id`` the component's min
-    global pixel key. REQUIRES a single layout group (one lattice):
+    ``(region_id, n_pixels, gx_min, gx_max, gy_min, gy_max)`` with
+    ``region_id`` the component's min global pixel key and the bbox in
+    global pixel coordinates. REQUIRES a single layout group (one lattice):
     filter to one (crs, cell sizes, w, h) — or loop layout groups —
     before calling; keys are lattice-local. Tiles must be
     lattice-aligned (origins = integer multiples of the cell size), as
     ``focal.lattice_remap`` produces."""
     scan = _scan(tiles, threshold).localCheckpoint()  # one decode pass
-    summaries = scan.filter("row_type = 's'").select("node", "n_pixels")
+    summaries = scan.filter("row_type = 's'").select(
+        "node", "n_pixels", "gx_min", "gx_max", "gy_min", "gy_max")
     boundary = scan.filter("row_type = 'b'").select("gx", "gy", "node")
 
     from rasters_spark.datapipe import dedup
@@ -187,5 +202,9 @@ def polygonize(tiles: DataFrame, threshold: float) -> DataFrame:
     mapping = dedup.dup_groups(None, pairs=pairs).withColumnRenamed(
         "doc_id", "node").withColumnRenamed("group_id", "root")
     return (summaries.join(mapping, "node", "left")
-            .select(F.coalesce("root", "node").alias("region_id"), "n_pixels")
-            .groupBy("region_id").agg(F.sum("n_pixels").alias("n_pixels")))
+            .select(F.coalesce("root", "node").alias("region_id"), "n_pixels",
+                    "gx_min", "gx_max", "gy_min", "gy_max")
+            .groupBy("region_id").agg(
+                F.sum("n_pixels").alias("n_pixels"),
+                F.min("gx_min").alias("gx_min"), F.max("gx_max").alias("gx_max"),
+                F.min("gy_min").alias("gy_min"), F.max("gy_max").alias("gy_max")))

@@ -40,13 +40,15 @@ def _brute_regions(g, threshold):
                         seen[ny, nx] = True
                         q.append((ny, nx))
             rid = min(y * KEY + x for y, x in cells)
-            out[rid] = len(cells)
+            out[rid] = (len(cells),
+                        min(x for _, x in cells), max(x for _, x in cells),
+                        min(y for y, _ in cells), max(y for y, _ in cells))
     return out
 
 
 def test_polygonize_matches_global_bfs(spark, lattice):
     threshold = 5.0
-    got = {r.region_id: r.n_pixels
+    got = {r.region_id: (r.n_pixels, r.gx_min, r.gx_max, r.gy_min, r.gy_max)
            for r in polygonize.polygonize(lattice, threshold).collect()}
     want = _brute_regions(_global_array(), threshold)
     assert got == want
@@ -59,9 +61,10 @@ def test_polygonize_merges_across_seams(spark, lattice):
     than per-tile counts would give, proving seam merging."""
     got = polygonize.polygonize(lattice, 0.5).collect()
     want = _brute_regions(_global_array(), 0.5)
-    assert {r.region_id: r.n_pixels for r in got} == want
+    assert {r.region_id: (r.n_pixels, r.gx_min, r.gx_max, r.gy_min, r.gy_max)
+            for r in got} == want
     # at least one region spans multiple tiles
-    assert any(n > W * H for n in want.values())
+    assert any(n > W * H for n, *_ in want.values())
 
 
 def test_polygonize_empty_mask(spark, lattice):
