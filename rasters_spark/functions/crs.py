@@ -8,6 +8,8 @@ formulas for the CRS subset the engine supports — geographic
 spherical sinusoidal (the MODIS grid, +R=6371007.181), spherical
 Albers equal-area conic (+proj=aea, the CONUS grids), spherical
 Lambert conformal conic (+proj=lcc, state planes / Euro LCC),
+equidistant conic (+proj=eqdc, the ESRI continental maps; Snyder §16,
+one spherical+ellipsoidal path),
 spherical Lambert azimuthal equal-area (+proj=laea, the EASE grids),
 ELLIPSOIDAL polar stereographic (+proj=stere at lat_0=±90;
 EPSG:3413 NSIDC Sea Ice North / EPSG:3031 Antarctic — the sea-ice and
@@ -310,6 +312,35 @@ def _sinu_inverse(x, y, lon0, r):
 
 # MODIS sinusoidal sphere radius (the +R in the published MODIS proj4)
 _MODIS_R = 6371007.181
+
+
+def _eqdc_forward(lon, lat, p):
+    """Equidistant conic (Snyder §16, eq. 16-1..16-4 spherical /
+    16-17..16-21 ellipsoidal — ONE code path: with e²=0 the meridian
+    distance reduces to a·φ and m to cosφ): ρ = a·G − M(φ),
+    θ = n(λ−λ0); x = ρ·sinθ, y = ρ0 − ρ·cosθ. Distances along every
+    meridian are TRUE (dρ = −dM), the family's defining property."""
+    phi = np.radians(lat)
+    a, e2, n, G, rho0 = p["a"], p["e2"], p["n"], p["G"], p["rho0"]
+    rho = a * G - _merid_dist(phi, a, e2)
+    theta = n * np.radians(lon - p["lon0"])
+    return rho * np.sin(theta) + p["x0"], rho0 - rho * np.cos(theta) + p["y0"]
+
+
+def _eqdc_inverse(x, y, p):
+    """Snyder eq. 16-10/16-22: M = a·G − ρ, φ via the rectifying-
+    latitude series (μ = M/(a·c₁)); signs of x, ρ0−y, ρ flip for n<0
+    like the other conics."""
+    a, e2, n, G, rho0 = p["a"], p["e2"], p["n"], p["G"], p["rho0"]
+    xx = np.asarray(x, np.float64) - p["x0"]
+    yy = rho0 - (np.asarray(y, np.float64) - p["y0"])
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(xx, yy)
+    theta = np.arctan2(sgn * xx, sgn * yy)
+    m_dist = a * G - rho
+    c1 = 1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256
+    phi = _mu_to_phi(m_dist / (a * c1), e2)
+    return p["lon0"] + np.degrees(theta / n), np.degrees(phi)
 
 
 def _aea_forward(lon, lat, p):
@@ -1144,6 +1175,29 @@ def _parse_crs(crs: str) -> dict:
         return {"kind": "sinu",
                 "lon0": _proj4_param(c, "lon_0", 0.0),
                 "r": _proj4_param(c, "R", _proj4_param(c, "a", _MODIS_R))}
+    if "+proj=eqdc" in c:
+        # equidistant conic (Snyder §16): spherical and ellipsoidal
+        # share one kind — e²=0 collapses M(φ) to a·φ and m to cosφ
+        ell = _crs_ellipsoid(c)
+        a, e2 = ell if ell is not None else (
+            _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R)), 0.0)
+        lat1 = np.radians(_proj4_param(c, "lat_1", 0.0))
+        lat2 = np.radians(_proj4_param(c, "lat_2", np.degrees(lat1)))
+        lat0 = np.radians(_proj4_param(c, "lat_0", 0.0))
+        m1 = _ell_m(lat1, e2)
+        if lat1 == lat2:
+            n = float(np.sin(lat1))  # tangent-cone limit (Snyder p. 113)
+        else:
+            n = float(a * (m1 - _ell_m(lat2, e2))
+                      / (_merid_dist(lat2, a, e2) - _merid_dist(lat1, a, e2)))
+        if n == 0:
+            raise ValueError(f"degenerate equidistant cone (lat_1 = -lat_2): {crs!r}")
+        G = float(m1 / n + _merid_dist(lat1, a, e2) / a)
+        rho0 = float(a * G - _merid_dist(lat0, a, e2))
+        return {"kind": "eqdc", "a": a, "e2": e2,
+                "lon0": _proj4_param(c, "lon_0", 0.0),
+                "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0),
+                "n": n, "G": G, "rho0": rho0}
     if "+proj=aea" in c:
         ell = _crs_ellipsoid(c)
         if ell is not None:
@@ -1296,6 +1350,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _cea_inverse(x, y, s)
     elif s["kind"] == "eqc":
         lon, lat = _eqc_inverse(x, y, s)
+    elif s["kind"] == "eqdc":
+        lon, lat = _eqdc_inverse(x, y, s)
     elif s["kind"] == "eaea":
         lon, lat = _eaea_inverse(x, y, s)
     elif s["kind"] == "elcc":
@@ -1345,6 +1401,8 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _cea_forward(lon, lat, d)
     if d["kind"] == "eqc":
         return _eqc_forward(lon, lat, d)
+    if d["kind"] == "eqdc":
+        return _eqdc_forward(lon, lat, d)
     if d["kind"] == "eaea":
         return _eaea_forward(lon, lat, d)
     if d["kind"] == "elcc":

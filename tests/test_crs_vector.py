@@ -1034,3 +1034,70 @@ def test_transform_swiss_oblique_mercator():
         ky = np.hypot(xs[2] - xs[0], ys[2] - ys[0]) / (np.radians(h) * M)
         assert kx == pytest.approx(ky, rel=1e-6)
     assert float(kx) == pytest.approx(1.0, abs=2e-4)  # last point is ~60 km from centre
+
+
+def test_transform_eqdc_equidistant_conic():
+    """Equidistant conic (+proj=eqdc, Snyder §16; the ESRI continental
+    'Equidistant Conic' family). Defining properties:
+    (1) TRUE distance along meridians — for fixed λ, the polar radius
+        ρ = hypot(x, ρ0−y) satisfies ρ(φa) − ρ(φb) = M(φb) − M(φa)
+        exactly (a·Δφ on the sphere);
+    (2) parallels at lat_1/lat_2 are true to scale: ρ(φ1)·n = a·m(φ1);
+    (3) round trips close."""
+    # spherical: R=6371000, secant 20/60
+    crs_s = "+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=10 +R=6371000"
+    R = 6371000.0
+    lats = np.array([0.0, 20.0, 40.0, 60.0, 80.0])
+    x, y = C.transform_xy_np(np.full_like(lats, 10.0), lats, "EPSG:4326", crs_s)
+    p = C._parse_crs(crs_s)
+    rho = np.hypot(x, p["rho0"] - y)
+    # (1) meridian distances: ρ decreases by R·Δφ going north
+    np.testing.assert_allclose(rho[:-1] - rho[1:],
+                               R * np.radians(np.diff(lats)), rtol=1e-12)
+    # (2) standard parallels true to scale
+    for lat_sp in (20.0, 60.0):
+        xs, ys = C.transform_xy_np(np.array([10.0]), np.array([lat_sp]),
+                                   "EPSG:4326", crs_s)
+        rho_sp = np.hypot(xs[0], p["rho0"] - ys[0])
+        assert rho_sp * p["n"] == pytest.approx(
+            R * np.cos(np.radians(lat_sp)), rel=1e-12)
+    # (3) round trip
+    lon = np.linspace(-60.0, 80.0, 15)
+    lat = np.linspace(-20.0, 75.0, 15)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", crs_s)
+    l2, p2 = C.transform_xy_np(px, py, crs_s, "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-9)
+
+    # ellipsoidal (WGS84): meridian-distance property against the
+    # Snyder 3-21 series, standard-parallel scale against a·m(φ1)
+    crs_e = ("+proj=eqdc +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+             "+ellps=WGS84")
+    a, e2 = C._ELLPS["WGS84"]
+    pe = C._parse_crs(crs_e)
+    lats_e = np.array([10.0, 29.5, 37.0, 45.5, 70.0])
+    xe, ye = C.transform_xy_np(np.full_like(lats_e, -96.0), lats_e,
+                               "EPSG:4326", crs_e)
+    rho_e = np.hypot(xe, pe["rho0"] - ye)
+    want = (C._merid_dist(np.radians(lats_e[1:]), a, e2)
+            - C._merid_dist(np.radians(lats_e[:-1]), a, e2))
+    np.testing.assert_allclose(rho_e[:-1] - rho_e[1:], want, rtol=1e-12)
+    for lat_sp in (29.5, 45.5):
+        xs, ys = C.transform_xy_np(np.array([-96.0]), np.array([lat_sp]),
+                                   "EPSG:4326", crs_e)
+        rho_sp = np.hypot(xs[0], pe["rho0"] - ys[0])
+        assert rho_sp * pe["n"] == pytest.approx(
+            a * C._ell_m(np.radians(lat_sp), e2), rel=1e-12)
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", crs_e)
+    l2, p2 = C.transform_xy_np(px, py, crs_e, "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-8)
+
+    # tangent-cone limit (lat_1 = lat_2): n = sinφ1, still round-trips
+    crs_t = "+proj=eqdc +lat_1=45 +lat_2=45 +R=6371000"
+    px, py = C.transform_xy_np(lon, lat, "EPSG:4326", crs_t)
+    l2, p2 = C.transform_xy_np(px, py, crs_t, "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-9)
+    with pytest.raises(ValueError):
+        C._parse_crs("+proj=eqdc +lat_1=-30 +lat_2=30 +R=6371000")
