@@ -127,6 +127,32 @@ def q_stream_xyz_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, tbl, os.path.join(work, "ckpt"), z=4)
 
 
+def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental global histogram as Structured Streaming: the tile
+    table split into 3 files drains availableNow (1 file/micro-batch),
+    each batch committing its ≤64-row per-bin partial counts as one
+    exactly-once TableIO snapshot; the final reduce over partials is
+    pure integer addition, so the result EXACTLY equals the one-shot
+    batch histogram and the oracle IS tile_histogram's SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.streaming import stream_histogram_available_now
+    from rasters_spark.tableio import TableIO
+
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    work = os.path.join(tempfile.gettempdir(),
+                        f"stream-hist-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "in")
+    spark.read.parquet(str(fdir / "tiles.parquet")).repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    tbl = TableIO(os.path.join(work, "tbl"))
+    return stream_histogram_available_now(
+        spark, src, tbl, os.path.join(work, "ckpt"), 0.0, 1024.0, 64)
+
+
 def q_xyz_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ (slippy-map / Web-Mercator z/x/y) tile assignment at zoom 8
     — the web pyramid counterpart of the engine's equirectangular cell
@@ -1755,25 +1781,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     focal_halo_stats, transform_cyl, table_compaction, spatial_split,
     stratified_cell_cap, hash_sample, zonal_stats, focal_convolve,
     terrain_horn, pack_shards, contour_segments, polygonize,
-    tile_histogram, layer_ndvi). The window is oversubscribed by ten:
-    the rows-only entries (swath_resize, grid_to_size, reproject_utm,
-    newest record r03) are deliberately deprioritized — the driver can
-    only row-count them, so a fresh oracle-green row for a
-    hash-checkable entry is strictly more evidence — and
-    rasterize_replace / swath_twohop / geotiff_roundtrip /
-    jpeg_roundtrip / events_hour_window / stream_ingest /
-    boundary_ring (r03-green) step aside: a sibling certifies the same
-    kernel path this round (rasterize_add shares the rasterize kernel;
-    swath_twohop's hops are covered by swath_to_grid_nn +
-    to_grid_average; cog_roundtrip exercises the same TIFF codec core
-    plus the COG layout; media_render decode-back re-encodes through
-    the same T.81 codec byte-for-byte; events_cell_count covers the
-    built-in-aggregation surface of events_hour_window's date_trunc
-    groupBy; stream_minhash_dedup exercises the same availableNow +
-    TableIO-ledger ingest machinery as stream_ingest; neighbour_
-    distances + knn_tiles cover neighbors.py's ring/shift family).
-    All ten MUST head the r06 rotation; the r04-green remainder
-    follows behind the marker.
+    tile_histogram, layer_ndvi, stream_histogram). The window is
+    oversubscribed by eleven: the rows-only entries (swath_resize,
+    grid_to_size, reproject_utm, newest record r03) are deliberately
+    deprioritized — the driver can only row-count them, so a fresh
+    oracle-green row for a hash-checkable entry is strictly more
+    evidence — and rasterize_replace / swath_twohop /
+    geotiff_roundtrip / jpeg_roundtrip / events_hour_window /
+    stream_ingest / boundary_ring / snap_grids (r03-green) step aside:
+    a sibling certifies the same kernel path this round (rasterize_add
+    shares the rasterize kernel; swath_twohop's hops are covered by
+    swath_to_grid_nn + to_grid_average; cog_roundtrip exercises the
+    same TIFF codec core plus the COG layout; media_render decode-back
+    re-encodes through the same T.81 codec byte-for-byte;
+    events_cell_count covers the built-in-aggregation surface of
+    events_hour_window's date_trunc groupBy; stream_minhash_dedup
+    exercises the same availableNow + TableIO-ledger ingest machinery
+    as stream_ingest; neighbour_distances + knn_tiles cover
+    neighbors.py's ring/shift family; grid_union covers grid.py's
+    merge/bbox-fold that snap_grids builds on). All eleven MUST head
+    the r06 rotation; the r04-green remainder follows behind the
+    marker.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
@@ -1797,7 +1825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbour_distances": q_neighbour_distances,
         "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,
-        "snap_grids": q_snap_grids,
         "media_render": q_media_render,
         "polygons_geojson": q_polygons_geojson,
         "stream_window_counts": q_stream_window_counts,
@@ -1831,7 +1858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize": q_polygonize,
         "tile_histogram": q_tile_histogram,
         "layer_ndvi": q_layer_ndvi,
+        "stream_histogram": q_stream_histogram,
         # ---- position 50+ from here: r04-certified / rows-only ---------
+        "snap_grids": q_snap_grids,
         "stream_ingest": q_stream_ingest,
         "boundary_ring": q_boundary_ring,
         "events_hour_window": q_events_hour_window,
@@ -3660,4 +3689,7 @@ def oracle_sql() -> dict[str, str]:
     # the grouped-fetch strategy is value-identical to the flagship —
     # one oracle certifies both plans
     sql["point_sample_join_grouped"] = sql["point_sample_join"]
+    # the streamed histogram's partial-count reduce is pure integer
+    # addition — exactly the batch histogram, same oracle
+    sql["stream_histogram"] = sql["tile_histogram"]
     return sql

@@ -213,6 +213,49 @@ def stream_xyz_pyramid_available_now(
         F.sum("n_pixels").alias("n_pixels"), F.sum("vsum").alias("vsum"))
 
 
+def stream_histogram_available_now(
+    spark: SparkSession,
+    tiles_path: str,
+    table: TableIO,
+    checkpoint_dir: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """INCREMENTAL global histogram — the streaming face of
+    ``operators.stats.histogram``: each micro-batch commits its
+    per-bin partial counts (≤ nbins skinny rows) as one exactly-once
+    TableIO snapshot; the final reduce sums the partials. Pure integer
+    counts, so the result is EXACTLY the one-shot batch histogram and
+    the DuckDB oracle is the same SQL as ``tile_histogram``. The
+    production shape for a distribution monitor over a tile firehose:
+    the histogram is never recomputed, only incremented."""
+    from rasters_spark.operators import stats as statsops
+
+    schema = spark.read.parquet(tiles_path).schema
+    ts = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(tiles_path))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        part = statsops.histogram(
+            batch_df.dropDuplicates(["image_id"]).filter("fmt = 'raw'"),
+            lo, hi, nbins)
+        table.write(part, operation="stream-histogram", job_id="histogram",
+                    chunk_id=f"batch-{batch_id}", inputs=[tiles_path])
+
+    q = (
+        ts.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark).groupBy("bin").agg(
+        F.sum("n_pixels").alias("n_pixels"))
+
+
 def ingest_available_now(
     spark: SparkSession,
     src_dir: str,
