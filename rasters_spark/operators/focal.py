@@ -290,6 +290,13 @@ BINOMIAL3 = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64) / 16.0
 #: classic sharpen/edge-detect companion to the blur.
 LAPLACIAN3 = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], dtype=np.float64)
 
+#: 5×5 binomial (radius-2 Gaussian approximation): the outer product
+#: of [1,4,6,4,1]/16 with itself — weights are 256ths (dyadic), so the
+#: exactness argument of BINOMIAL3 carries over; exercises the 2-wide
+#: halo strips.
+_B5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+BINOMIAL5 = np.outer(_B5, _B5)
+
 
 def _convolve_grids(pad: np.ndarray, hh: int, ww: int, k: np.ndarray):
     """Weighted (2r+1)²-shifted reduction: per-cell

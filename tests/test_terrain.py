@@ -50,6 +50,7 @@ def _brute_conv(g, k, normalize):
 @pytest.mark.parametrize("kernel,normalize", [
     (focal.BINOMIAL3, True),
     (focal.LAPLACIAN3, False),
+    (focal.BINOMIAL5, True),   # radius-2: 2-wide halo strips
 ])
 def test_convolve_tiles_match_global_brute(spark, lattice, kernel, normalize):
     want = _brute_conv(_global_array(), kernel, normalize)
