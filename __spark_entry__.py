@@ -35,7 +35,7 @@ from rasters_spark.functions import crs as crsfn
 from rasters_spark.functions import render as renderfn
 from rasters_spark.functions import vector as vecfn
 from rasters_spark.operators import (bands, contour, focal, neighbors,
-                                     polygonize, terrain)
+                                     polygonize, retile, terrain)
 from rasters_spark.operators import joins, knn, point_join, resample, sample, stats
 from rasters_spark.operators import swath as swathops
 from rasters_spark.operators import rastermath as rm
@@ -344,6 +344,21 @@ def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fmt = 'raw' and image_id < 'img000000000300'")
     return contour.contour_segments(
         focal.lattice_remap(t, per_row=40), CONTOUR_LEVELS)
+
+
+def q_retile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retile (operators/retile.py — gdal_retile analogue, split
+    direction): every raw tile < 300 splits map-only into 4×4
+    children; certified by each child's georeferencing (closed-form
+    origin arithmetic, bit-identical CR float expressions both
+    engines) plus its exact pixel accounting (n_pixels, n_valid,
+    exact vsum) — the oracle re-partitions the pixels table with pure
+    integer division and must agree row-for-row."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    kids = retile.retile_split(t, 4)
+    st = stats.tile_stats(kids).select("image_id", "n_pixels", "n_valid", "vsum")
+    return kids.select("image_id", "x_origin", "y_origin", "w", "h").join(st, "image_id")
 
 
 def q_tile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,14 +1796,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     focal_halo_stats, transform_cyl, table_compaction, spatial_split,
     stratified_cell_cap, hash_sample, zonal_stats, focal_convolve,
     terrain_horn, pack_shards, contour_segments, polygonize,
-    tile_histogram, layer_ndvi, stream_histogram). The window is
-    oversubscribed by eleven: the rows-only entries (swath_resize,
-    grid_to_size, reproject_utm, newest record r03) are deliberately
-    deprioritized — the driver can only row-count them, so a fresh
-    oracle-green row for a hash-checkable entry is strictly more
-    evidence — and rasterize_replace / swath_twohop /
+    tile_histogram, layer_ndvi, stream_histogram, retile_split). The
+    window is oversubscribed by twelve: the rows-only entries
+    (swath_resize, grid_to_size, reproject_utm, newest record r03) are
+    deliberately deprioritized — the driver can only row-count them,
+    so a fresh oracle-green row for a hash-checkable entry is strictly
+    more evidence — and rasterize_replace / swath_twohop /
     geotiff_roundtrip / jpeg_roundtrip / events_hour_window /
-    stream_ingest / boundary_ring / snap_grids (r03-green) step aside:
+    stream_ingest / boundary_ring / snap_grids / gpkg_tiles_roundtrip
+    (r03-green) step aside:
     a sibling certifies the same kernel path this round (rasterize_add
     shares the rasterize kernel; swath_twohop's hops are covered by
     swath_to_grid_nn + to_grid_average; cog_roundtrip exercises the
@@ -1799,9 +1815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exercises the same availableNow + TableIO-ledger ingest machinery
     as stream_ingest; neighbour_distances + knn_tiles cover
     neighbors.py's ring/shift family; grid_union covers grid.py's
-    merge/bbox-fold that snap_grids builds on). All eleven MUST head
-    the r06 rotation; the r04-green remainder follows behind the
-    marker.
+    merge/bbox-fold that snap_grids builds on; gpkg_roundtrip
+    certifies the same GeoPackage container machinery the tiles
+    variant extends). All twelve MUST head the r06 rotation; the
+    r04-green remainder follows behind the marker.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
@@ -1834,7 +1851,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "simhash_md5": q_simhash_md5,
         "tile_z_order": q_tile_z_order,
-        "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         "audio_wav_features": q_audio_wav_features,
         # -- newly oracled / kernel touched this round ------------------
         "to_grid_lanczos": q_to_grid_lanczos,
@@ -1859,7 +1875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_histogram": q_tile_histogram,
         "layer_ndvi": q_layer_ndvi,
         "stream_histogram": q_stream_histogram,
+        "retile_split": q_retile_split,
         # ---- position 50+ from here: r04-certified / rows-only ---------
+        "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         "snap_grids": q_snap_grids,
         "stream_ingest": q_stream_ingest,
         "boundary_ring": q_boundary_ring,
@@ -2660,6 +2678,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "terrain_horn": _terrain_horn_sql(tiles, pixels),
         "contour_segments": _contour_sql(tiles, pixels),
+        "retile_split": f"""
+            select t.image_id || '_' || cast(p.prow // (t.h // 4) as varchar)
+                     || '_' || cast(p.pcol // (t.w // 4) as varchar) as image_id,
+                   t.x_origin + (p.pcol // (t.w // 4)) * (t.w / 4) * t.cell_width
+                     as x_origin,
+                   t.y_origin + (p.prow // (t.h // 4)) * (t.h / 4) * t.cell_height
+                     as y_origin,
+                   cast(t.w // 4 as integer) as w,
+                   cast(t.h // 4 as integer) as h,
+                   count(*) as n_pixels,
+                   count(*) filter (not isnan(p.value)) as n_valid,
+                   coalesce(sum(cast(p.value as double))
+                            filter (not isnan(p.value)), 0.0) as vsum
+            from {tiles} t join {pixels} p using (image_id)
+            where t.fmt = 'raw' and t.image_id < 'img000000000300'
+            group by all
+        """,
         "tile_histogram": f"""
             select cast(floor((cast(p.value as double) - 0.0) / 16.0) as bigint) as bin,
                    count(*) as n_pixels

@@ -78,3 +78,32 @@ def test_layer_diff_and_ratio(spark):
             assert v == va[i, j] / vb[i, j]
     with pytest.raises(ValueError):
         rastermath.layer_algebra(pairs, "nope")
+
+
+def test_retile_split_roundtrip(spark, lattice):
+    """4 children per 4×4 tile at factor 2; reassembling the children
+    reproduces the parent exactly, origins follow the closed form."""
+    from rasters_spark.operators import retile
+
+    kids = {r.image_id: r for r in retile.retile_split(lattice, 2).collect()}
+    assert len(kids) == NX * NY * 4
+    for ty in range(NY):
+        for tx in range(NX):
+            parent = _values(tx, ty).astype(np.float32)
+            for ci in range(2):
+                for cj in range(2):
+                    k = kids[f"t{ty}{tx}_{ci}_{cj}"]
+                    got = codec.decode_tile(k.bytes, k.w, k.h, k.fmt)
+                    want = parent[ci * 2:(ci + 1) * 2, cj * 2:(cj + 1) * 2]
+                    np.testing.assert_array_equal(
+                        got, want.astype(np.float32))
+                    assert k.x_origin == tx * W * CW + cj * (W / 2) * CW
+                    assert k.y_origin == ty * H * CH + ci * (H / 2) * CH
+                    assert (k.w, k.h) == (W // 2, H // 2)
+
+
+def test_retile_split_indivisible_raises(spark, lattice):
+    from rasters_spark.operators import retile
+
+    with pytest.raises(Exception, match="not divisible"):
+        retile.retile_split(lattice, 3).collect()
