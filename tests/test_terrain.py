@@ -162,3 +162,30 @@ def test_hillshade_tiles_clamped(spark, lattice):
     assert n_checked > 0
     # incomplete-window cells are NaN in the raster
     assert np.isnan(tiles["t00"][0, 0])
+
+
+def test_halo_family_payload_crosses_one_exchange(spark, lattice):
+    """The halo family's scale invariant (PLANS.md): on a natively
+    lattice-aligned input, the tile payload crosses EXACTLY ONE
+    Exchange (the 1:1 halo join) in every operator built on the strip
+    machinery — the skinny strip/index/output exchanges never carry
+    the blob. (The contract entries show 2 because lattice_remap's
+    fixture-only row_number window re-shuffles full rows first.)"""
+    import re
+
+    from rasters_spark.operators import contour as contour_ops
+
+    def n_bytes_exchanges(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        cnt = 0
+        for b in plan.split("\n\n"):
+            for node in re.split(r"\n(?=\(\d+\) )", b):
+                if node.lstrip().startswith("(") and "Exchange" in node.splitlines()[0]:
+                    cnt += "bytes#" in node
+        return cnt
+
+    assert n_bytes_exchanges(terrain.slope_aspect_hillshade(lattice)) == 1
+    assert n_bytes_exchanges(contour_ops.contour_segments(lattice, [3.0])) == 1
+    assert n_bytes_exchanges(focal.focal_tiles(lattice)) == 1
+    assert n_bytes_exchanges(focal.convolve_tiles(lattice)) == 1
