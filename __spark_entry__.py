@@ -414,6 +414,20 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize.polygonize(focal.lattice_remap(t, per_row=6), 750.0)
 
 
+def q_sieve_small_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sieve speckle removal (polygonize.sieve — GDAL sieve analogue,
+    drop variant): masked regions smaller than 3 pixels are NULLed
+    out; certified by per-tile (n_pixels, n_valid, vsum) after the
+    rewrite — the oracle recomputes the same components with the
+    recursive-CTE closure, filters the small roots, and subtracts
+    their members relationally (pure integer counts + exact dyadic
+    sums). Same single-layout lattice as ``polygonize``."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300' and w = 64 and h = 48")
+    out = polygonize.sieve(focal.lattice_remap(t, per_row=6), 750.0, 3)
+    return stats.tile_stats(out).select("image_id", "n_pixels", "n_valid", "vsum")
+
+
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup filtering at ingest (round 5): the
     documents table split into 3 files drains availableNow; each
@@ -1796,15 +1810,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     focal_halo_stats, transform_cyl, table_compaction, spatial_split,
     stratified_cell_cap, hash_sample, zonal_stats, focal_convolve,
     terrain_horn, pack_shards, contour_segments, polygonize,
-    tile_histogram, layer_ndvi, stream_histogram, retile_split). The
-    window is oversubscribed by twelve: the rows-only entries
-    (swath_resize, grid_to_size, reproject_utm, newest record r03) are
-    deliberately deprioritized — the driver can only row-count them,
-    so a fresh oracle-green row for a hash-checkable entry is strictly
-    more evidence — and rasterize_replace / swath_twohop /
-    geotiff_roundtrip / jpeg_roundtrip / events_hour_window /
-    stream_ingest / boundary_ring / snap_grids / gpkg_tiles_roundtrip
-    (r03-green) step aside:
+    tile_histogram, layer_ndvi, stream_histogram, retile_split,
+    sieve_small_regions). The window is oversubscribed by thirteen:
+    the rows-only entries (swath_resize, grid_to_size, reproject_utm,
+    newest record r03) are deliberately deprioritized — the driver can
+    only row-count them, so a fresh oracle-green row for a
+    hash-checkable entry is strictly more evidence — and
+    rasterize_replace / swath_twohop / geotiff_roundtrip /
+    jpeg_roundtrip / events_hour_window / stream_ingest /
+    boundary_ring / snap_grids / gpkg_tiles_roundtrip /
+    swath_cell_size (r03-green) step aside:
     a sibling certifies the same kernel path this round (rasterize_add
     shares the rasterize kernel; swath_twohop's hops are covered by
     swath_to_grid_nn + to_grid_average; cog_roundtrip exercises the
@@ -1814,11 +1829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_hour_window's date_trunc groupBy; stream_minhash_dedup
     exercises the same availableNow + TableIO-ledger ingest machinery
     as stream_ingest; neighbour_distances + knn_tiles cover
-    neighbors.py's ring/shift family; grid_union covers grid.py's
-    merge/bbox-fold that snap_grids builds on; gpkg_roundtrip
-    certifies the same GeoPackage container machinery the tiles
-    variant extends). All twelve MUST head the r06 rotation; the
-    r04-green remainder follows behind the marker.
+    neighbors.py's ring/shift family (swath_cell_size included — same
+    shift machinery); grid_union covers grid.py's merge/bbox-fold that
+    snap_grids builds on; gpkg_roundtrip certifies the same GeoPackage
+    container machinery the tiles variant extends). All thirteen MUST
+    head the r06 rotation; the r04-green remainder follows behind the
+    marker.
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
@@ -1840,7 +1856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_bilinear": q_resize_bilinear,
         "cog_roundtrip": q_cog_roundtrip,
         "neighbour_distances": q_neighbour_distances,
-        "swath_cell_size": q_swath_cell_size,
         "band_stats": q_band_stats,
         "media_render": q_media_render,
         "polygons_geojson": q_polygons_geojson,
@@ -1876,7 +1891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_ndvi": q_layer_ndvi,
         "stream_histogram": q_stream_histogram,
         "retile_split": q_retile_split,
+        "sieve_small_regions": q_sieve_small_regions,
         # ---- position 50+ from here: r04-certified / rows-only ---------
+        "swath_cell_size": q_swath_cell_size,
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         "snap_grids": q_snap_grids,
         "stream_ingest": q_stream_ingest,
@@ -2771,6 +2788,56 @@ def oracle_sql() -> dict[str, str]:
                    min(node // 4294967296) as gy_min,
                    max(node // 4294967296) as gy_max
             from comp group by root
+        """,
+        # sieve = the polygonize closure + small-root member removal,
+        # subtracted relationally from the per-tile stats
+        "sieve_small_regions": f"""
+            with recursive tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+                and w = 64 and h = 48
+            ),
+            tl2 as (
+              select image_id, w, h, rn % 6 as tx, rn // 6 as ty from tl
+            ),
+            base as (
+              select t.image_id,
+                     (t.ty * t.h + p.prow) * 4294967296 + (t.tx * t.w + p.pcol) as k,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as v
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            n as (select k, gx, gy from base where v >= 750.0),
+            e as (
+              select a.k as src, b.k as dst
+              from n a join n b on b.gx = a.gx + 1 and b.gy = a.gy
+              union all
+              select a.k as src, b.k as dst
+              from n a join n b on b.gx = a.gx and b.gy = a.gy + 1
+            ),
+            eu as (
+              select src, dst from e union all select dst as src, src as dst from e
+            ),
+            r as (
+              select k as node, k as anc from n
+              union
+              select eu.dst as node, r.anc from r join eu on eu.src = r.node
+            ),
+            comp as (select node, min(anc) as root from r group by node),
+            sizes as (select root, count(*) as nsz from comp group by root),
+            rm as (
+              select c.node from comp c join sizes s using (root) where s.nsz < 3
+            )
+            select b.image_id,
+                   count(*) as n_pixels,
+                   count(b.v) filter (rm.node is null) as n_valid,
+                   coalesce(sum(b.v) filter (rm.node is null), 0.0) as vsum
+            from base b left join rm on rm.node = b.k
+            group by 1
         """,
         "bool_mask_counts": f"""
             select t.image_id, count(*) as n_pixels,

@@ -143,8 +143,8 @@ def _scan(tiles: DataFrame, threshold: float) -> DataFrame:
     (row_type 's'/'b')."""
     src = tiles.select("image_id", "x_origin", "y_origin", "cell_width",
                        "cell_height", "w", "h", "fmt", "bytes")
-    schema = ("row_type string, gx long, gy long, node long, n_pixels long, "
-              "gx_min long, gx_max long, gy_min long, gy_max long")
+    schema = ("image_id string, row_type string, gx long, gy long, node long, "
+              "n_pixels long, gx_min long, gx_max long, gy_min long, gy_max long")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -158,15 +158,17 @@ def _scan(tiles: DataFrame, threshold: float) -> DataFrame:
                 s, b = _tile_regions(arr, threshold, gx0, gy0)
                 if s is None:
                     continue
-                s = s.assign(row_type="s", gx=-1, gy=-1)
-                b = b.assign(row_type="b", n_pixels=-1, gx_min=-1, gx_max=-1,
-                             gy_min=-1, gy_max=-1)
-                cols = ["row_type", "gx", "gy", "node", "n_pixels",
+                iid = pdf["image_id"].iloc[i]
+                s = s.assign(image_id=iid, row_type="s", gx=-1, gy=-1)
+                b = b.assign(image_id=iid, row_type="b", n_pixels=-1,
+                             gx_min=-1, gx_max=-1, gy_min=-1, gy_max=-1)
+                cols = ["image_id", "row_type", "gx", "gy", "node", "n_pixels",
                         "gx_min", "gx_max", "gy_min", "gy_max"]
                 frames.append(s[cols])
                 frames.append(b[cols])
             yield (pd.concat(frames, ignore_index=True) if frames else
-                   pd.DataFrame({"row_type": pd.Series([], dtype=str),
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "row_type": pd.Series([], dtype=str),
                                  **{c: pd.Series([], dtype=np.int64)
                                     for c in ("gx", "gy", "node", "n_pixels",
                                               "gx_min", "gx_max", "gy_min", "gy_max")}}))
@@ -174,18 +176,13 @@ def _scan(tiles: DataFrame, threshold: float) -> DataFrame:
     return src.mapInPandas(run, schema=schema)
 
 
-def polygonize(tiles: DataFrame, threshold: float) -> DataFrame:
-    """Global 4-adjacency regions of ``value >= threshold`` →
-    ``(region_id, n_pixels, gx_min, gx_max, gy_min, gy_max)`` with
-    ``region_id`` the component's min global pixel key and the bbox in
-    global pixel coordinates. REQUIRES a single layout group (one lattice):
-    filter to one (crs, cell sizes, w, h) — or loop layout groups —
-    before calling; keys are lattice-local. Tiles must be
-    lattice-aligned (origins = integer multiples of the cell size), as
-    ``focal.lattice_remap`` produces."""
+def _region_mapping(tiles: DataFrame, threshold: float):
+    """Shared CCL machinery: one decode pass → (summaries with
+    image_id, node→root mapping from the seam-graph label
+    propagation)."""
     scan = _scan(tiles, threshold).localCheckpoint()  # one decode pass
     summaries = scan.filter("row_type = 's'").select(
-        "node", "n_pixels", "gx_min", "gx_max", "gy_min", "gy_max")
+        "image_id", "node", "n_pixels", "gx_min", "gx_max", "gy_min", "gy_max")
     boundary = scan.filter("row_type = 'b'").select("gx", "gy", "node")
 
     from rasters_spark.datapipe import dedup
@@ -201,6 +198,88 @@ def polygonize(tiles: DataFrame, threshold: float) -> DataFrame:
         .filter("doc_a != doc_b"))
     mapping = dedup.dup_groups(None, pairs=pairs).withColumnRenamed(
         "doc_id", "node").withColumnRenamed("group_id", "root")
+    return summaries, mapping
+
+
+def sieve(tiles: DataFrame, threshold: float, min_pixels: int) -> DataFrame:
+    """GDAL sieve analogue (drop variant): NULL OUT every masked pixel
+    whose global connected region holds fewer than ``min_pixels``
+    pixels — speckle removal before vectorization/training. Returns
+    the tile set with ``bytes`` rewritten (fmt raw; unmasked pixels
+    untouched).
+
+    Scale shape: the polygonize machinery (one decode pass + skinny
+    seam graph + label propagation) finds the small-region NODE list;
+    the per-tile node lists fold into one bounded row each
+    (collect_list of the tile's own small regions — bounded by
+    regions-per-tile, a fixture/data property, not a hot-key) and join
+    the payload 1:1; a second map-only pass recomputes the tile-local
+    labels (deterministic — same run union-find) and NULLs members.
+    Same layout requirement as ``polygonize``."""
+    summaries, mapping = _region_mapping(tiles, threshold)
+    labeled = (summaries.join(mapping, "node", "left")
+               .withColumn("root", F.coalesce("root", "node")))
+    totals = labeled.groupBy("root").agg(F.sum("n_pixels").alias("tot"))
+    small = (labeled.join(totals.filter(F.col("tot") < min_pixels), "root")
+             .groupBy("image_id")
+             .agg(F.collect_list("node").alias("small_nodes")))
+    t = tiles.join(small, "image_id", "left")
+    src = t.select("image_id", "x_origin", "y_origin", "cell_width",
+                   "cell_height", "crs", "w", "h", "fmt", "bytes", "small_nodes")
+    schema = ", ".join(
+        ["image_id string", "x_origin double", "y_origin double",
+         "cell_width double", "cell_height double", "crs string",
+         "w int", "h int", "fmt string", "bytes binary"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in ("image_id", "x_origin", "y_origin", "cell_width",
+                                    "cell_height", "crs", "w", "h", "fmt", "bytes")}
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                arr = arr.astype(np.float64)
+                small_nodes = pdf["small_nodes"].iloc[i]
+                if small_nodes is not None and len(small_nodes):
+                    cw = float(pdf["cell_width"].iloc[i])
+                    ch = float(pdf["cell_height"].iloc[i])
+                    gx0 = round(float(pdf["x_origin"].iloc[i]) / cw)
+                    gy0 = round(float(pdf["y_origin"].iloc[i]) / ch)
+                    h, w = arr.shape
+                    with np.errstate(invalid="ignore"):
+                        mask = np.isfinite(arr) & (arr >= threshold)
+                    root, n_runs = _local_ccl(mask)
+                    if n_runs:
+                        jj, ii = np.meshgrid(np.arange(w, dtype=np.int64),
+                                             np.arange(h, dtype=np.int64))
+                        key = (gy0 + ii) * _KEY_STRIDE + (gx0 + jj)
+                        minkey = np.full(n_runs, np.iinfo(np.int64).max,
+                                         dtype=np.int64)
+                        m = root >= 0
+                        np.minimum.at(minkey, root[m], key[m])
+                        kill = np.isin(minkey,
+                                       np.asarray(list(small_nodes), dtype=np.int64))
+                        drop = m & kill[np.where(m, root, 0)]
+                        arr = np.where(drop, np.nan, arr)
+                for c in ("image_id", "x_origin", "y_origin", "cell_width",
+                          "cell_height", "crs", "w", "h"):
+                    rows[c].append(pdf[c].iloc[i])
+                rows["fmt"].append("raw")
+                rows["bytes"].append(arr.astype(np.float32).tobytes())
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def polygonize(tiles: DataFrame, threshold: float) -> DataFrame:
+    """Global 4-adjacency regions of ``value >= threshold`` →
+    ``(region_id, n_pixels, gx_min, gx_max, gy_min, gy_max)`` with
+    ``region_id`` the component's min global pixel key and the bbox in
+    global pixel coordinates. REQUIRES a single layout group (one lattice):
+    filter to one (crs, cell sizes, w, h) — or loop layout groups —
+    before calling; keys are lattice-local. Tiles must be
+    lattice-aligned (origins = integer multiples of the cell size), as
+    ``focal.lattice_remap`` produces."""
+    summaries, mapping = _region_mapping(tiles, threshold)
     return (summaries.join(mapping, "node", "left")
             .select(F.coalesce("root", "node").alias("region_id"), "n_pixels",
                     "gx_min", "gx_max", "gy_min", "gy_max")
