@@ -671,6 +671,22 @@ def q_merge_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample.merge_mean(t, RASTERIZE_TARGET)
 
 
+def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greatest-value temporal compositing (resample.composite_max —
+    max-NDVI-composite shape, EXTENSION beyond the reference's
+    merge=mean raster.py:2014 / mosaic=first raster.py:2064): the tile
+    stack is treated as a 3-epoch time series (epoch = tile_index % 3
+    — the hot footprint genuinely stacks all three epochs), and per
+    0.25° target cell the composite keeps the MAX valid observation,
+    the epoch that attained it (ties → EARLIEST epoch, fused into the
+    ONE hash aggregate via a struct max ordered (value, −epoch)), and
+    the observation count. Max of quarter-integer pixels is exact, so
+    the DuckDB twin (group-max + join-back min(epoch)) agrees
+    bit-for-bit — no printf."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return resample.composite_max(t, RASTERIZE_TARGET)
+
+
 def q_mosaic_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tiles(spark, sf_dir)
     return resample.mosaic_first(t, RASTERIZE_TARGET)
@@ -1872,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_grid_gauss": q_to_grid_gauss,
         "point_sample_join_grouped": q_point_sample_join_grouped,
         # -- new this round (round 5) -----------------------------------
+        "temporal_composite": q_temporal_composite,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -3073,6 +3090,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n
             from sampled where not isnan(value)
             group by trow, tcol
+        """,
+        "temporal_composite": f"""
+            {_resample_cte(tiles, pixels, fmt_filter="where fmt = 'raw'")}
+            , obs as (
+              select trow, tcol, cast(value as double) as value,
+                     cast(substring(image_id, 4, 12) as bigint) % 3 as epoch
+              from sampled where not isnan(value)
+            ),
+            m as (
+              select trow, tcol, max(value) as value, count(*) as n_obs
+              from obs group by trow, tcol
+            )
+            select m.trow, m.tcol, m.value, min(o.epoch) as epoch, m.n_obs
+            from m join obs o
+              on o.trow = m.trow and o.tcol = m.tcol and o.value = m.value
+            group by m.trow, m.tcol, m.value, m.n_obs
         """,
         "mosaic_first": f"""
             {_resample_cte(tiles, pixels, fmt_filter="")}

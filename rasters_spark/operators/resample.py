@@ -88,6 +88,41 @@ def mosaic_first(tiles: DataFrame, target: dict, order_col: str = "image_id") ->
     return v.groupBy("trow", "tcol").agg(F.min_by("value", order_col).alias("value"))
 
 
+def composite_max(tiles: DataFrame, target: dict, epoch_expr=None) -> DataFrame:
+    """Greatest-value temporal compositing (max-NDVI-composite shape —
+    EXTENSION beyond the reference; the reference stops at merge=mean
+    raster.py:2014 and mosaic=first raster.py:2064): per target cell,
+    the MAX valid observation across a time-stacked layer set, the
+    epoch that attained it (ties → EARLIEST epoch), and the
+    valid-observation count → (trow, tcol, value, epoch, n_obs).
+
+    ``epoch_expr``: a Column over the candidate rows (which carry
+    ``image_id``) giving each observation's epoch; defaults to the
+    fixture convention ``tile_index % 3``.
+
+    Scale shape: identical to ``merge_mean`` — skinny candidate rows
+    (never blobs) into ONE hash aggregate with map-side partials. The
+    arg-max is fused into the same aggregate via a struct max ordered
+    (value, −epoch): lexicographic max picks the largest value, then
+    the largest −epoch = the smallest epoch — no second pass, no
+    window, no join-back. Max of quarter-integer fixture pixels is
+    exact, so the DuckDB twin (two-level max + join-back min(epoch))
+    agrees bit-for-bit."""
+    if epoch_expr is None:
+        epoch_expr = F.expr("cast(substring(image_id, 4, 12) as bigint) % 3")
+    v = _with_nearest_value(target_candidates(tiles, target))
+    v = (v.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+          .withColumn("epoch", epoch_expr)
+          .withColumn("value", F.col("value").cast("double")))
+    out = v.groupBy("trow", "tcol").agg(
+        F.max(F.struct(F.col("value").alias("v"),
+                       (-F.col("epoch")).alias("ne"))).alias("b"),
+        F.count("value").alias("n_obs"))
+    return out.select(
+        "trow", "tcol", F.col("b.v").alias("value"),
+        (-F.col("b.ne")).alias("epoch"), "n_obs")
+
+
 def to_grid_nearest(tiles: DataFrame, target: dict) -> DataFrame:
     """Per-tile grid→grid nearest warp in sparse long form
     (image_id, trow, tcol, value) — the reference's per-raster

@@ -166,3 +166,38 @@ def test_to_grid_nearest_bool_shim(spark):
     exp = {(r.image_id, r.trow, r.tcol): r.value
            for r in resample.to_grid_nearest(ft, TARGET).collect()}
     assert got == exp
+
+
+def test_composite_max_matches_numpy(spark):
+    tiles = load_tiles(spark, SF).filter("fmt = 'raw'").limit(40)
+    got = {(r.trow, r.tcol): (r.value, r.epoch, r.n_obs)
+           for r in resample.composite_max(tiles, TARGET).collect()}
+    acc: dict = {}
+    for iid, trow, tcol, v in _numpy_candidates(tiles.toPandas()):
+        if not np.isnan(v):
+            epoch = int(iid[3:]) % 3
+            best, eb, n = acc.get((trow, tcol), (-np.inf, 99, 0))
+            if v > best or (v == best and epoch < eb):
+                best, eb = v, epoch
+            acc[(trow, tcol)] = (best, eb, n + 1)
+    assert got.keys() == acc.keys()
+    for k, (v, e, n) in acc.items():
+        assert got[k] == (v, e, n)
+
+
+def test_composite_max_tie_breaks_to_earliest_epoch(spark):
+    # two byte-identical tiles on one footprint: every cell ties on value,
+    # so the composite must report the EARLIEST epoch (idx 7 % 3 = 1 beats
+    # idx 8 % 3 = 2), with n_obs = 2
+    arr = np.arange(16, dtype=np.float32).reshape(4, 4) * 0.25
+    payload = codec.encode_tile(arr, "raw")
+    rows = [("img%012d" % i, payload, 4, 4, "raw", 10.0, 50.0, 0.25, -0.25, "EPSG:4326")
+            for i in (7, 8)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "x_origin double, y_origin double, cell_width double, "
+              "cell_height double, crs string")
+    from rasters_spark.tiles import with_grid
+    out = resample.composite_max(with_grid(df), TARGET).collect()
+    assert len(out) == 16
+    assert all(r.epoch == 1 and r.n_obs == 2 for r in out)
