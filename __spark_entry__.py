@@ -271,6 +271,21 @@ def q_focal_halo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal.focal_stats(focal.lattice_remap(t, per_row=40), radius=1)
 
 
+def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal MEDIAN + MAJORITY rank filters (focal.focal_rank_stats —
+    despeckle / categorical smoothing; EXTENSION beyond the reference)
+    over the same halo-exchanged lattice as ``focal_halo_stats``:
+    per-pixel (med, maj, n) for every cell with a non-empty 3×3
+    window. Median of an even window = mean of the two middles —
+    numpy's (a+b)/2 and DuckDB quantile_cont(0.5)'s lo·0.5+hi·0.5 are
+    both exact on quarter-integer pixels, so doubles hash
+    bit-identically (no printf); majority tie-break is total-ordered
+    (count desc, value asc) on both engines."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return focal.focal_rank_stats(focal.lattice_remap(t, per_row=40), 1)
+
+
 def q_focal_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted focal convolution (3×3 binomial blur kernel) with
     cross-tile halo exchange — the blur/sharpen map-algebra operator
@@ -1889,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_sample_join_grouped": q_point_sample_join_grouped,
         # -- new this round (round 5) -----------------------------------
         "temporal_composite": q_temporal_composite,
+        "focal_median": q_focal_median,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -2664,6 +2680,62 @@ def oracle_sql() -> dict[str, str]:
             )
             select image_id, count(*) as focal_cells, sum(s) as focal_sum
             from cellagg group by 1
+        """,
+        "focal_median": f"""
+            with tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+            ),
+            tl2 as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     rn % 40 as tx, rn // 40 as ty
+              from tl
+            ),
+            px as (
+              select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                     p.prow, p.pcol,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as value
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            offs(dx, dy) as (values
+              (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+            cand as (
+              select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                     c.prow, c.pcol, c.gx + o.dx as ngx, c.gy + o.dy as ngy
+              from px c cross join offs o
+            ),
+            nb as (
+              select cand.image_id, cand.prow, cand.pcol, n.value
+              from cand
+              join px n
+                on n.crs = cand.crs and n.cell_width = cand.cell_width
+               and n.cell_height = cand.cell_height and n.w = cand.w and n.h = cand.h
+               and n.gx = cand.ngx and n.gy = cand.ngy
+              where n.value is not null
+            ),
+            med as (
+              select image_id, prow, pcol, median(value) as med, count(*) as n
+              from nb group by 1, 2, 3
+            ),
+            cnt as (
+              select image_id, prow, pcol, value, count(*) as c
+              from nb group by 1, 2, 3, 4
+            ),
+            rk as (
+              select image_id, prow, pcol, value as maj,
+                     row_number() over (partition by image_id, prow, pcol
+                                        order by c desc, value asc) as rn
+              from cnt
+            )
+            select m.image_id, m.prow, m.pcol, m.med, r.maj, m.n
+            from med m join rk r
+              on r.image_id = m.image_id and r.prow = m.prow
+             and r.pcol = m.pcol and r.rn = 1
         """,
         "focal_convolve": f"""
             with tl as (

@@ -272,6 +272,71 @@ def focal_stats(tiles: DataFrame, radius: int = 1) -> DataFrame:
     return src.mapInPandas(run, schema=schema)
 
 
+def focal_rank_stats(tiles: DataFrame, radius: int = 1) -> DataFrame:
+    """Focal MEDIAN and MAJORITY over the halo-exchanged lattice —
+    the rank-statistic filters (focal median = despeckle, majority =
+    categorical smoothing; EXTENSION beyond the reference, which has
+    no focal family). Per-pixel skinny rows
+    ``(image_id, prow, pcol, med, maj, n)`` for every cell with ≥1
+    valid value in its (2r+1)² window.
+
+    Cross-engine parity: the median of an even window is the mean of
+    the two middle values — numpy's (a+b)/2 and DuckDB
+    ``quantile_cont(0.5)``'s lo·0.5 + hi·0.5 are BOTH exact for
+    quarter-integer pixels (dyadic, bounded exponent), so the doubles
+    hash bit-identically. Majority tie-break is total-ordered
+    (CLAUDE.md rule): highest count, then SMALLEST value — the twin
+    ranks (count desc, value asc).
+
+    Scale shape: identical to focal_stats — skinny strips cross one
+    exchange, payload crosses one, then ONE map-only Arrow pass; the
+    (K,K,h,w) equality tensor is per-tile bounded (K=9 → ~250 KB)."""
+    import warnings
+
+    t = _with_halo_payload(tiles, radius)
+    src = t.select("image_id", "w", "h", "fmt", "bytes", "halos")
+    schema = "image_id string, prow int, pcol int, med double, maj double, n long"
+    k = 2 * radius + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                pad = _place_halos(arr, pdf["halos"].iloc[i], radius)
+                stack = np.stack([pad[dy:dy + hh, dx:dx + ww]
+                                  for dy in range(k) for dx in range(k)])
+                n = np.isfinite(stack).sum(axis=0)
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    med = np.nanmedian(stack, axis=0)
+                    # counts[j] = #{i : v_i == v_j} (NaN never equal);
+                    # majority = smallest value attaining the max count
+                    counts = (stack[:, None] == stack[None, :]).sum(axis=0)
+                    maxc = counts.max(axis=0)
+                    maj = np.nanmin(np.where(counts == maxc, stack, np.nan), axis=0)
+                rows, cols = np.nonzero(n > 0)
+                if rows.size == 0:
+                    continue
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rows.astype(np.int32),
+                    "pcol": cols.astype(np.int32),
+                    "med": med[rows, cols],
+                    "maj": maj[rows, cols],
+                    "n": n[rows, cols].astype(np.int64)}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "med": pd.Series([], dtype=float),
+                                 "maj": pd.Series([], dtype=float),
+                                 "n": pd.Series([], dtype=np.int64)}))
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def _kernel_array(kernel) -> np.ndarray:
     """Validate an odd-square 2-D weight kernel → float64 array."""
     k = np.asarray(kernel, dtype=np.float64)

@@ -204,3 +204,46 @@ def test_lattice_remap_abuts_and_is_sql_replicable(spark, lattice):
     # every origin is an exact lattice multiple → strips join exactly
     out = focal.focal_stats(remapped, 1)
     assert out.count() == NX * NY
+
+
+def test_focal_rank_stats_match_global_brute(spark, lattice):
+    """Median/majority per cell vs a per-cell Python brute force over the
+    assembled global array — including tile-edge cells (halo path) and
+    the tie-break rule (max count, then SMALLEST value)."""
+    g = _global_array()
+    out = focal.focal_rank_stats(lattice, 1).collect()
+    got = {(r.image_id, r.prow, r.pcol): (r.med, r.maj, r.n) for r in out}
+    gh, gw = g.shape
+    pad = np.full((gh + 2, gw + 2), np.nan)
+    pad[1:-1, 1:-1] = g
+    n_checked = 0
+    for gi in range(gh):
+        for gj in range(gw):
+            win = pad[gi:gi + 3, gj:gj + 3]
+            vals = sorted(win[np.isfinite(win)].tolist())
+            iid = f"t{gi // H}{gj // W}"
+            key = (iid, gi % H, gj % W)
+            if not vals:
+                assert key not in got
+                continue
+            m = len(vals)
+            med = vals[m // 2] if m % 2 else (vals[m // 2 - 1] + vals[m // 2]) / 2.0
+            from collections import Counter
+            cnt = Counter(vals)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            assert got[key] == (med, best, m)
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_focal_majority_tie_breaks_to_smallest_value(spark):
+    # a single 3x3 tile whose center window holds {1.0 x4, 2.0 x4, 3.0}:
+    # counts tie at 4 -> majority must be the SMALLER value 1.0
+    arr = np.array([[1.0, 2.0, 1.0],
+                    [2.0, 3.0, 2.0],
+                    [1.0, 2.0, 1.0]], dtype=np.float32)
+    df = spark.createDataFrame(
+        [("t", codec.encode_tile(arr, "raw"), 3, 3, "raw", "EPSG:4326",
+          0.0, 0.0, CW, CH)], COLS)
+    out = {(r.prow, r.pcol): r.maj for r in focal.focal_rank_stats(df, 1).collect()}
+    assert out[(1, 1)] == 1.0
