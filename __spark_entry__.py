@@ -303,6 +303,20 @@ def q_focal_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal.convolve_stats(focal.lattice_remap(t, per_row=40), focal.BINOMIAL3)
 
 
+def q_flow_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction (terrain.flow_d8 — O'Callaghan & Mark 1984,
+    the ESRI/GDAL FlowDirection operator; EXTENSION beyond the
+    reference) over the halo-exchanged lattice: per valid cell the
+    ESRI code of the steepest positive drop (ties → smallest code,
+    0 on pits/flats) plus the positive-drop neighbor count. Every
+    drop is an exact dyadic difference ÷ (1.0 | shared sqrt(2.0)) —
+    correctly-rounded IEEE on both engines, so the argmax and counts
+    are pure-integer identical; no printf."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return terrain.flow_d8(focal.lattice_remap(t, per_row=40))
+
+
 def q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn slope / aspect / hillshade (operators/terrain.py; Horn 1981
     stencil, the GDAL/ESRI DEM convention — EXTENSION beyond the
@@ -1905,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (round 5) -----------------------------------
         "temporal_composite": q_temporal_composite,
         "focal_median": q_focal_median,
+        "flow_d8": q_flow_d8,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -2736,6 +2751,69 @@ def oracle_sql() -> dict[str, str]:
             from med m join rk r
               on r.image_id = m.image_id and r.prow = m.prow
              and r.pcol = m.pcol and r.rn = 1
+        """,
+        "flow_d8": f"""
+            with tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+            ),
+            tl2 as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     rn % 40 as tx, rn // 40 as ty
+              from tl
+            ),
+            px as (
+              select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                     p.prow, p.pcol,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as value
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            -- ESRI D8 codes, pixel-space (dy = Δprow, dx = Δpcol);
+            -- diagonal distance shares the kernel's sqrt(2.0) constant
+            offs(dy, dx, code, dist) as (values
+              (0,1,1,1.0),(1,1,2,sqrt(2.0)),(1,0,4,1.0),(1,-1,8,sqrt(2.0)),
+              (0,-1,16,1.0),(-1,-1,32,sqrt(2.0)),(-1,0,64,1.0),(-1,1,128,sqrt(2.0))),
+            cand as (
+              select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                     c.prow, c.pcol, c.value as cval,
+                     c.gx + o.dx as ngx, c.gy + o.dy as ngy, o.code, o.dist
+              from px c cross join offs o
+              where c.value is not null
+            ),
+            nb as (
+              select cand.image_id, cand.prow, cand.pcol, cand.code,
+                     (cand.cval - n.value) / cand.dist as drop_
+              from cand
+              join px n
+                on n.crs = cand.crs and n.cell_width = cand.cell_width
+               and n.cell_height = cand.cell_height and n.w = cand.w and n.h = cand.h
+               and n.gx = cand.ngx and n.gy = cand.ngy
+              where n.value is not null
+            ),
+            agg as (
+              select image_id, prow, pcol, max(drop_) as best,
+                     count(*) filter (where drop_ > 0.0) as n_down
+              from nb group by 1, 2, 3
+            ),
+            bd as (
+              select nb.image_id, nb.prow, nb.pcol, min(nb.code) as code
+              from nb join agg a
+                on a.image_id = nb.image_id and a.prow = nb.prow and a.pcol = nb.pcol
+              where nb.drop_ = a.best
+              group by 1, 2, 3
+            )
+            select c.image_id, c.prow, c.pcol,
+                   cast(case when a.best > 0.0 then b.code else 0 end as int) as d8,
+                   coalesce(a.n_down, 0) as n_down
+            from px c
+            left join agg a on a.image_id = c.image_id and a.prow = c.prow and a.pcol = c.pcol
+            left join bd b on b.image_id = c.image_id and b.prow = c.prow and b.pcol = c.pcol
+            where c.value is not null
         """,
         "focal_convolve": f"""
             with tl as (

@@ -182,3 +182,79 @@ def hillshade_tiles(tiles: DataFrame, z_factor: float = 1.0,
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema=schema)
+
+
+# --- D8 flow direction ---------------------------------------------------------
+
+#: pixel-space D8 offsets in ESRI code order (O'Callaghan & Mark 1984;
+#: ESRI encoding E=1 clockwise to NE=128). (dy, dx) are (Δprow, Δpcol);
+#: with the normal north-up layout (cell_height < 0) +prow is south.
+#: The diagonal distance constant is inlined as sqrt(2.0) in BOTH the
+#: numpy kernel and the SQL oracle (shared-constant rule).
+D8_SQRT2 = math.sqrt(2.0)
+D8_OFFSETS = (
+    (0, 1, 1, 1.0), (1, 1, 2, D8_SQRT2), (1, 0, 4, 1.0), (1, -1, 8, D8_SQRT2),
+    (0, -1, 16, 1.0), (-1, -1, 32, D8_SQRT2), (-1, 0, 64, 1.0), (-1, 1, 128, D8_SQRT2),
+)
+
+
+def flow_d8(tiles: DataFrame) -> DataFrame:
+    """D8 flow direction over a tiled DEM with halo exchange —
+    steepest-descent routing (O'Callaghan & Mark 1984; the ESRI/GDAL
+    FlowDirection operator; EXTENSION beyond the reference). Per valid
+    cell: ``d8`` = the code of the neighbor with the maximum positive
+    drop ``(z − z_nbr)/dist`` (dist 1 cardinal, sqrt(2) diagonal),
+    ties → the SMALLEST code (total-order rule); 0 for pits/flats (no
+    positive drop) and for cells with no valid neighbor. ``n_down`` =
+    the count of positive-drop neighbors (independent certification of
+    the whole drop field, not just the argmax).
+
+    Cross-engine parity: every drop is (exact dyadic difference) ÷
+    (1.0 or the shared sqrt(2.0) constant) — correctly-rounded IEEE on
+    both engines, so comparisons and the argmax agree exactly; outputs
+    are pure integers. Scale shape: the focal strip exchange + one
+    payload join + a map-only Arrow pass."""
+    import warnings
+
+    t = _with_halo_payload(tiles, 1)
+    src = t.select("image_id", "w", "h", "fmt", "bytes", "halos")
+    schema = "image_id string, prow int, pcol int, d8 int, n_down long"
+    codes = np.array([c for _, _, c, _ in D8_OFFSETS], dtype=np.int32)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                pad = _place_halos(arr, pdf["halos"].iloc[i], 1)
+                center = pad[1:1 + hh, 1:1 + ww]
+                drops = np.stack([
+                    (center - pad[1 + dy:1 + dy + hh, 1 + dx:1 + dx + ww]) / dist
+                    for dy, dx, _c, dist in D8_OFFSETS])
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    best = np.nanmax(drops, axis=0)
+                    n_down = (drops > 0.0).sum(axis=0)
+                # first index attaining the max = smallest ESRI code
+                # (D8_OFFSETS is in ascending code order)
+                idx = (drops == best).argmax(axis=0)
+                d8 = np.where(np.isfinite(best) & (best > 0.0), codes[idx], 0)
+                ok = np.isfinite(center)
+                rows, cols = np.nonzero(ok)
+                if rows.size == 0:
+                    continue
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rows.astype(np.int32),
+                    "pcol": cols.astype(np.int32),
+                    "d8": d8[rows, cols].astype(np.int32),
+                    "n_down": n_down[rows, cols].astype(np.int64)}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "d8": pd.Series([], dtype=np.int32),
+                                 "n_down": pd.Series([], dtype=np.int64)}))
+
+    return src.mapInPandas(run, schema=schema)

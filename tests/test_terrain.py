@@ -189,3 +189,49 @@ def test_halo_family_payload_crosses_one_exchange(spark, lattice):
     assert n_bytes_exchanges(contour_ops.contour_segments(lattice, [3.0])) == 1
     assert n_bytes_exchanges(focal.focal_tiles(lattice)) == 1
     assert n_bytes_exchanges(focal.convolve_tiles(lattice)) == 1
+
+
+def test_flow_d8_matches_global_brute(spark, lattice):
+    """D8 per cell vs per-cell Python brute force over the assembled
+    global array: steepest positive drop, ties -> smallest ESRI code,
+    0 on pits/flats, neighbors beyond the lattice/NaN excluded."""
+    g = _global_array()
+    got = {(r.image_id, r.prow, r.pcol): (r.d8, r.n_down)
+           for r in terrain.flow_d8(lattice).collect()}
+    gh, gw = g.shape
+    n_checked = 0
+    for gi in range(gh):
+        for gj in range(gw):
+            if not np.isfinite(g[gi, gj]):
+                continue
+            best, code, n_down = -np.inf, 0, 0
+            for dy, dx, c, dist in terrain.D8_OFFSETS:
+                ni, nj = gi + dy, gj + dx
+                if not (0 <= ni < gh and 0 <= nj < gw) or not np.isfinite(g[ni, nj]):
+                    continue
+                drop = (g[gi, gj] - g[ni, nj]) / dist
+                if drop > 0.0:
+                    n_down += 1
+                if drop > best:
+                    best, code = drop, c
+            d8 = code if best > 0.0 else 0
+            key = (f"t{gi // H}{gj // W}", gi % H, gj % W)
+            assert got[key] == (d8, n_down), key
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_flow_d8_pit_flat_and_tie(spark):
+    # centre is a pit -> 0; uniform tile -> every cell flat -> 0;
+    # symmetric ridge ties E and W at equal drop -> E (code 1 < 16) wins
+    flat = np.full((3, 3), 5.0, dtype=np.float32)
+    pit = flat.copy(); pit[1, 1] = 0.0
+    ridge = np.array([[9, 9, 9], [4, 8, 4], [9, 9, 9]], dtype=np.float32)
+    rows = [(n, codec.encode_tile(a, "raw"), 3, 3, "raw", "EPSG:4326",
+             float(k) * 10.0, 0.0, CW, CH)
+            for k, (n, a) in enumerate([("flat", flat), ("pit", pit), ("ridge", ridge)])]
+    df = spark.createDataFrame(rows, COLS)
+    got = {(r.image_id, r.prow, r.pcol): r.d8 for r in terrain.flow_d8(df).collect()}
+    assert got[("flat", 1, 1)] == 0
+    assert got[("pit", 1, 1)] == 0
+    assert got[("ridge", 1, 1)] == 1  # E beats W on the code tie-break
