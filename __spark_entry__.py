@@ -271,6 +271,20 @@ def q_focal_halo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal.focal_stats(focal.lattice_remap(t, per_row=40), radius=1)
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius proximity (focal.proximity_stats —
+    gdal_proximity-with-maxdist analogue, EXTENSION beyond the
+    reference): per valid cell the Euclidean pixel distance to the
+    nearest target (value ≥ 750) within the 5×5 window (radius-2 halo
+    strips), NULL beyond, 0 on targets, plus the in-window target
+    count. Distances are sqrt of small ints — correctly-rounded IEEE
+    with the expression shared verbatim, and the min over distinct
+    constants has no tie — so doubles + counts hash identically."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return focal.proximity_stats(focal.lattice_remap(t, per_row=40), 750.0, 2)
+
+
 def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal MEDIAN + MAJORITY rank filters (focal.focal_rank_stats —
     despeckle / categorical smoothing; EXTENSION beyond the reference)
@@ -1920,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_composite": q_temporal_composite,
         "focal_median": q_focal_median,
         "flow_d8": q_flow_d8,
+        "proximity": q_proximity,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -2695,6 +2710,54 @@ def oracle_sql() -> dict[str, str]:
             )
             select image_id, count(*) as focal_cells, sum(s) as focal_sum
             from cellagg group by 1
+        """,
+        "proximity": f"""
+            with tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+            ),
+            tl2 as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     rn % 40 as tx, rn // 40 as ty
+              from tl
+            ),
+            px as (
+              select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                     p.prow, p.pcol,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as value
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            offs(dy, dx) as (values
+              {", ".join(f"({dy},{dx})" for dy in range(-2, 3) for dx in range(-2, 3))}),
+            cand as (
+              select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                     c.prow, c.pcol, c.gx + o.dx as ngx, c.gy + o.dy as ngy,
+                     sqrt(cast(o.dx*o.dx + o.dy*o.dy as double)) as dist
+              from px c cross join offs o
+              where c.value is not null
+            ),
+            tg as (
+              select cand.image_id, cand.prow, cand.pcol, cand.dist
+              from cand
+              join px n
+                on n.crs = cand.crs and n.cell_width = cand.cell_width
+               and n.cell_height = cand.cell_height and n.w = cand.w and n.h = cand.h
+               and n.gx = cand.ngx and n.gy = cand.ngy
+              where n.value is not null and n.value >= 750.0
+            ),
+            agg as (
+              select image_id, prow, pcol, min(dist) as prox, count(*) as n_t
+              from tg group by 1, 2, 3
+            )
+            select c.image_id, c.prow, c.pcol, a.prox, coalesce(a.n_t, 0) as n_t
+            from px c
+            left join agg a on a.image_id = c.image_id and a.prow = c.prow and a.pcol = c.pcol
+            where c.value is not null
         """,
         "focal_median": f"""
             with tl as (

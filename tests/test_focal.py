@@ -247,3 +247,38 @@ def test_focal_majority_tie_breaks_to_smallest_value(spark):
           0.0, 0.0, CW, CH)], COLS)
     out = {(r.prow, r.pcol): r.maj for r in focal.focal_rank_stats(df, 1).collect()}
     assert out[(1, 1)] == 1.0
+
+
+def test_proximity_matches_global_brute(spark, lattice):
+    """Radius-2 proximity vs per-cell brute force over the global array
+    (threshold chosen mid-range so both targets and far cells exist)."""
+    import math
+    g = _global_array()
+    thr = 5.0
+    got = {(r.image_id, r.prow, r.pcol): (r.prox, r.n_t)
+           for r in focal.proximity_stats(lattice, thr, 2).collect()}
+    gh, gw = g.shape
+    n_checked = 0
+    for gi in range(gh):
+        for gj in range(gw):
+            if not np.isfinite(g[gi, gj]):
+                continue
+            best, n_t = None, 0
+            for dy in range(-2, 3):
+                for dx in range(-2, 3):
+                    ni, nj = gi + dy, gj + dx
+                    if 0 <= ni < gh and 0 <= nj < gw and np.isfinite(g[ni, nj]) \
+                            and g[ni, nj] >= thr:
+                        n_t += 1
+                        d = math.sqrt(float(dx * dx + dy * dy))
+                        if best is None or d < best:
+                            best = d
+            key = (f"t{gi // H}{gj // W}", gi % H, gj % W)
+            exp_prox, exp_n = got[key]
+            assert exp_n == n_t, key
+            if best is None:
+                assert exp_prox is None or np.isnan(exp_prox), key
+            else:
+                assert exp_prox == best, key
+            n_checked += 1
+    assert n_checked == len(got)
