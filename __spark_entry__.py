@@ -870,6 +870,32 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (textstats.doc_repetition —
+    Rae et al. 2021 §A1.1): per-doc word-bigram totals, distinct
+    count, top-gram count, and the duplicate/top fractions used to
+    filter repetitive text. Scan-side explode → two combiner-friendly
+    keyed aggs; fractions are single divisions of exact int64 counts,
+    so the doubles hash identically against the DuckDB lead()-window
+    twin (shared whitespace tokenization with doc_stats)."""
+    return textstats.doc_repetition(_docs(spark, sf_dir), 2)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination by 4-gram overlap (textstats.
+    decontaminate — GPT-3 appendix-C / Dolma protocol; 4-grams here
+    because the synthetic docs are short, production uses 13-grams —
+    same plan shape): eval set = doc_id % 10 = 0 (id-range rule, no
+    limit()), train = the rest;
+    contaminated train docs report distinct shared grams + covered
+    instances. Grams join on md5 digests (equal strings → equal
+    digests on both engines); explode → distinct → ONE hash join →
+    keyed agg, nothing driver-side."""
+    d = _docs(spark, sf_dir)
+    return textstats.decontaminate(
+        d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0"), 4)
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_stats(_docs(spark, sf_dir))
 
@@ -1935,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_median": q_focal_median,
         "flow_d8": q_flow_d8,
         "proximity": q_proximity,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -3544,6 +3572,57 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"doc_repetition": """
+            with tk as (
+              select doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) as l
+              from documents
+            ),
+            tok as (
+              select doc_id, unnest(l) as tok, generate_subscripts(l, 1) as pos from tk
+            ),
+            g as (
+              select doc_id,
+                     tok || ' ' || lead(tok) over (partition by doc_id order by pos) as gram
+              from tok
+            ),
+            cnt as (
+              select doc_id, gram, count(*) as c from g
+              where gram is not null group by 1, 2
+            )
+            select doc_id,
+                   cast(sum(c) as bigint) as n_grams,
+                   cast(count(*) as bigint) as n_distinct,
+                   cast(max(c) as bigint) as top_cnt,
+                   cast(sum(c) - count(*) as double) / cast(sum(c) as double) as dup_frac,
+                   cast(max(c) as double) / cast(sum(c) as double) as top_frac
+            from cnt group by doc_id
+        """,
+"decontaminate": """
+            with tk as (
+              select doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) as l
+              from documents
+            ),
+            tok as (
+              select doc_id, unnest(l) as tok, generate_subscripts(l, 1) as pos from tk
+            ),
+            g as (
+              select doc_id,
+                     tok || ' ' || lead(tok, 1) over w || ' ' || lead(tok, 2) over w
+                         || ' ' || lead(tok, 3) over w as gram
+              from tok
+              window w as (partition by doc_id order by pos)
+            ),
+            gg as (select doc_id, md5(gram) as g from g where gram is not null),
+            ev as (select distinct g from gg where doc_id % 10 = 0),
+            hit as (
+              select t.doc_id, t.g from gg t join ev using (g)
+              where t.doc_id % 10 != 0
+            )
+            select doc_id,
+                   cast(count(distinct g) as bigint) as n_overlap_grams,
+                   cast(count(*) as bigint) as n_overlap_instances
+            from hit group by doc_id
         """,
 "doc_stats": """
             select doc_id,

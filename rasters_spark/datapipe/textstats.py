@@ -102,3 +102,81 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % MOD_P,
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+def _ws_tokens(t):
+    """Whitespace tokens, empties dropped — the tokenization every
+    entry in this module shares (and the oracles replicate verbatim
+    as string_split + list_filter)."""
+    return F.filter(F.split(t, " "), lambda x: F.length(x) > 0)
+
+
+def _word_ngrams(toks, n: int):
+    """Word n-grams as space-joined strings. Spark ``sequence(a, b)``
+    DESCENDS when a > b (CLAUDE.md gotcha), so short docs are guarded
+    to an empty array instead of producing phantom reversed indices."""
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def doc_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    duplicate/top n-gram fractions used to filter repetitive text) per
+    document over word ``n``-grams:
+
+    ``(doc_id, n_grams, n_distinct, top_cnt, dup_frac, top_frac)``
+    where dup_frac = (n_grams − n_distinct)/n_grams and top_frac =
+    top_cnt/n_grams. Docs with fewer than ``n`` tokens emit nothing.
+
+    Scale shape: scan-side explode → two keyed aggregations with
+    map-side partial combine (the gram count then the per-doc fold) —
+    the standard distributed frequency shape; nothing driver-side.
+    Fractions are single divisions of exact int64 counts, so doubles
+    hash identically cross-engine."""
+    toks = _ws_tokens(F.col("text"))
+    g = docs.select("doc_id", F.explode(_word_ngrams(toks, n)).alias("gram"))
+    cnt = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    ).select(
+        "doc_id", "n_grams", "n_distinct", "top_cnt",
+        ((F.col("n_grams") - F.col("n_distinct")).cast("double")
+         / F.col("n_grams").cast("double")).alias("dup_frac"),
+        (F.col("top_cnt").cast("double")
+         / F.col("n_grams").cast("double")).alias("top_frac"),
+    )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5) -> DataFrame:
+    """Test-set decontamination by word n-gram overlap (the GPT-3
+    appendix-C / Dolma protocol, at n=5 here because the synthetic
+    docs are short; production uses 13-grams): a training doc is
+    contaminated when it shares an n-gram with any eval doc →
+    ``(doc_id, n_overlap_grams, n_overlap_instances)`` for
+    contaminated docs only (distinct shared grams, and how many gram
+    occurrences they cover).
+
+    Grams join on md5 digests — at 100 TB the digest table is what
+    you'd persist and bucket (the gram text never shuffles); md5 of
+    equal strings is equal on both engines, so the oracle joins the
+    same digests. Scale shape: scan-side explode on BOTH sides, one
+    distinct on the (smaller) eval side, one hash join, one keyed
+    agg — no driver-side collection."""
+    def grams(df):
+        toks = _ws_tokens(F.col("text"))
+        return df.select(
+            "doc_id",
+            F.explode(_word_ngrams(toks, n)).alias("gram"),
+        ).select("doc_id", F.md5(F.col("gram")).alias("g"))
+
+    ev = grams(eval_docs).select("g").distinct()
+    tr = grams(docs)
+    hit = tr.join(ev, "g")
+    return hit.groupBy("doc_id").agg(
+        F.count_distinct("g").alias("n_overlap_grams"),
+        F.count("*").alias("n_overlap_instances"),
+    )

@@ -665,3 +665,38 @@ def test_pack_shards_size_bounds(spark, docs):
         assert tot < target + max_doc, (sid, tot)
         if sid != last:
             assert tot > target - max_doc, (sid, tot)
+
+
+def test_doc_repetition_brute(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),        # bigrams: ab,ba,ab,ba -> 4 grams, 2 distinct, top 2
+         (2, "x y z"),            # xy,yz -> all unique
+         (3, "q q q q"),          # qq x3 -> top_frac 1.0 after dedup? no: 3 grams 1 distinct
+         (4, "solo")],            # < 2 tokens -> no row
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.doc_repetition(docs, 2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_grams, got[1].n_distinct, got[1].top_cnt) == (4, 2, 2)
+    assert got[1].dup_frac == 0.5 and got[1].top_frac == 0.5
+    assert (got[2].n_grams, got[2].n_distinct, got[2].top_cnt) == (2, 2, 1)
+    assert got[2].dup_frac == 0.0
+    assert (got[3].n_grams, got[3].n_distinct, got[3].top_cnt) == (3, 1, 3)
+    assert got[3].dup_frac == pytest.approx(2 / 3) and got[3].top_frac == 1.0
+
+
+def test_decontaminate_brute(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "see the quick brown fox jumps far"),  # 2 distinct shared 4-grams
+         (2, "the quick brown dog"),                # no shared 4-gram
+         (3, "the quick brown fox the quick brown fox")],  # 1 shared gram x2 + qbf-the... check
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_overlap_grams, r.n_overlap_instances)
+           for r in textstats.decontaminate(tr, ev, 4).collect()}
+    # doc 1: grams {see-the-quick-brown, the-quick-brown-fox, quick-brown-fox-jumps,
+    #               brown-fox-jumps-far} -> shared: the-quick-brown-fox, quick-brown-fox-jumps
+    assert got[1] == (2, 2)
+    assert 2 not in got
+    # doc 3: the-quick-brown-fox appears twice -> 1 distinct gram, 2 instances
+    assert got[3] == (1, 2)
