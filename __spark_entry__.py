@@ -404,6 +404,19 @@ def q_retile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kids.select("image_id", "x_origin", "y_origin", "w", "h").join(st, "image_id")
 
 
+def q_qa_cloud_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed QA-bitmask decode + cloud masking (stats.qa_flags_stats
+    — the USGS Landsat QA_PIXEL workflow, EXTENSION beyond the
+    reference): QA word = floor(value·4) (exact on quarter-integer
+    pixels), CFMask bits 3/4/5 (cloud/shadow/snow) counted per tile,
+    and the cloud bit masks the tile (n_clear + exact clear_vsum).
+    Pure integers + exact dyadic sums; the oracle extracts the same
+    bits with (qa//2^b)%2 — identical to (qa>>b)&1 on the
+    non-negative QA range."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return stats.qa_flags_stats(t)
+
+
 def q_tile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fixed-bin histogram (stats.histogram — gdalinfo -hist
     analogue): 64 bins of width 16 over [0, 1024) across every valid
@@ -1962,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_d8": q_flow_d8,
         "proximity": q_proximity,
         "doc_repetition": q_doc_repetition,
+        "qa_cloud_mask": q_qa_cloud_mask,
         "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -2969,6 +2983,31 @@ def oracle_sql() -> dict[str, str]:
             from {tiles} t join {pixels} p using (image_id)
             where t.fmt = 'raw' and t.image_id < 'img000000000300'
             group by all
+        """,
+        "qa_cloud_mask": f"""
+            with v as (
+              select image_id, cast(value as double) as value,
+                     cast(floor(cast(value as double) * 4.0) as bigint) as qa
+              from {pixels} where not isnan(value)
+            ),
+            agg as (
+              select image_id, count(*) as n_valid,
+                     count(*) filter (where (qa // 8) % 2 = 1) as n_cloud,
+                     count(*) filter (where (qa // 16) % 2 = 1) as n_shadow,
+                     count(*) filter (where (qa // 32) % 2 = 1) as n_snow,
+                     count(*) filter (where (qa // 8) % 2 = 0) as n_clear,
+                     coalesce(sum(value) filter (where (qa // 8) % 2 = 0), 0.0) as clear_vsum
+              from v group by image_id
+            )
+            select t.image_id,
+                   coalesce(a.n_valid, 0) as n_valid,
+                   coalesce(a.n_cloud, 0) as n_cloud,
+                   coalesce(a.n_shadow, 0) as n_shadow,
+                   coalesce(a.n_snow, 0) as n_snow,
+                   coalesce(a.n_clear, 0) as n_clear,
+                   coalesce(a.clear_vsum, 0.0) as clear_vsum
+            from {tiles} t left join agg a using (image_id)
+            where t.fmt = 'raw'
         """,
         "tile_histogram": f"""
             select cast(floor((cast(p.value as double) - 0.0) / 16.0) as bigint) as bin,

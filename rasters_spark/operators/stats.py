@@ -253,3 +253,56 @@ def histogram(tiles: DataFrame, lo: float, hi: float, nbins: int) -> DataFrame:
 
     partials = src.mapInPandas(run, schema=schema)
     return partials.groupBy("bin").agg(F.sum("n_pixels").alias("n_pixels"))
+
+
+#: CFMask-style QA bit assignments (USGS Landsat Collection-2 QA_PIXEL
+#: convention, public spec) used by qa_flags_stats' default.
+QA_BITS = {"cloud": 3, "shadow": 4, "snow": 5}
+
+
+def qa_flags_stats(tiles: DataFrame, bits: dict | None = None,
+                   scale: float = 4.0, mask_flag: str = "cloud") -> DataFrame:
+    """Packed QA-bitmask decode + cloud masking (the Landsat/MODIS
+    QA_PIXEL workflow, public USGS convention — EXTENSION beyond the
+    reference): the QA word is ``floor(value·scale)`` (EXACT for
+    quarter-integer pixels at scale 4 — the fixture value doubles as
+    its own QA band), each named bit is counted per tile, and the
+    ``mask_flag`` bit additionally masks the tile: ``n_clear`` /
+    ``clear_vsum`` are the count and exact sum of valid pixels whose
+    mask bit is 0.
+
+    → (image_id, n_valid, n_<flag>…, n_clear, clear_vsum). All
+    outputs are integers or exact dyadic sums; the oracle extracts
+    the same bits with integer div/mod ((qa//2^b)%2 ≡ (qa>>b)&1 for
+    the non-negative QA range). ONE map-only Arrow pass."""
+    bits = QA_BITS if bits is None else bits
+    if mask_flag not in bits:
+        raise ValueError(f"mask_flag {mask_flag!r} not in bits {sorted(bits)}")
+    cols = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    names = sorted(bits)
+    schema = ("image_id string, n_valid long, "
+              + ", ".join(f"n_{f} long" for f in names)
+              + ", n_clear long, clear_vsum double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ["image_id", "n_valid", *[f"n_{f}" for f in names],
+                                     "n_clear", "clear_vsum"]}
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                v = arr.astype(np.float64)
+                valid = np.isfinite(v)
+                qa = np.zeros(v.shape, dtype=np.int64)
+                qa[valid] = np.floor(v[valid] * scale).astype(np.int64)
+                out["image_id"].append(pdf["image_id"].iloc[i])
+                out["n_valid"].append(int(valid.sum()))
+                for f in names:
+                    flag = ((qa >> bits[f]) & 1).astype(bool) & valid
+                    out[f"n_{f}"].append(int(flag.sum()))
+                clear = valid & ~(((qa >> bits[mask_flag]) & 1).astype(bool))
+                out["n_clear"].append(int(clear.sum()))
+                out["clear_vsum"].append(float(v[clear].sum()) if clear.any() else 0.0)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=schema)

@@ -87,3 +87,21 @@ def test_trim_matches_numpy(spark):
         assert g.y_origin == pytest.approx(meta.y_origin + rr[0] * meta.cell_height)
         sub = codec.decode_tile(g.bytes, g.w, g.h, g.fmt)
         np.testing.assert_array_equal(sub, a[rr[0]:rr[-1] + 1, cc[0]:cc[-1] + 1])
+
+
+def test_qa_flags_stats_brute(spark):
+    """QA decode vs hand-computed bits on a constructed tile with NaN,
+    a cloudy pixel (bit 3), a shadow pixel (bit 4), and clear pixels."""
+    from rasters_spark.operators import stats as st
+    # values chosen so qa = value*4 hits known bit patterns:
+    # 2.0 -> qa 8 (cloud), 4.0 -> qa 16 (shadow), 8.0 -> qa 32 (snow),
+    # 10.0 -> qa 40 = 32+8 (cloud+snow), 0.25 -> qa 1 (clear)
+    arr = np.array([[2.0, 4.0], [8.0, 10.0], [0.25, np.nan]], dtype=np.float32)
+    df = spark.createDataFrame(
+        [("t", codec.encode_tile(arr, "raw"), 2, 3, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    r = st.qa_flags_stats(df).collect()[0]
+    assert r.n_valid == 5
+    assert r.n_cloud == 2 and r.n_shadow == 1 and r.n_snow == 2
+    assert r.n_clear == 3
+    assert r.clear_vsum == 4.0 + 8.0 + 0.25
