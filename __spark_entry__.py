@@ -404,6 +404,24 @@ def q_retile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kids.select("image_id", "x_origin", "y_origin", "w", "h").join(st, "image_id")
 
 
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brovey pansharpening (bands.pansharpen_brovey — Gillespie 1987,
+    the gdal_pansharpen 'brovey' algorithm; EXTENSION beyond the
+    reference): 16×16 raw tiles rank-stacked 4 deep (bands 0-2 = MS,
+    3 = pan; the row_number stacking is fixture plumbing replicated
+    verbatim in SQL), then per pixel valid in all four bands
+    sharp_b = (ms_b·pan)/(ms_0+ms_1+ms_2), NULL where the exact
+    dyadic MS sum is 0. Product + single division are correctly
+    rounded with shared expression text — doubles hash
+    bit-identically; NaN→NULL at the boundary."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and w = 16 and h = 16 and image_id < 'img000000001200'")
+    out = bands.pansharpen_brovey(bands.stack_by_rank(t, 4))
+    return out.select(
+        "stack_id", "band", "prow", "pcol",
+        F.when(~F.isnan("sharp"), F.col("sharp")).alias("sharp"))
+
+
 def q_qa_cloud_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed QA-bitmask decode + cloud masking (stats.qa_flags_stats
     — the USGS Landsat QA_PIXEL workflow, EXTENSION beyond the
@@ -1976,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity": q_proximity,
         "doc_repetition": q_doc_repetition,
         "qa_cloud_mask": q_qa_cloud_mask,
+        "pansharpen": q_pansharpen,
         "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -2983,6 +3002,46 @@ def oracle_sql() -> dict[str, str]:
             from {tiles} t join {pixels} p using (image_id)
             where t.fmt = 'raw' and t.image_id < 'img000000000300'
             group by all
+        """,
+        "pansharpen": f"""
+            with tl as (
+              select image_id, w, h,
+                     row_number() over (partition by w, h order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and w = 16 and h = 16
+                and image_id < 'img000000001200'
+            ),
+            st as (select image_id, rn % 4 as band, rn // 4 as stack_id from tl),
+            px as (
+              select s.stack_id, s.band, p.prow, p.pcol,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as v
+              from st s join {pixels} p using (image_id)
+            ),
+            pv as (
+              select stack_id, prow, pcol,
+                     max(case when band = 0 then v end) as v0,
+                     max(case when band = 1 then v end) as v1,
+                     max(case when band = 2 then v end) as v2,
+                     max(case when band = 3 then v end) as v3
+              from px group by 1, 2, 3
+            ),
+            ok as (
+              select * from pv
+              where v0 is not null and v1 is not null
+                and v2 is not null and v3 is not null
+            )
+            select stack_id, cast(0 as int) as band, prow, pcol,
+                   case when (v0 + v1 + v2) = 0 then NULL
+                        else (v0 * v3) / (v0 + v1 + v2) end as sharp from ok
+            union all
+            select stack_id, cast(1 as int) as band, prow, pcol,
+                   case when (v0 + v1 + v2) = 0 then NULL
+                        else (v1 * v3) / (v0 + v1 + v2) end as sharp from ok
+            union all
+            select stack_id, cast(2 as int) as band, prow, pcol,
+                   case when (v0 + v1 + v2) = 0 then NULL
+                        else (v2 * v3) / (v0 + v1 + v2) end as sharp from ok
         """,
         "qa_cloud_mask": f"""
             with v as (

@@ -65,3 +65,72 @@ def band_stats(stacked: DataFrame) -> DataFrame:
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
     )
+
+
+def stack_by_rank(tiles: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Stack same-shaped tiles into n-band groups by rank order:
+    band = rank mod n, stack_id = rank div n, ranked per (w, h) layout
+    by image_id. The row_number window is fixture-only plumbing (the
+    same caveat as focal.lattice_remap — real stacks carry their own
+    band/stack ids); it is SQL-replicable verbatim in the oracle."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("w", "h").orderBy("image_id")) - 1
+    return (tiles.withColumn("rn", rn)
+            .withColumn("band", (F.col("rn") % n_bands).cast("int"))
+            .withColumn("stack_id", (F.col("rn") / n_bands).cast("long"))
+            .drop("rn"))
+
+
+def pansharpen_brovey(stacked: DataFrame) -> DataFrame:
+    """Brovey pansharpening (Gillespie et al. 1987; the GDAL
+    gdal_pansharpen 'brovey' algorithm — EXTENSION beyond the
+    reference): bands 0-2 are the multispectral triple, band 3 the
+    co-registered pan; per pixel valid in ALL FOUR bands,
+    ``sharp_b = (ms_b · pan) / (ms_0 + ms_1 + ms_2)``, NaN where the
+    MS sum is 0 (exact test). In the real pipeline the MS upsample to
+    the pan grid runs through the certified resize/to_grid operators
+    first — this operator is the ratio math at the shared grid.
+
+    → (stack_id, band, prow, pcol, sharp). The sum is exact dyadic
+    (quarter-integer pixels), the product and the single division are
+    correctly-rounded with the expression text shared verbatim with
+    the SQL twin, so doubles hash bit-identically. Scale shape: ONE
+    cogroup of 4 bounded rows per stack (never a data-sized
+    collect_list), then a map-only Arrow kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from rasters_spark import codec
+
+    src = stacked.select("stack_id", "band", "bytes", "w", "h", "fmt")
+    schema = "stack_id long, band int, prow int, pcol int, sharp double"
+
+    def fn(key, pdf):
+        if len(pdf) != 4:
+            return pd.DataFrame({"stack_id": pd.Series([], dtype=np.int64),
+                                 "band": pd.Series([], dtype=np.int32),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "sharp": pd.Series([], dtype=float)})
+        pdf = pdf.sort_values("band")
+        arrs = [codec.decode_tile(r.bytes, r.w, r.h, r.fmt).astype(np.float64)
+                for r in pdf.itertuples(index=False)]
+        b0, b1, b2, p = arrs
+        s = (b0 + b1) + b2
+        ok = np.isfinite(b0) & np.isfinite(b1) & np.isfinite(b2) & np.isfinite(p)
+        rows, cols = np.nonzero(ok)
+        frames = []
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for band, b in enumerate((b0, b1, b2)):
+                sharp = np.where(s == 0.0, np.nan, (b * p) / s)
+                frames.append(pd.DataFrame({
+                    "stack_id": key[0],
+                    "band": np.int32(band),
+                    "prow": rows.astype(np.int32),
+                    "pcol": cols.astype(np.int32),
+                    "sharp": sharp[rows, cols]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return src.groupBy("stack_id").applyInPandas(fn, schema=schema)

@@ -141,3 +141,39 @@ def test_tile_windows_query_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan
     assert df.count() > 0
+
+
+def test_pansharpen_brovey_brute(spark):
+    """Constructed 4-band stack: ratio math, zero-sum NULL, NaN pixel
+    exclusion, and incomplete-stack skip."""
+    import numpy as np
+
+    from rasters_spark import codec
+    from rasters_spark.operators import bands
+
+    def tile(vals):
+        return codec.encode_tile(np.array(vals, dtype=np.float32), "raw")
+
+    b0 = [[1.0, 0.0], [2.0, np.nan]]
+    b1 = [[2.0, 0.0], [2.0, 1.0]]
+    b2 = [[5.0, 0.0], [4.0, 1.0]]
+    pn = [[4.0, 8.0], [16.0, 1.0]]
+    rows = [(f"s0b{b}", tile(a), 2, 2, "raw", b, 0)
+            for b, a in enumerate([b0, b1, b2, pn])]
+    rows.append(("orphan", tile(b0), 2, 2, "raw", 0, 1))  # incomplete stack
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "band int, stack_id long")
+    got = {(r.stack_id, r.band, r.prow, r.pcol): r.sharp
+           for r in bands.pansharpen_brovey(df).collect()}
+    # pixel (0,0): s = 8, pan 4 -> sharp_b = b*4/8
+    assert got[(0, 0, 0, 0)] == 0.5
+    assert got[(0, 1, 0, 0)] == 1.0
+    assert got[(0, 2, 0, 0)] == 2.5
+    # pixel (0,1): sum 0 -> NaN sharp (pre-boundary convention)
+    v = got[(0, 0, 0, 1)]
+    assert v is None or np.isnan(v)
+    # pixel (1,1): b0 NaN -> excluded entirely
+    assert (0, 0, 1, 1) not in got
+    # incomplete stack 1 emits nothing
+    assert not any(k[0] == 1 for k in got)

@@ -189,6 +189,9 @@ def test_halo_family_payload_crosses_one_exchange(spark, lattice):
     assert n_bytes_exchanges(contour_ops.contour_segments(lattice, [3.0])) == 1
     assert n_bytes_exchanges(focal.focal_tiles(lattice)) == 1
     assert n_bytes_exchanges(focal.convolve_tiles(lattice)) == 1
+    assert n_bytes_exchanges(focal.focal_rank_stats(lattice)) == 1
+    assert n_bytes_exchanges(focal.proximity_stats(lattice, 5.0, 2)) == 1
+    assert n_bytes_exchanges(terrain.flow_d8(lattice)) == 1
 
 
 def test_flow_d8_matches_global_brute(spark, lattice):
