@@ -422,6 +422,22 @@ def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.isnan("sharp"), F.col("sharp")).alias("sharp"))
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel temporal forward-fill (bands.gap_fill_stack — the
+    LOCF cloud-gap-filling operator; EXTENSION beyond the reference):
+    16×16 raw tiles rank-stacked 3 deep as epochs (the q8 format
+    cycle leaves gaps, so BOTH engines qualify to complete 3-tile
+    stacks — kernel: len != 3 skip; oracle: HAVING count(*) = 3),
+    invalid pixels take their
+    most recent valid predecessor. ZERO float math (values are exact
+    copies), so the oracle is DuckDB's last_value(v IGNORE NULLS)
+    ordered window verbatim. The cogroup ships TILES across the
+    exchange where the window form would ship every pixel row."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and w = 16 and h = 16 and image_id < 'img000000001188'")
+    return bands.gap_fill_stack(bands.stack_by_rank(t, 3), 3)
+
+
 def q_qa_cloud_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed QA-bitmask decode + cloud masking (stats.qa_flags_stats
     — the USGS Landsat QA_PIXEL workflow, EXTENSION beyond the
@@ -1995,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "qa_cloud_mask": q_qa_cloud_mask,
         "pansharpen": q_pansharpen,
+        "gap_fill": q_gap_fill,
         "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -3002,6 +3019,37 @@ def oracle_sql() -> dict[str, str]:
             from {tiles} t join {pixels} p using (image_id)
             where t.fmt = 'raw' and t.image_id < 'img000000000300'
             group by all
+        """,
+        "gap_fill": f"""
+            with tl as (
+              select image_id, w, h,
+                     row_number() over (partition by w, h order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and w = 16 and h = 16
+                and image_id < 'img000000001188'
+            ),
+            st as (select image_id, rn % 3 as epoch, rn // 3 as stack_id from tl),
+            -- the kernel skips incomplete stacks (len != 3); qualify the
+            -- same way (q8-format gaps make the raw-tile count non-divisible)
+            full_st as (
+              select stack_id from st group by stack_id having count(*) = 3
+            ),
+            px as (
+              select s.stack_id, s.epoch, p.prow, p.pcol,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as v
+              from st s
+              join full_st using (stack_id)
+              join {pixels} p using (image_id)
+            ),
+            f as (
+              select stack_id, cast(epoch as int) as epoch, prow, pcol,
+                     last_value(v ignore nulls) over (
+                       partition by stack_id, prow, pcol order by epoch
+                       rows between unbounded preceding and current row) as filled
+              from px
+            )
+            select * from f where filled is not null
         """,
         "pansharpen": f"""
             with tl as (

@@ -134,3 +134,53 @@ def pansharpen_brovey(stacked: DataFrame) -> DataFrame:
         return pd.concat(frames, ignore_index=True)
 
     return src.groupBy("stack_id").applyInPandas(fn, schema=schema)
+
+
+def gap_fill_stack(stacked: DataFrame, n_epochs: int = 3) -> DataFrame:
+    """Per-pixel temporal FORWARD-FILL across an epoch stack (cloud-gap
+    filling / compositing prep — the LOCF time-series operator;
+    EXTENSION beyond the reference): ``band`` is the epoch index; a
+    pixel invalid at epoch e takes its most recent valid value from an
+    earlier epoch, staying absent until its first valid observation.
+    → (stack_id, epoch, prow, pcol, filled) for filled pixels.
+
+    No float math — outputs are exact copies of input pixels, so the
+    twin is DuckDB's ``last_value(v IGNORE NULLS)`` ordered window
+    verbatim. Scale shape: ONE cogroup of n_epochs bounded rows per
+    stack (same shape as pansharpen_brovey), map-only kernel; the SQL
+    window form the oracle uses would shuffle every PIXEL row — the
+    cogroup ships tiles instead, ~100× fewer rows across the exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from rasters_spark import codec
+
+    src = stacked.select("stack_id", "band", "bytes", "w", "h", "fmt")
+    schema = "stack_id long, epoch int, prow int, pcol int, filled double"
+
+    def fn(key, pdf):
+        empty = pd.DataFrame({"stack_id": pd.Series([], dtype=np.int64),
+                              "epoch": pd.Series([], dtype=np.int32),
+                              "prow": pd.Series([], dtype=np.int32),
+                              "pcol": pd.Series([], dtype=np.int32),
+                              "filled": pd.Series([], dtype=float)})
+        if len(pdf) != n_epochs:
+            return empty
+        pdf = pdf.sort_values("band")
+        frames = []
+        last = None
+        for r in pdf.itertuples(index=False):
+            cur = codec.decode_tile(r.bytes, r.w, r.h, r.fmt).astype(np.float64)
+            last = cur if last is None else np.where(np.isfinite(cur), cur, last)
+            rows, cols = np.nonzero(np.isfinite(last))
+            if rows.size == 0:
+                continue
+            frames.append(pd.DataFrame({
+                "stack_id": key[0],
+                "epoch": np.int32(r.band),
+                "prow": rows.astype(np.int32),
+                "pcol": cols.astype(np.int32),
+                "filled": last[rows, cols]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return src.groupBy("stack_id").applyInPandas(fn, schema=schema)

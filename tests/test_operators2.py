@@ -177,3 +177,31 @@ def test_pansharpen_brovey_brute(spark):
     assert (0, 0, 1, 1) not in got
     # incomplete stack 1 emits nothing
     assert not any(k[0] == 1 for k in got)
+
+
+def test_gap_fill_stack_brute(spark):
+    """LOCF semantics: gap takes the most recent valid value, leading
+    gaps stay absent, valid pixels pass through unchanged."""
+    import numpy as np
+
+    from rasters_spark import codec
+    from rasters_spark.operators import bands
+
+    def tile(vals):
+        return codec.encode_tile(np.array(vals, dtype=np.float32), "raw")
+
+    e0 = [[1.0, np.nan]]
+    e1 = [[np.nan, 5.0]]
+    e2 = [[3.0, np.nan]]
+    rows = [(f"e{b}", tile(a), 2, 1, "raw", b, 0) for b, a in enumerate([e0, e1, e2])]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "band int, stack_id long")
+    got = {(r.epoch, r.prow, r.pcol): r.filled
+           for r in bands.gap_fill_stack(df, 3).collect()}
+    assert got[(0, 0, 0)] == 1.0
+    assert (0, 0, 1) not in got          # leading gap stays absent
+    assert got[(1, 0, 0)] == 1.0         # filled from epoch 0
+    assert got[(1, 0, 1)] == 5.0
+    assert got[(2, 0, 0)] == 3.0         # fresh value overrides carry
+    assert got[(2, 0, 1)] == 5.0         # carried forward
