@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rasters_spark import cells, fixtures, grid
-from rasters_spark.datapipe import (dedup, multimodal, shards, similarity,
-                                    split, textstats)
+from rasters_spark.datapipe import (chips, dedup, multimodal, shards,
+                                    similarity, split, textstats)
 from rasters_spark.functions import crs as crsfn
 from rasters_spark.functions import render as renderfn
 from rasters_spark.functions import vector as vecfn
@@ -60,6 +60,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --- spatial queries (fixture tables) -----------------------------------------
+
+def q_point_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-chip extraction (datapipe.chips.point_chips — the
+    vision-dataset patch cutter; EXTENSION beyond the reference's
+    single-pixel sampling raster.py:1319): every point ⋈ containing
+    raw tile yields the clamped 5×5 chip around its pixel, cut with
+    JVM substring row-segments (≤100 B/point crosses to Python —
+    never the tile blob), reduced to (chip_w, chip_h, n_valid, exact
+    vsum, vmin, vmax). The oracle recomputes the same window with a
+    relational range join; all-NaN chips report NULL aggregates on
+    both engines."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    p = load_points(spark, sf_dir)
+    return chips.point_chips(point_join.point_in_tile_join(p, t), 2)
+
 
 def q_point_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tiles(spark, sf_dir)  # unexploded: skinny index built inside the join
@@ -2012,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_cloud_mask": q_qa_cloud_mask,
         "pansharpen": q_pansharpen,
         "gap_fill": q_gap_fill,
+        "point_chips": q_point_chips,
         "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -3019,6 +3035,34 @@ def oracle_sql() -> dict[str, str]:
             from {tiles} t join {pixels} p using (image_id)
             where t.fmt = 'raw' and t.image_id < 'img000000000300'
             group by all
+        """,
+        "point_chips": f"""
+            with j as (
+              select p.point_id, t.image_id, t.w, t.h,
+                     {prow()} as prow, {pcol()} as pcol
+              from {points} p cross join {tiles} t
+              where t.fmt = 'raw'
+                and {prow()} between 0 and t.h - 1 and {pcol()} between 0 and t.w - 1
+            ),
+            b as (
+              select point_id, image_id, w, h,
+                     greatest(pcol - 2, 0) as c0, least(pcol + 2, w - 1) as c1,
+                     greatest(prow - 2, 0) as r0, least(prow + 2, h - 1) as r1
+              from j
+            ),
+            px as (
+              select b.point_id, b.image_id,
+                     cast(b.c1 - b.c0 + 1 as int) as chip_w,
+                     cast(b.r1 - b.r0 + 1 as int) as chip_h,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as v
+              from b join {pixels} p
+                on p.image_id = b.image_id
+               and p.prow between b.r0 and b.r1 and p.pcol between b.c0 and b.c1
+            )
+            select point_id, image_id, chip_w, chip_h,
+                   count(v) as n_valid, sum(v) as vsum, min(v) as vmin, max(v) as vmax
+            from px group by 1, 2, 3, 4
         """,
         "gap_fill": f"""
             with tl as (

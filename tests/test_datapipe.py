@@ -700,3 +700,32 @@ def test_decontaminate_brute(spark):
     assert 2 not in got
     # doc 3: the-quick-brown-fox appears twice -> 1 distinct gram, 2 instances
     assert got[3] == (1, 2)
+
+
+def test_point_chips_clamped_window_brute(spark):
+    """Chip stats vs decoding the tile directly: interior point (full
+    5x5), corner point (clamped 3x3), and a NaN in the window."""
+    from rasters_spark.datapipe import chips as chipmod
+
+    arr = (np.arange(64, dtype=np.float32).reshape(8, 8)) * 0.25
+    arr[2, 3] = np.nan
+    rows = [("t", codec.encode_tile(arr, "raw"), 8, 8, "raw",
+             7, 0.0, 0.0, 3, 3),    # interior: rows/cols 1..5
+            ("t", codec.encode_tile(arr, "raw"), 8, 8, "raw",
+             8, 0.0, 0.0, 0, 0)]    # corner: rows/cols 0..2
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "point_id long, x double, y double, prow int, pcol int")
+    got = {r.point_id: r for r in chipmod.point_chips(df, 2).collect()}
+    win = arr[1:6, 1:6].astype(np.float64)
+    m = np.isfinite(win)
+    r7 = got[7]
+    assert (r7.chip_w, r7.chip_h) == (5, 5)
+    assert r7.n_valid == int(m.sum())
+    assert r7.vsum == float(win[m].sum())
+    assert (r7.vmin, r7.vmax) == (float(win[m].min()), float(win[m].max()))
+    r8 = got[8]
+    cw = arr[0:3, 0:3].astype(np.float64)
+    cm = np.isfinite(cw)
+    assert (r8.chip_w, r8.chip_h) == (3, 3)
+    assert (r8.n_valid, r8.vsum) == (int(cm.sum()), float(cw[cm].sum()))
