@@ -453,6 +453,17 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.gap_fill_stack(bands.stack_by_rank(t, 3), 3)
 
 
+def q_epoch_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel change-detection trend (bands.epoch_trend — OLS slope
+    over 3 equally-spaced epochs; EXTENSION beyond the reference):
+    same complete-3-stack qualification as gap_fill; slope =
+    (v2−v0)/2 exact dyadic, mean = ((v0+v1)+v2)/3 one CR division
+    with shared expression text — doubles hash bit-identically."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and w = 16 and h = 16 and image_id < 'img000000001188'")
+    return bands.epoch_trend(bands.stack_by_rank(t, 3), 3)
+
+
 def q_qa_cloud_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed QA-bitmask decode + cloud masking (stats.qa_flags_stats
     — the USGS Landsat QA_PIXEL workflow, EXTENSION beyond the
@@ -2028,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pansharpen": q_pansharpen,
         "gap_fill": q_gap_fill,
         "point_chips": q_point_chips,
+        "epoch_trend": q_epoch_trend,
         "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -3035,6 +3047,39 @@ def oracle_sql() -> dict[str, str]:
             from {tiles} t join {pixels} p using (image_id)
             where t.fmt = 'raw' and t.image_id < 'img000000000300'
             group by all
+        """,
+        "epoch_trend": f"""
+            with tl as (
+              select image_id, w, h,
+                     row_number() over (partition by w, h order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and w = 16 and h = 16
+                and image_id < 'img000000001188'
+            ),
+            st as (select image_id, rn % 3 as epoch, rn // 3 as stack_id from tl),
+            full_st as (
+              select stack_id from st group by stack_id having count(*) = 3
+            ),
+            px as (
+              select s.stack_id, s.epoch, p.prow, p.pcol,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as v
+              from st s
+              join full_st using (stack_id)
+              join {pixels} p using (image_id)
+            ),
+            pv as (
+              select stack_id, prow, pcol,
+                     max(case when epoch = 0 then v end) as v0,
+                     max(case when epoch = 1 then v end) as v1,
+                     max(case when epoch = 2 then v end) as v2
+              from px group by 1, 2, 3
+            )
+            select stack_id, prow, pcol,
+                   (v2 - v0) / 2.0 as slope,
+                   ((v0 + v1) + v2) / 3.0 as mean
+            from pv
+            where v0 is not null and v1 is not null and v2 is not null
         """,
         "point_chips": f"""
             with j as (

@@ -184,3 +184,52 @@ def gap_fill_stack(stacked: DataFrame, n_epochs: int = 3) -> DataFrame:
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     return src.groupBy("stack_id").applyInPandas(fn, schema=schema)
+
+
+def epoch_trend(stacked: DataFrame, n_epochs: int = 3) -> DataFrame:
+    """Per-pixel linear trend across an equally-spaced epoch stack —
+    the change-detection OLS slope (EXTENSION beyond the reference).
+    For 3 epochs at t = 0,1,2 the least-squares slope collapses to
+    ``(v2 − v0) / 2`` (EXACT dyadic on quarter-integer pixels) and the
+    fitted mean is ``((v0 + v1) + v2) / 3`` (one correctly-rounded
+    division, expression text shared with the SQL twin). Pixels must
+    be valid in ALL epochs (strict window — the gap_fill operator is
+    the imputation step if you want slopes over gappy stacks).
+    → (stack_id, prow, pcol, slope, mean). Same bounded cogroup shape
+    as pansharpen_brovey."""
+    import numpy as np
+    import pandas as pd
+
+    from rasters_spark import codec
+
+    if n_epochs != 3:
+        raise ValueError("epoch_trend currently implements the 3-epoch "
+                         "closed form (t = 0,1,2)")
+    src = stacked.select("stack_id", "band", "bytes", "w", "h", "fmt")
+    schema = "stack_id long, prow int, pcol int, slope double, mean double"
+
+    def fn(key, pdf):
+        empty = pd.DataFrame({"stack_id": pd.Series([], dtype=np.int64),
+                              "prow": pd.Series([], dtype=np.int32),
+                              "pcol": pd.Series([], dtype=np.int32),
+                              "slope": pd.Series([], dtype=float),
+                              "mean": pd.Series([], dtype=float)})
+        if len(pdf) != 3:
+            return empty
+        pdf = pdf.sort_values("band")
+        v0, v1, v2 = [codec.decode_tile(r.bytes, r.w, r.h, r.fmt).astype(np.float64)
+                      for r in pdf.itertuples(index=False)]
+        ok = np.isfinite(v0) & np.isfinite(v1) & np.isfinite(v2)
+        rows, cols = np.nonzero(ok)
+        if rows.size == 0:
+            return empty
+        slope = (v2 - v0) / 2.0
+        mean = ((v0 + v1) + v2) / 3.0
+        return pd.DataFrame({
+            "stack_id": key[0],
+            "prow": rows.astype(np.int32),
+            "pcol": cols.astype(np.int32),
+            "slope": slope[rows, cols],
+            "mean": mean[rows, cols]})
+
+    return src.groupBy("stack_id").applyInPandas(fn, schema=schema)

@@ -205,3 +205,20 @@ def test_gap_fill_stack_brute(spark):
     assert got[(1, 0, 1)] == 5.0
     assert got[(2, 0, 0)] == 3.0         # fresh value overrides carry
     assert got[(2, 0, 1)] == 5.0         # carried forward
+
+
+def test_epoch_trend_closed_form(spark):
+    def tile(vals):
+        return codec.encode_tile(np.array(vals, dtype=np.float32), "raw")
+
+    e0 = [[1.0, 2.0]]
+    e1 = [[5.0, np.nan]]
+    e2 = [[3.0, 6.0]]
+    rows = [(f"e{b}", tile(a), 2, 1, "raw", b, 0) for b, a in enumerate([e0, e1, e2])]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "band int, stack_id long")
+    got = {(r.prow, r.pcol): (r.slope, r.mean)
+           for r in bands.epoch_trend(df, 3).collect()}
+    assert got[(0, 0)] == ((3.0 - 1.0) / 2.0, (1.0 + 5.0 + 3.0) / 3.0)
+    assert (0, 1) not in got  # strict: NaN at any epoch excludes the pixel
