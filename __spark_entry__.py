@@ -168,6 +168,35 @@ def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, tbl, os.path.join(work, "ckpt"), 0.0, 1024.0, 64)
 
 
+def q_stream_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental greatest-value composite as Structured Streaming
+    (streaming.stream_composite_available_now): the tile table split
+    into 3 files drains availableNow, each batch committing per-cell
+    (max, attaining-epoch, n_obs) partials exactly-once to the
+    TableIO ledger; the final merge is the SAME associative
+    (value, −epoch) struct-max + integer n_obs sum, so the result
+    EXACTLY equals the one-shot temporal_composite and shares its
+    oracle. A rolling best-pixel mosaic: new scenes only raise
+    cells."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.streaming import stream_composite_available_now
+    from rasters_spark.tableio import TableIO
+
+    fdir = fixtures.ensure_fixtures(sf_dir)
+    work = os.path.join(tempfile.gettempdir(),
+                        f"stream-comp-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "in")
+    spark.read.parquet(str(fdir / "tiles.parquet")).repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    tbl = TableIO(os.path.join(work, "tbl"))
+    return stream_composite_available_now(
+        spark, src, tbl, os.path.join(work, "ckpt"), RASTERIZE_TARGET)
+
+
 def q_xyz_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ (slippy-map / Web-Mercator z/x/y) tile assignment at zoom 8
     — the web pyramid counterpart of the engine's equirectangular cell
@@ -2040,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "point_chips": q_point_chips,
         "epoch_trend": q_epoch_trend,
+        "stream_composite": q_stream_composite,
         "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -4354,4 +4384,5 @@ def oracle_sql() -> dict[str, str]:
     # the streamed histogram's partial-count reduce is pure integer
     # addition — exactly the batch histogram, same oracle
     sql["stream_histogram"] = sql["tile_histogram"]
+    sql["stream_composite"] = sql["temporal_composite"]
     return sql

@@ -382,3 +382,53 @@ def stream_minhash_dedup_available_now(
     # per doc: the minimum-id verified partner and that pair's jaccard
     return rows.groupBy("doc_id").agg(
         F.min("dup_of").alias("dup_of"), F.min_by("j", "dup_of").alias("j"))
+
+
+def stream_composite_available_now(
+    spark: SparkSession,
+    tiles_path: str,
+    table: TableIO,
+    checkpoint_dir: str,
+    target: dict,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """INCREMENTAL greatest-value composite — the streaming face of
+    ``resample.composite_max``: each micro-batch commits its per-cell
+    partial (max value, attaining epoch with min-tie, n_obs) as one
+    exactly-once TableIO snapshot; the final reduce merges partials
+    with the SAME (value, −epoch) struct-max plus an n_obs sum. The
+    merge is associative and exact (max of quarter-integer doubles,
+    integer adds), so the result EXACTLY equals the one-shot batch
+    composite and the oracle IS temporal_composite's SQL. This is the
+    production shape for a rolling best-pixel mosaic over an imagery
+    firehose: new scenes only ever RAISE cells, nothing is recomputed."""
+    from rasters_spark.operators import resample
+    from rasters_spark.tiles import with_grid
+
+    schema = spark.read.parquet(tiles_path).schema
+    ts = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(tiles_path))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        part = resample.composite_max(
+            with_grid(batch_df.dropDuplicates(["image_id"]).filter("fmt = 'raw'")),
+            target)
+        table.write(part, operation="stream-composite", job_id="composite",
+                    chunk_id=f"batch-{batch_id}", inputs=[tiles_path])
+
+    q = (
+        ts.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = table.read(spark)
+    out = parts.groupBy("trow", "tcol").agg(
+        F.max(F.struct(F.col("value").alias("v"),
+                       (-F.col("epoch")).alias("ne"))).alias("b"),
+        F.sum("n_obs").alias("n_obs"))
+    return out.select(
+        "trow", "tcol", F.col("b.v").alias("value"),
+        (-F.col("b.ne")).alias("epoch"), "n_obs")

@@ -369,3 +369,32 @@ def test_expire_snapshots_bounds_history(spark, tmp_table):
     assert tmp_table.expire_snapshots(keep_last=1)["deleted_files"] == []
     # ledger keeps full lineage history even for expired snapshots
     assert [e["snapshot_id"] for e in tmp_table.snapshots()][:5] == [1, 2, 3, 4, 5]
+
+
+def test_stream_composite_matches_batch(spark, tmp_path):
+    """The incremental composite's partial-merge equals the one-shot
+    batch composite bit-for-bit, and the ledger shows one exactly-once
+    snapshot per micro-batch."""
+    from rasters_spark import fixtures
+    from rasters_spark.operators import resample
+    from rasters_spark.streaming import stream_composite_available_now
+    from rasters_spark.tableio import TableIO
+    from rasters_spark.tiles import load_tiles
+
+    target = dict(x_origin=-180.0, y_origin=90.0, cell_width=0.25,
+                  cell_height=-0.25, rows=720, cols=1440, crs="EPSG:4326")
+    fdir = fixtures.ensure_fixtures(SF)
+    src = str(tmp_path / "in")
+    spark.read.parquet(str(fdir / "tiles.parquet")).repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    tbl = TableIO(str(tmp_path / "tbl"))
+    got = stream_composite_available_now(
+        spark, src, tbl, str(tmp_path / "ckpt"), target).collect()
+    snaps = [s for s in tbl.snapshots() if s["operation"] == "stream-composite"]
+    assert len(snaps) >= 2  # genuinely incremental (one per file batch)
+    batch = resample.composite_max(
+        load_tiles(spark, SF).filter("fmt = 'raw'"), target).collect()
+    key = lambda r: (r.trow, r.tcol)  # noqa: E731
+    gm = {key(r): (r.value, r.epoch, r.n_obs) for r in got}
+    bm = {key(r): (r.value, r.epoch, r.n_obs) for r in batch}
+    assert gm == bm
