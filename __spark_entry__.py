@@ -1449,6 +1449,7 @@ q_to_grid_med = _q_to_grid_stat("med")
 q_to_grid_q1 = _q_to_grid_stat("q1")
 q_to_grid_q3 = _q_to_grid_stat("q3")
 q_to_grid_mode = _q_to_grid_stat("mode")
+q_to_grid_sum = _q_to_grid_stat("sum")
 
 
 def _swath_north(spark: SparkSession) -> DataFrame:
@@ -2070,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_chips": q_point_chips,
         "epoch_trend": q_epoch_trend,
         "stream_composite": q_stream_composite,
+        "to_grid_sum": q_to_grid_sum,
         "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -2464,6 +2466,7 @@ def _stat_oracle_sql(tiles: str, pixels: str, stat: str) -> str:
     agg = {
         "max": "max(value)",
         "min": "min(value)",
+        "sum": "sum(value)",
         "med": "median(value)",
         "q1": "quantile_cont(value, 0.25)",
         "q3": "quantile_cont(value, 0.75)",
@@ -4104,6 +4107,7 @@ def oracle_sql() -> dict[str, str]:
         "to_grid_lanczos": _conv_py_oracle_sql(tiles, pixels, "lanczos"),
         "to_grid_gauss": _conv_py_oracle_sql(tiles, pixels, "gauss"),
         "to_grid_max": _stat_oracle_sql(tiles, pixels, "max"),
+        "to_grid_sum": _stat_oracle_sql(tiles, pixels, "sum"),
         "to_grid_min": _stat_oracle_sql(tiles, pixels, "min"),
         "to_grid_med": _stat_oracle_sql(tiles, pixels, "med"),
         "to_grid_q1": _stat_oracle_sql(tiles, pixels, "q1"),

@@ -169,6 +169,8 @@ def segment_stat_naive(key, val, stat: str):
         counts.append(n)
         if stat == "min":
             out.append(vs[0])
+        elif stat == "sum":
+            out.append(float(np.sum(vs)))
         elif stat == "max":
             out.append(vs[-1])
         elif stat in ("med", "q1", "q3"):

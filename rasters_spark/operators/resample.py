@@ -259,6 +259,9 @@ def _segment_stat(key: np.ndarray, val: np.ndarray, stat: str):
     keys = k[starts]
     if stat == "min":
         out = v[starts]
+    elif stat == "sum":
+        # exact for the quarter-integer fixture pixels in any order
+        out = np.add.reduceat(v, starts)
     elif stat == "max":
         out = v[starts + counts - 1]
     elif stat in ("med", "q1", "q3"):
@@ -293,7 +296,7 @@ def to_grid_stat(tiles: DataFrame, target: dict, stat: str) -> DataFrame:
     pass-per-tile shape as ``to_grid_average`` (the whole group lives
     inside one tile's decode — NO shuffle at all), different reducer.
     → (image_id, trow, tcol, value, n)."""
-    if stat not in ("max", "min", "med", "mode", "q1", "q3"):
+    if stat not in ("max", "min", "med", "mode", "q1", "q3", "sum"):
         raise ValueError(f"unknown to_grid stat: {stat}")
     t = tiles.select(
         "image_id", "bytes", "w", "h", "fmt",
@@ -463,7 +466,7 @@ def to_grid(tiles: DataFrame, target: dict, resampling: str = "nearest") -> Data
         return to_grid_conv(tiles, target, resampling)
     if resampling == "average":
         return to_grid_average(tiles, target)
-    if resampling in ("max", "min", "med", "mode", "q1", "q3"):
+    if resampling in ("max", "min", "med", "mode", "q1", "q3", "sum"):
         return to_grid_stat(tiles, target, resampling)
     if resampling in ("lanczos", "gauss"):
         return to_grid_conv_py(tiles, target, resampling)

@@ -98,7 +98,7 @@ def test_q8_slice_path_in_conv(spark):
             assert got[k] == pytest.approx(e, rel=1e-5, abs=1e-4)
 
 
-@pytest.mark.parametrize("stat", ["max", "min", "med", "q1", "q3", "mode"])
+@pytest.mark.parametrize("stat", ["max", "min", "med", "q1", "q3", "mode", "sum"])
 def test_segment_stat_matches_naive(stat):
     rng = np.random.default_rng(7)
     key = rng.integers(0, 40, size=500)
@@ -109,7 +109,7 @@ def test_segment_stat_matches_naive(stat):
     assert np.allclose(gv, ev)
 
 
-@pytest.mark.parametrize("stat", ["med", "mode"])
+@pytest.mark.parametrize("stat", ["med", "mode", "sum"])
 def test_to_grid_stat_matches_naive(spark, stat):
     tiles = load_tiles(spark, SF).filter("fmt = 'raw' and image_id < 'img000000000010'")
     got = {(r.image_id, r.trow, r.tcol): (r.value, r.n)
