@@ -337,3 +337,81 @@ def layer_algebra(pairs: DataFrame, op: str = "ndiff") -> DataFrame:
                                  "value": pd.Series([], dtype=float)}))
 
     return src.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# geometric augmentation (training-data) + pixel export
+# ---------------------------------------------------------------------------
+
+_AUG_OPS = ("hflip", "vflip", "rot180")
+
+
+def augment_tiles(tiles: DataFrame, ops=_AUG_OPS) -> DataFrame:
+    """Geometric training-data augmentation (the standard vision
+    flips; EXTENSION beyond the reference): each input tile emits one
+    tile per op with ``image_id || ':' || op`` and the pixel grid
+    mirrored — hflip: (r,c) ← (r, w−1−c); vflip: (r,c) ← (h−1−r, c);
+    rot180: both. Georeferencing passes through UNCHANGED (augmented
+    chips are training tensors, not measurements — documented
+    convention). Map-only, one Arrow pass, byte-exact value
+    permutations (no arithmetic at all)."""
+    for op in ops:
+        if op not in _AUG_OPS:
+            raise ValueError(f"unknown augment op: {op!r} (one of {_AUG_OPS})")
+    cols = ["image_id", "bytes", "w", "h", "fmt", "x_origin", "y_origin",
+            "cell_width", "cell_height", "crs"]
+    src = tiles.select(*cols)
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "x_origin double, y_origin double, cell_width double, "
+              "cell_height double, crs string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                for op in ops:
+                    a = arr
+                    if op in ("hflip", "rot180"):
+                        a = a[:, ::-1]
+                    if op in ("vflip", "rot180"):
+                        a = a[::-1, :]
+                    out["image_id"].append(f"{pdf['image_id'].iloc[i]}:{op}")
+                    out["bytes"].append(
+                        codec.encode_tile(np.ascontiguousarray(a, dtype=np.float32), "raw"))
+                    out["fmt"].append("raw")
+                    for c in ("w", "h", "x_origin", "y_origin",
+                              "cell_width", "cell_height", "crs"):
+                        out[c].append(pdf[c].iloc[i])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def pixels_of(tiles: DataFrame) -> DataFrame:
+    """Decode tiles to skinny per-pixel rows (image_id, prow, pcol,
+    value) — NaN → NULL at the boundary. The export/debug face of the
+    codec; map-only."""
+    src = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    schema = "image_id string, prow int, pcol int, value double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                v = arr.astype(np.float64).ravel()
+                rr, cc = np.divmod(np.arange(hh * ww, dtype=np.int64), ww)
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rr.astype(np.int32),
+                    "pcol": cc.astype(np.int32),
+                    "value": np.where(np.isfinite(v), v, np.nan)}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "value": pd.Series([], dtype=float)}))
+
+    return src.mapInPandas(run, schema=schema)

@@ -166,10 +166,14 @@ def test_hillshade_tiles_clamped(spark, lattice):
 
 def test_halo_family_payload_crosses_one_exchange(spark, lattice):
     """The halo family's scale invariant (PLANS.md): on a natively
-    lattice-aligned input, the tile payload crosses EXACTLY ONE
-    Exchange (the 1:1 halo join) in every operator built on the strip
-    machinery — the skinny strip/index/output exchanges never carry
-    the blob. (The contract entries show 2 because lattice_remap's
+    lattice-aligned input, the tile payload crosses AT MOST ONE
+    Exchange in every operator built on the strip machinery — the 1:1
+    halo join when both sides shuffle (cold statistics), or ZERO when
+    the halo side broadcasts (materialized-cache statistics let AQE
+    pick BroadcastHashJoin, as this test's cached lattice does after
+    earlier tests warm it). The skinny strip/index/output exchanges
+    never carry the blob, and the payload NEVER fans out. (The
+    contract entries show one more because lattice_remap's
     fixture-only row_number window re-shuffles full rows first.)"""
     import re
 
@@ -185,13 +189,13 @@ def test_halo_family_payload_crosses_one_exchange(spark, lattice):
                     cnt += "bytes#" in node
         return cnt
 
-    assert n_bytes_exchanges(terrain.slope_aspect_hillshade(lattice)) == 1
-    assert n_bytes_exchanges(contour_ops.contour_segments(lattice, [3.0])) == 1
-    assert n_bytes_exchanges(focal.focal_tiles(lattice)) == 1
-    assert n_bytes_exchanges(focal.convolve_tiles(lattice)) == 1
-    assert n_bytes_exchanges(focal.focal_rank_stats(lattice)) == 1
-    assert n_bytes_exchanges(focal.proximity_stats(lattice, 5.0, 2)) == 1
-    assert n_bytes_exchanges(terrain.flow_d8(lattice)) == 1
+    assert n_bytes_exchanges(terrain.slope_aspect_hillshade(lattice)) <= 1
+    assert n_bytes_exchanges(contour_ops.contour_segments(lattice, [3.0])) <= 1
+    assert n_bytes_exchanges(focal.focal_tiles(lattice)) <= 1
+    assert n_bytes_exchanges(focal.convolve_tiles(lattice)) <= 1
+    assert n_bytes_exchanges(focal.focal_rank_stats(lattice)) <= 1
+    assert n_bytes_exchanges(focal.proximity_stats(lattice, 5.0, 2)) <= 1
+    assert n_bytes_exchanges(terrain.flow_d8(lattice)) <= 1
 
 
 def test_flow_d8_matches_global_brute(spark, lattice):
