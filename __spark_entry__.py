@@ -482,6 +482,21 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.gap_fill_stack(bands.stack_by_rank(t, 3), 3)
 
 
+def q_augment_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric training-data augmentation (rm.augment_tiles — the
+    standard vision flips; EXTENSION beyond the reference): raw tiles
+    < 100 emit hflip/vflip/rot180 variants (byte-exact value
+    permutations, no arithmetic), certified PER PIXEL via
+    rm.pixels_of — the oracle permutes the pixels table's indices
+    relationally ((r,c) ← (r,w−1−c) etc.), so every misplaced mirror
+    axis flips rows. NaN→NULL at the boundary."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000100'")
+    px = rm.pixels_of(rm.augment_tiles(t))
+    return px.select("image_id", "prow", "pcol",
+                     F.when(~F.isnan("value"), F.col("value")).alias("value"))
+
+
 def q_epoch_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pixel change-detection trend (bands.epoch_trend — OLS slope
     over 3 equally-spaced epochs; EXTENSION beyond the reference):
@@ -2072,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_trend": q_epoch_trend,
         "stream_composite": q_stream_composite,
         "to_grid_sum": q_to_grid_sum,
+        "augment_flips": q_augment_flips,
         "decontaminate": q_decontaminate,
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -3080,6 +3096,30 @@ def oracle_sql() -> dict[str, str]:
             from {tiles} t join {pixels} p using (image_id)
             where t.fmt = 'raw' and t.image_id < 'img000000000300'
             group by all
+        """,
+        "augment_flips": f"""
+            with t as (
+              select image_id, w, h from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000100'
+            ),
+            allpx as (
+              select t.image_id || ':hflip' as image_id,
+                     p.prow, cast(t.w - 1 - p.pcol as int) as pcol, p.value
+              from t join {pixels} p using (image_id)
+              union all
+              select t.image_id || ':vflip' as image_id,
+                     cast(t.h - 1 - p.prow as int) as prow, p.pcol, p.value
+              from t join {pixels} p using (image_id)
+              union all
+              select t.image_id || ':rot180' as image_id,
+                     cast(t.h - 1 - p.prow as int) as prow,
+                     cast(t.w - 1 - p.pcol as int) as pcol, p.value
+              from t join {pixels} p using (image_id)
+            )
+            select image_id, prow, pcol,
+                   case when isnan(value) then NULL
+                        else cast(value as double) end as value
+            from allpx
         """,
         "epoch_trend": f"""
             with tl as (

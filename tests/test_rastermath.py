@@ -105,3 +105,26 @@ def test_qa_flags_stats_brute(spark):
     assert r.n_cloud == 2 and r.n_shadow == 1 and r.n_snow == 2
     assert r.n_clear == 3
     assert r.clear_vsum == 4.0 + 8.0 + 0.25
+
+
+def test_augment_tiles_permutations(spark):
+    from rasters_spark.operators import rastermath as rm2
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4) * 0.25
+    arr[1, 2] = np.nan
+    df = spark.createDataFrame(
+        [("t", codec.encode_tile(arr, "raw"), 4, 3, "raw",
+          0.0, 0.0, 0.25, -0.25, "EPSG:4326")],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "x_origin double, y_origin double, cell_width double, "
+        "cell_height double, crs string")
+    out = {r.image_id: codec.decode_tile(r.bytes, r.w, r.h, r.fmt)
+           for r in rm2.augment_tiles(df).collect()}
+    np.testing.assert_array_equal(out["t:hflip"], arr[:, ::-1])
+    np.testing.assert_array_equal(out["t:vflip"], arr[::-1, :])
+    np.testing.assert_array_equal(out["t:rot180"], arr[::-1, ::-1])
+    # pixels_of round-trips positions (NaN -> NaN/None at boundary)
+    px = {(r.prow, r.pcol): r.value
+          for r in rm2.pixels_of(df).collect()}
+    assert px[(0, 1)] == 0.25
+    v = px[(1, 2)]
+    assert v is None or np.isnan(v)
