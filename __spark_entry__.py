@@ -2002,84 +2002,57 @@ def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is a coverage lever: the driver's correctness gate
     certifies the first 50 entries each round (rotation policy in
-    CLAUDE.md). Round-5 head (exactly 50 entries): mosaic_first/
-    to_grid_average first — ADVICE r04 flagged that they sat at
-    positions 51-52 and missed the r04 window — then the tail entries
-    whose newest driver row is r03, then to_grid_lanczos/to_grid_gauss
-    (rows-only in r04, now carrying printf-quantized oracles that need
-    a first oracle-green driver row), point_sample_join_grouped
-    (aggregate resharded this round), and the ten brand-new round-5
-    entries (netcdf_cdf5_roundtrip, pq_topk_bulk, stream_minhash_dedup,
-    focal_halo_stats, transform_cyl, table_compaction, spatial_split,
-    stratified_cell_cap, hash_sample, zonal_stats, focal_convolve,
-    terrain_horn, pack_shards, contour_segments, polygonize,
-    tile_histogram, layer_ndvi, stream_histogram, retile_split,
-    sieve_small_regions). The window is oversubscribed by thirteen:
-    the rows-only entries (swath_resize, grid_to_size, reproject_utm,
-    newest record r03) are deliberately deprioritized — the driver can
-    only row-count them, so a fresh oracle-green row for a
-    hash-checkable entry is strictly more evidence — and
-    rasterize_replace / swath_twohop / geotiff_roundtrip /
-    jpeg_roundtrip / events_hour_window / stream_ingest /
-    boundary_ring / snap_grids / gpkg_tiles_roundtrip /
-    swath_cell_size (r03-green) step aside:
-    a sibling certifies the same kernel path this round (rasterize_add
-    shares the rasterize kernel; swath_twohop's hops are covered by
-    swath_to_grid_nn + to_grid_average; cog_roundtrip exercises the
-    same TIFF codec core plus the COG layout; media_render decode-back
-    re-encodes through the same T.81 codec byte-for-byte;
-    events_cell_count covers the built-in-aggregation surface of
-    events_hour_window's date_trunc groupBy; stream_minhash_dedup
-    exercises the same availableNow + TableIO-ledger ingest machinery
-    as stream_ingest; neighbour_distances + knn_tiles cover
-    neighbors.py's ring/shift family (swath_cell_size included — same
-    shift machinery); grid_union covers grid.py's merge/bbox-fold that
-    snap_grids builds on; gpkg_roundtrip certifies the same GeoPackage
-    container machinery the tiles variant extends). All thirteen MUST
-    head the r06 rotation; the r04-green remainder follows behind the
-    marker.
+    CLAUDE.md; the window is now ⌈124/50⌉ = 3 rounds). Round-5 head
+    (exactly 50): the 34 brand-new round-5 entries (14 from the
+    continuation session + 20 from earlier in the round — none has
+    ever held a driver row, so they outrank everything), then
+    to_grid_lanczos / to_grid_gauss (rows-only in r04, now carrying
+    printf-quantized oracles that need a first oracle-green row) and
+    point_sample_join_grouped (aggregate resharded this round), then
+    the 13 r03-green entries whose kernel path has NO in-window
+    sibling: mosaic_first / to_grid_average (ADVICE r04 #1 promised
+    them a fresh row), knn_tiles (ring/top-k), tile_windows_for_
+    polygons (window clamp), points_in_polygons (ray-cast PIP),
+    rasterize_add (rasterize kernel), resize_bilinear (spline),
+    cog_roundtrip (TIFF codec), media_render (T.81 + render),
+    gpkg_roundtrip (GeoPackage), stream_window_counts +
+    stream_user_counts (watermark / stateful streaming),
+    phash_near_dups (band-LSH).
+
+    FOURTEEN r03-green entries step aside for the brand-new work and
+    MUST head the r06 rotation (each with an in-window sibling
+    certifying its kernel path this round): bias_correct +
+    linear_downscale (rasterize_add + to_grid_average cover the
+    rasterize/avg-resample SQL machinery), tile_cell_assignment
+    (point_chips' oracle reuses the identical round_even cell
+    assignment), grid_union (tile_windows_for_polygons exercises the
+    bbox/window math), events_cell_count (built-in groupBy surface —
+    lowest risk), tiles_in_polygons_semi (points_in_polygons covers
+    ray-cast + bbox semi), ngram_dedup_pairs (doc_repetition +
+    decontaminate exercise the shared tokenizer/gram machinery),
+    neighbour_distances (knn_tiles covers the ring/shift family),
+    band_stats (pansharpen / gap_fill / epoch_trend exercise the band
+    stack machinery; qa_cloud_mask the per-tile stats kernel),
+    polygons_geojson + multipolygon_pip (points_in_polygons covers
+    wrap + ray-cast incl. rings), simhash_md5 (phash_near_dups covers
+    band-hash aggregation; decontaminate covers md5), tile_z_order
+    (table_compaction covers the TableIO rewrite path),
+    audio_wav_features (media_render covers the codec-roundtrip
+    family). Also still deferred from r04: swath_cell_size,
+    gpkg_tiles_roundtrip, snap_grids, stream_ingest, boundary_ring,
+    events_hour_window, jpeg_roundtrip, geotiff_roundtrip,
+    rasterize_replace, swath_twohop (r06 debt list, ahead of the
+    r04-green remainder).
     Every entry stays green under tools/check_contract.py regardless
     of position."""
     return {
-        # -- missed the r04 window (ADVICE r04 #1: positions 51-52) -----
-        "mosaic_first": q_mosaic_first,
-        "to_grid_average": q_to_grid_average,
-        # -- newest driver row r03 (r04 positions 52-90) ----------------
-        "bias_correct": q_bias_correct,
-        "linear_downscale": q_linear_downscale,
-        "tile_cell_assignment": q_tile_cell_assignment,
-        "knn_tiles": q_knn_tiles,
-        "tile_windows_for_polygons": q_tile_windows_for_polygons,
-        "grid_union": q_grid_union,
-        "events_cell_count": q_events_cell_count,
-        "points_in_polygons": q_points_in_polygons,
-        "rasterize_add": q_rasterize_add,
-        "tiles_in_polygons_semi": q_tiles_in_polygons_semi,
-        "ngram_dedup_pairs": q_ngram_dedup_pairs,
-        "resize_bilinear": q_resize_bilinear,
-        "cog_roundtrip": q_cog_roundtrip,
-        "neighbour_distances": q_neighbour_distances,
-        "band_stats": q_band_stats,
-        "media_render": q_media_render,
-        "polygons_geojson": q_polygons_geojson,
-        "stream_window_counts": q_stream_window_counts,
-        "stream_user_counts": q_stream_user_counts,
-        "phash_near_dups": q_phash_near_dups,
-        "multipolygon_pip": q_multipolygon_pip,
-        "gpkg_roundtrip": q_gpkg_roundtrip,
-        "simhash_md5": q_simhash_md5,
-        "tile_z_order": q_tile_z_order,
-        "audio_wav_features": q_audio_wav_features,
-        # -- newly oracled / kernel touched this round ------------------
-        "to_grid_lanczos": q_to_grid_lanczos,
-        "to_grid_gauss": q_to_grid_gauss,
-        "point_sample_join_grouped": q_point_sample_join_grouped,
-        # -- new this round (round 5) -----------------------------------
+        # -- brand-new (round-5 continuation session)
         "temporal_composite": q_temporal_composite,
         "focal_median": q_focal_median,
         "flow_d8": q_flow_d8,
         "proximity": q_proximity,
         "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
         "qa_cloud_mask": q_qa_cloud_mask,
         "pansharpen": q_pansharpen,
         "gap_fill": q_gap_fill,
@@ -2088,7 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_composite": q_stream_composite,
         "to_grid_sum": q_to_grid_sum,
         "augment_flips": q_augment_flips,
-        "decontaminate": q_decontaminate,
+        # -- brand-new (round 5, earlier sessions)
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -2109,7 +2082,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_histogram": q_stream_histogram,
         "retile_split": q_retile_split,
         "sieve_small_regions": q_sieve_small_regions,
-        # ---- position 50+ from here: r04-certified / rows-only ---------
+        # -- newly oracled / kernel-touched this round
+        "to_grid_lanczos": q_to_grid_lanczos,
+        "to_grid_gauss": q_to_grid_gauss,
+        "point_sample_join_grouped": q_point_sample_join_grouped,
+        # -- r03-green, no in-window sibling (positions 38-50)
+        "mosaic_first": q_mosaic_first,
+        "to_grid_average": q_to_grid_average,
+        "knn_tiles": q_knn_tiles,
+        "tile_windows_for_polygons": q_tile_windows_for_polygons,
+        "points_in_polygons": q_points_in_polygons,
+        "rasterize_add": q_rasterize_add,
+        "resize_bilinear": q_resize_bilinear,
+        "cog_roundtrip": q_cog_roundtrip,
+        "media_render": q_media_render,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_user_counts": q_stream_user_counts,
+        "phash_near_dups": q_phash_near_dups,
+        # ---- position 50+ from here ----------------------------------
+        # -- displaced r03-green -> MUST head r06 (siblings in docstring)
+        "bias_correct": q_bias_correct,
+        "linear_downscale": q_linear_downscale,
+        "tile_cell_assignment": q_tile_cell_assignment,
+        "grid_union": q_grid_union,
+        "events_cell_count": q_events_cell_count,
+        "tiles_in_polygons_semi": q_tiles_in_polygons_semi,
+        "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "neighbour_distances": q_neighbour_distances,
+        "band_stats": q_band_stats,
+        "polygons_geojson": q_polygons_geojson,
+        "multipolygon_pip": q_multipolygon_pip,
+        "simhash_md5": q_simhash_md5,
+        "tile_z_order": q_tile_z_order,
+        "audio_wav_features": q_audio_wav_features,
+        # -- r04-deferred + r04-green remainder
         "swath_cell_size": q_swath_cell_size,
         "gpkg_tiles_roundtrip": q_gpkg_tiles_roundtrip,
         "snap_grids": q_snap_grids,
