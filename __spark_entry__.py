@@ -987,6 +987,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating cascade (textstats.quality_filter — the
+    Gopher/C4-style rule stack, Rae 2021 table A1): first failing
+    rule wins (too_short → repetitive → top_heavy), thresholds chosen
+    to split the fixture corpus (min_tokens 16, dup_frac 0.05,
+    top_frac 0.1). Signals are exact-int counts and single divisions,
+    so verdict booleans and reason codes hash identically."""
+    return textstats.quality_filter(_docs(spark, sf_dir))
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (textstats.doc_repetition —
     Rae et al. 2021 §A1.1): per-doc word-bigram totals, distinct
@@ -2016,12 +2026,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rasterize_add (rasterize kernel), resize_bilinear (spline),
     cog_roundtrip (TIFF codec), media_render (T.81 + render),
     gpkg_roundtrip (GeoPackage), stream_window_counts +
-    stream_user_counts (watermark / stateful streaming),
-    phash_near_dups (band-LSH).
+    stream_user_counts (watermark / stateful streaming). quality_filter
+    (added after the first rotation pass) takes the 50th slot.
 
-    FOURTEEN r03-green entries step aside for the brand-new work and
+    FIFTEEN r03-green entries step aside for the brand-new work and
     MUST head the r06 rotation (each with an in-window sibling
-    certifying its kernel path this round): bias_correct +
+    certifying its kernel path this round): phash_near_dups
+    (stream_minhash_dedup exercises the band-LSH probe/verify shape;
+    decontaminate the md5 hash-join machinery), bias_correct +
     linear_downscale (rasterize_add + to_grid_average cover the
     rasterize/avg-resample SQL machinery), tile_cell_assignment
     (point_chips' oracle reuses the identical round_even cell
@@ -2061,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_composite": q_stream_composite,
         "to_grid_sum": q_to_grid_sum,
         "augment_flips": q_augment_flips,
+        "quality_filter": q_quality_filter,
         # -- brand-new (round 5, earlier sessions)
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -2099,9 +2112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "stream_window_counts": q_stream_window_counts,
         "stream_user_counts": q_stream_user_counts,
-        "phash_near_dups": q_phash_near_dups,
         # ---- position 50+ from here ----------------------------------
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
+        "phash_near_dups": q_phash_near_dups,
         "bias_correct": q_bias_correct,
         "linear_downscale": q_linear_downscale,
         "tile_cell_assignment": q_tile_cell_assignment,
@@ -3887,6 +3900,49 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"quality_filter": """
+            with tk as (
+              select doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) as l
+              from documents
+            ),
+            tok as (
+              select doc_id, unnest(l) as tok, generate_subscripts(l, 1) as pos from tk
+            ),
+            g as (
+              select doc_id,
+                     tok || ' ' || lead(tok) over (partition by doc_id order by pos) as gram
+              from tok
+            ),
+            cnt as (
+              select doc_id, gram, count(*) as c from g
+              where gram is not null group by 1, 2
+            ),
+            rep as (
+              select doc_id,
+                     cast(sum(c) - count(*) as double) / cast(sum(c) as double) as dup_frac,
+                     cast(max(c) as double) / cast(sum(c) as double) as top_frac
+              from cnt group by 1
+            ),
+            st as (
+              select doc_id,
+                     cast(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) as int) as n_tokens
+              from documents
+            ),
+            j as (
+              select st.doc_id, st.n_tokens,
+                     coalesce(rep.dup_frac, 0.0) as dup_frac,
+                     coalesce(rep.top_frac, 0.0) as top_frac
+              from st left join rep using (doc_id)
+            )
+            select doc_id, n_tokens, dup_frac, top_frac,
+                   (case when n_tokens < 16 then 'too_short'
+                         when dup_frac > 0.05 then 'repetitive'
+                         when top_frac > 0.1 then 'top_heavy' end) is null as keep,
+                   case when n_tokens < 16 then 'too_short'
+                        when dup_frac > 0.05 then 'repetitive'
+                        when top_frac > 0.1 then 'top_heavy' end as reason
+            from j
         """,
 "doc_repetition": """
             with tk as (

@@ -180,3 +180,29 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5) -> DataFram
         F.count_distinct("g").alias("n_overlap_grams"),
         F.count("*").alias("n_overlap_instances"),
     )
+
+
+def quality_filter(docs: DataFrame, min_tokens: int = 16,
+                   max_dup_frac: float = 0.05,
+                   max_top_frac: float = 0.1) -> DataFrame:
+    """The pipeline GATING step — combine the quality signals into a
+    keep/drop verdict with a deterministic reason code (the
+    Gopher/C4-style rule cascade, Rae 2021 table A1): first failing
+    rule wins, precedence too_short → repetitive → top_heavy.
+    → (doc_id, n_tokens, dup_frac, top_frac, keep, reason).
+
+    Every signal is an exact-int count or a single division of exact
+    int64 counts, so the threshold comparisons — and therefore the
+    verdicts — are bit-identical cross-engine. Scan-side + the two
+    repetition aggs; one broadcastable join on doc_id."""
+    toks = _ws_tokens(F.col("text"))
+    st = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    rep = doc_repetition(docs, 2).select("doc_id", "dup_frac", "top_frac")
+    j = (st.join(rep, "doc_id", "left")
+         .withColumn("dup_frac", F.coalesce("dup_frac", F.lit(0.0)))
+         .withColumn("top_frac", F.coalesce("top_frac", F.lit(0.0))))
+    reason = (F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+              .when(F.col("dup_frac") > max_dup_frac, F.lit("repetitive"))
+              .when(F.col("top_frac") > max_top_frac, F.lit("top_heavy")))
+    return j.select("doc_id", "n_tokens", "dup_frac", "top_frac",
+                    reason.isNull().alias("keep"), reason.alias("reason"))

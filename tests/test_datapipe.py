@@ -729,3 +729,22 @@ def test_point_chips_clamped_window_brute(spark):
     cm = np.isfinite(cw)
     assert (r8.chip_w, r8.chip_h) == (3, 3)
     assert (r8.n_valid, r8.vsum) == (int(cm.sum()), float(cw[cm].sum()))
+
+
+def test_quality_filter_cascade(spark):
+    docs = spark.createDataFrame(
+        [(1, "short doc"),                                   # too_short
+         (2, " ".join(["a b"] * 20)),                        # repetitive bigrams
+         (3, " ".join(f"w{i}" for i in range(30))),          # clean
+         ],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in __import__("rasters_spark.datapipe.textstats",
+                                           fromlist=["x"]).quality_filter(docs).collect()}
+    assert got[1].keep is False and got[1].reason == "too_short"
+    assert got[2].keep is False and got[2].reason == "repetitive"
+    assert got[3].keep is True and got[3].reason is None
+    # precedence: a short AND repetitive doc reports too_short first
+    d = spark.createDataFrame([(9, "x x x x")], "doc_id long, text string")
+    r = __import__("rasters_spark.datapipe.textstats",
+                   fromlist=["x"]).quality_filter(d).collect()[0]
+    assert r.reason == "too_short"
