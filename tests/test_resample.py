@@ -201,3 +201,18 @@ def test_composite_max_tie_breaks_to_earliest_epoch(spark):
     out = resample.composite_max(with_grid(df), TARGET).collect()
     assert len(out) == 16
     assert all(r.epoch == 1 and r.n_obs == 2 for r in out)
+
+
+def test_composite_max_plan_is_one_aggregate_no_join(spark):
+    """The argmax is fused into the single hash aggregate (struct max):
+    the plan must contain NO join and exactly one shuffle past the
+    scan (the groupBy exchange). A join-back implementation would show
+    a Join node and a second exchange."""
+    tiles = load_tiles(spark, SF).filter("fmt = 'raw'")
+    df = resample.composite_max(tiles, TARGET)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    head_nodes = [n.splitlines()[0] for b in plan.split("\n\n")
+                  for n in b.split("\n") if n.startswith("(")]
+    assert not any("Join" in n for n in head_nodes), head_nodes
+    assert sum("Exchange" in n for n in head_nodes) == 1, head_nodes
