@@ -482,6 +482,21 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.gap_fill_stack(bands.stack_by_rank(t, 3), 3)
 
 
+def q_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range reclassification (rm.reclassify — the GDAL/ESRI
+    Reclassify operator; EXTENSION beyond the reference): raw pixels
+    banded at [256, 512, 768) into classes 1-4 (half-open,
+    searchsorted-right ≡ the SQL case-when ladder), certified by
+    per-tile class counts — pure integers, NaN excluded on both
+    engines."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    px = rm.pixels_of(rm.elementwise(t, rm.reclassify([256.0, 512.0, 768.0],
+                                                      [1.0, 2.0, 3.0, 4.0])))
+    return (px.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            .groupBy("image_id", F.col("value").cast("int").alias("cls"))
+            .agg(F.count("*").alias("n")))
+
+
 def q_augment_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric training-data augmentation (rm.augment_tiles — the
     standard vision flips; EXTENSION beyond the reference): raw tiles
@@ -2026,10 +2041,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rasterize_add (rasterize kernel), resize_bilinear (spline),
     cog_roundtrip (TIFF codec), media_render (T.81 + render),
     gpkg_roundtrip (GeoPackage), stream_window_counts +
-    stream_user_counts (watermark / stateful streaming). quality_filter
-    (added after the first rotation pass) takes the 50th slot.
+    stream_window_counts (watermark machinery). quality_filter and
+    reclassify (added after the first rotation pass) take the last
+    slots; stream_user_counts steps aside with them (stream_window_
+    counts certifies the watermark/streaming surface in-window and
+    the applyInPandasWithState operator stays pinned by
+    tests/test_tableio_streaming.py — it heads r06 with the rest).
 
-    FIFTEEN r03-green entries step aside for the brand-new work and
+    SIXTEEN r03-green entries step aside for the brand-new work and
     MUST head the r06 rotation (each with an in-window sibling
     certifying its kernel path this round): phash_near_dups
     (stream_minhash_dedup exercises the band-LSH probe/verify shape;
@@ -2074,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_grid_sum": q_to_grid_sum,
         "augment_flips": q_augment_flips,
         "quality_filter": q_quality_filter,
+        "reclassify": q_reclassify,
         # -- brand-new (round 5, earlier sessions)
         "netcdf_cdf5_roundtrip": q_netcdf_cdf5_roundtrip,
         "pq_topk_bulk": q_pq_topk_bulk,
@@ -2111,9 +2131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_render": q_media_render,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "stream_window_counts": q_stream_window_counts,
-        "stream_user_counts": q_stream_user_counts,
         # ---- position 50+ from here ----------------------------------
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
+        "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
         "bias_correct": q_bias_correct,
         "linear_downscale": q_linear_downscale,
@@ -3272,6 +3292,18 @@ def oracle_sql() -> dict[str, str]:
             select stack_id, cast(2 as int) as band, prow, pcol,
                    case when (v0 + v1 + v2) = 0 then NULL
                         else (v2 * v3) / (v0 + v1 + v2) end as sharp from ok
+        """,
+        "reclassify": f"""
+            select image_id,
+                   cast(case when value < 256.0 then 1
+                             when value < 512.0 then 2
+                             when value < 768.0 then 3
+                             else 4 end as int) as cls,
+                   count(*) as n
+            from {pixels}
+            where not isnan(value)
+              and image_id in (select image_id from {tiles} where fmt = 'raw')
+            group by 1, 2
         """,
         "qa_cloud_mask": f"""
             with v as (

@@ -415,3 +415,26 @@ def pixels_of(tiles: DataFrame) -> DataFrame:
                                  "value": pd.Series([], dtype=float)}))
 
     return src.mapInPandas(run, schema=schema)
+
+
+def reclassify(breaks, classes) -> Kernel:
+    """Range reclassification (the GDAL/ESRI Reclassify operator;
+    EXTENSION beyond the reference's comparison dunders): value v maps
+    to ``classes[i]`` for v in the half-open band
+    [breaks[i−1], breaks[i]) — ``len(classes) == len(breaks) + 1``,
+    first band open below, last open above. NaN passes through
+    (nodata stays nodata). Composable with every other kernel in ONE
+    Arrow pass via ``compose``."""
+    br = np.asarray(breaks, dtype=np.float64)
+    cl = np.asarray(classes, dtype=np.float64)
+    if len(cl) != len(br) + 1:
+        raise ValueError("need len(classes) == len(breaks) + 1")
+    if not np.all(np.diff(br) > 0):
+        raise ValueError("breaks must be strictly increasing")
+
+    def k(a: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(br, a, side="right")
+        out = cl[idx]
+        return np.where(np.isfinite(a), out, np.nan).astype(np.float32)
+
+    return k

@@ -128,3 +128,16 @@ def test_augment_tiles_permutations(spark):
     assert px[(0, 1)] == 0.25
     v = px[(1, 2)]
     assert v is None or np.isnan(v)
+
+
+def test_reclassify_bands_and_validation(spark):
+    from rasters_spark.operators import rastermath as rm3
+    k = rm3.reclassify([256.0, 512.0], [1.0, 2.0, 3.0])
+    a = np.array([0.0, 255.75, 256.0, 511.75, 512.0, 1000.0, np.nan])
+    out = k(a)
+    np.testing.assert_array_equal(out[:6], [1, 1, 2, 2, 3, 3])
+    assert np.isnan(out[6])
+    with pytest.raises(ValueError):
+        rm3.reclassify([1.0, 1.0], [1, 2, 3])
+    with pytest.raises(ValueError):
+        rm3.reclassify([1.0], [1])
