@@ -375,6 +375,22 @@ def q_flow_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain.flow_d8(focal.lattice_remap(t, per_row=40))
 
 
+def q_terrain_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen–Thorne curvature (terrain.curvature_zt — the
+    GDAL/ESRI Curvature operator; EXTENSION beyond the reference):
+    strict 3×3 windows over the halo lattice; D/E/F/G/H are exact
+    dyadic (power-of-two cell sizes), the flatness test G²+H²=0 is
+    exact, products/divisions correctly rounded with shared text —
+    raw doubles hash bit-identically, plan/profile NULL on flat."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    out = terrain.curvature_zt(focal.lattice_remap(t, per_row=40))
+    return out.select(
+        "image_id", "prow", "pcol", "curv",
+        F.when(~F.isnan("plan_curv"), F.col("plan_curv")).alias("plan_curv"),
+        F.when(~F.isnan("prof_curv"), F.col("prof_curv")).alias("prof_curv"))
+
+
 def q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn slope / aspect / hillshade (operators/terrain.py; Horn 1981
     stencil, the GDAL/ESRI DEM convention — EXTENSION beyond the
@@ -2132,6 +2148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "stream_window_counts": q_stream_window_counts,
         # ---- position 50+ from here ----------------------------------
+        # terrain_curvature is brand-new but deliberately sits below the
+        # marker: terrain_horn (in-window) certifies the identical
+        # lattice/halo/pivot machinery and raw-double hash family this
+        # round, and every remaining in-window stale entry guards a
+        # kernel path with NO sibling; it heads the r06 debt list.
+        "terrain_curvature": q_terrain_curvature,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -2799,6 +2821,77 @@ def _contour_sql(tiles: str, pixels: str) -> str:
     """
 
 
+def _terrain_curvature_sql(tiles: str, pixels: str) -> str:
+    """DuckDB twin of q_terrain_curvature: the Horn pivot CTE with the
+    Zevenbergen-Thorne coefficient expressions mirrored verbatim from
+    terrain.curvature_zt — D/E/F/G/H are exact dyadic so the G²+H²=0
+    flatness branch and the raw-double hashes agree bit-for-bit."""
+    piv = ", ".join(
+        f"max(case when cand.dx = {dx} and cand.dy = {dy} then n.value end) as z{i + 1}"
+        for i, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)))
+    return f"""
+        with tl as (
+          select image_id, crs, cell_width, cell_height, w, h,
+                 row_number() over (partition by crs, cell_width, cell_height, w, h
+                                    order by image_id) - 1 as rn
+          from {tiles}
+          where fmt = 'raw' and image_id < 'img000000000300'
+        ),
+        tl2 as (
+          select image_id, crs, cell_width, cell_height, w, h,
+                 rn % 40 as tx, rn // 40 as ty
+          from tl
+        ),
+        px as (
+          select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                 t.tx, t.ty,
+                 t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                 case when isnan(p.value) then NULL
+                      else cast(p.value as double) end as value
+          from tl2 t join {pixels} p using (image_id)
+        ),
+        offs(dx, dy) as (values (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),
+                                (1,0),(-1,1),(0,1),(1,1)),
+        cand as (
+          select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                 c.tx, c.ty, c.gx, c.gy,
+                 c.gx + o.dx as ngx, c.gy + o.dy as ngy, o.dx, o.dy
+          from px c cross join offs o
+        ),
+        win as (
+          select cand.image_id, cand.cell_width, cand.cell_height,
+                 cast(cand.gx - cand.tx * cand.w as integer) as pcol,
+                 cast(cand.gy - cand.ty * cand.h as integer) as prow,
+                 {piv},
+                 count(n.value) as nv
+          from cand
+          join px n
+            on n.crs = cand.crs and n.cell_width = cand.cell_width
+           and n.cell_height = cand.cell_height and n.w = cand.w and n.h = cand.h
+           and n.gx = cand.ngx and n.gy = cand.ngy
+          group by 1, 2, 3, 4, 5
+        ),
+        co as (
+          select image_id, prow, pcol,
+                 ((z4 + z6) / 2.0 - z5) / (abs(cell_width) * abs(cell_width)) as d_,
+                 ((z2 + z8) / 2.0 - z5) / (abs(cell_height) * abs(cell_height)) as e_,
+                 (-z1 + z3 + z7 - z9) / (4.0 * abs(cell_width) * abs(cell_height)) as f_,
+                 (-z4 + z6) / (2.0 * abs(cell_width)) as g_,
+                 (z2 - z8) / (2.0 * abs(cell_height)) as h_
+          from win where nv = 9
+        )
+        select image_id, prow, pcol,
+               -2.0 * (d_ + e_) as curv,
+               case when g_ * g_ + h_ * h_ = 0.0 then NULL
+                    else 2.0 * (d_ * h_ * h_ + e_ * g_ * g_ - f_ * g_ * h_)
+                         / (g_ * g_ + h_ * h_) end as plan_curv,
+               case when g_ * g_ + h_ * h_ = 0.0 then NULL
+                    else -2.0 * (d_ * g_ * g_ + e_ * h_ * h_ + f_ * g_ * h_)
+                         / (g_ * g_ + h_ * h_) end as prof_curv
+        from co
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tiles = f"read_parquet('{FD}/tiles.parquet')"
     points = f"read_parquet('{FD}/points.parquet')"
@@ -3119,6 +3212,7 @@ def oracle_sql() -> dict[str, str]:
             from cellagg group by 1
         """,
         "terrain_horn": _terrain_horn_sql(tiles, pixels),
+        "terrain_curvature": _terrain_curvature_sql(tiles, pixels),
         "contour_segments": _contour_sql(tiles, pixels),
         "retile_split": f"""
             select t.image_id || '_' || cast(p.prow // (t.h // 4) as varchar)

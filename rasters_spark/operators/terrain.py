@@ -258,3 +258,76 @@ def flow_d8(tiles: DataFrame) -> DataFrame:
                                  "n_down": pd.Series([], dtype=np.int64)}))
 
     return src.mapInPandas(run, schema=schema)
+
+
+def curvature_zt(tiles: DataFrame) -> DataFrame:
+    """Zevenbergen & Thorne (1987) surface curvature over a tiled DEM
+    with halo exchange — general, plan and profile curvature (the
+    GDAL/ESRI Curvature operator; EXTENSION beyond the reference).
+    Strict 3×3 window like slope_aspect_hillshade. With power-of-two
+    cell sizes EVERY quadratic coefficient (D, E, F, G, H) is an
+    exact dyadic double (sums of quarter-integer pixels divided by
+    powers of two), the flatness test G²+H² = 0 is exact, and the
+    remaining products/divisions are correctly rounded with the
+    expression text shared verbatim — raw doubles hash identically,
+    no printf. Plan/profile are NULL on flat cells.
+
+    → (image_id, prow, pcol, curv, plan_curv, prof_curv)."""
+    import warnings
+
+    t = _with_halo_payload(tiles, 1)
+    src = t.select("image_id", "cell_width", "cell_height",
+                   "w", "h", "fmt", "bytes", "halos")
+    schema = ("image_id string, prow int, pcol int, "
+              "curv double, plan_curv double, prof_curv double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                lx = abs(float(pdf["cell_width"].iloc[i]))
+                lyy = abs(float(pdf["cell_height"].iloc[i]))
+                pad = _place_halos(arr, pdf["halos"].iloc[i], 1)
+                z = [pad[dy:dy + hh, dx:dx + ww]
+                     for dy in range(3) for dx in range(3)]
+                z1, z2, z3, z4, z5, z6, z7, z8, z9 = z
+                ok = np.isfinite(pad)
+                complete = np.ones((hh, ww), dtype=bool)
+                for dy in range(3):
+                    for dx in range(3):
+                        complete &= ok[dy:dy + hh, dx:dx + ww]
+                # ZT coefficients — text mirrors the SQL oracle verbatim
+                with warnings.catch_warnings(), np.errstate(invalid="ignore", divide="ignore"):
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    d_ = ((z4 + z6) / 2.0 - z5) / (lx * lx)
+                    e_ = ((z2 + z8) / 2.0 - z5) / (lyy * lyy)
+                    f_ = (-z1 + z3 + z7 - z9) / (4.0 * lx * lyy)
+                    g_ = (-z4 + z6) / (2.0 * lx)
+                    h_ = (z2 - z8) / (2.0 * lyy)
+                    curv = -2.0 * (d_ + e_)
+                    den = g_ * g_ + h_ * h_
+                    plan = np.where(den == 0.0, np.nan,
+                                    2.0 * (d_ * h_ * h_ + e_ * g_ * g_ - f_ * g_ * h_) / den)
+                    prof = np.where(den == 0.0, np.nan,
+                                    -2.0 * (d_ * g_ * g_ + e_ * h_ * h_ + f_ * g_ * h_) / den)
+                rows, cols = np.nonzero(complete)
+                if rows.size == 0:
+                    continue
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rows.astype(np.int32),
+                    "pcol": cols.astype(np.int32),
+                    "curv": curv[rows, cols],
+                    "plan_curv": plan[rows, cols],
+                    "prof_curv": prof[rows, cols]}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "curv": pd.Series([], dtype=float),
+                                 "plan_curv": pd.Series([], dtype=float),
+                                 "prof_curv": pd.Series([], dtype=float)}))
+
+    return src.mapInPandas(run, schema=schema)

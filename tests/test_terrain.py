@@ -242,3 +242,52 @@ def test_flow_d8_pit_flat_and_tie(spark):
     assert got[("flat", 1, 1)] == 0
     assert got[("pit", 1, 1)] == 0
     assert got[("ridge", 1, 1)] == 1  # E beats W on the code tie-break
+
+
+def test_curvature_zt_matches_global_brute(spark, lattice):
+    g = _global_array()
+    got = {(r.image_id, r.prow, r.pcol): (r.curv, r.plan_curv, r.prof_curv)
+           for r in terrain.curvature_zt(lattice).collect()}
+    gh, gw = g.shape
+    lx, lyy = abs(CW), abs(CH)
+    n_checked = 0
+    for gi in range(1, gh - 1):
+        for gj in range(1, gw - 1):
+            win = g[gi - 1:gi + 2, gj - 1:gj + 2]
+            if not np.isfinite(win).all():
+                continue
+            z1, z2, z3, z4, z5, z6, z7, z8, z9 = win.ravel()
+            d_ = ((z4 + z6) / 2.0 - z5) / (lx * lx)
+            e_ = ((z2 + z8) / 2.0 - z5) / (lyy * lyy)
+            f_ = (-z1 + z3 + z7 - z9) / (4.0 * lx * lyy)
+            g_ = (-z4 + z6) / (2.0 * lx)
+            h_ = (z2 - z8) / (2.0 * lyy)
+            den = g_ * g_ + h_ * h_
+            key = (f"t{gi // H}{gj // W}", gi % H, gj % W)
+            curv, plan, prof = got[key]
+            assert curv == -2.0 * (d_ + e_), key
+            if den == 0.0:
+                assert plan is None or np.isnan(plan)
+            else:
+                assert plan == 2.0 * (d_ * h_ * h_ + e_ * g_ * g_ - f_ * g_ * h_) / den
+                assert prof == -2.0 * (d_ * g_ * g_ + e_ * h_ * h_ + f_ * g_ * h_) / den
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_curvature_flat_and_parabola(spark):
+    flat = np.full((3, 3), 7.0, dtype=np.float32)
+    # z = col^2 with L=1: D = 1, E = 0 -> curv = -2; ridge line is flat
+    # in y so plan uses G only
+    par = np.array([[0, 1, 4], [0, 1, 4], [0, 1, 4]], dtype=np.float32)
+    rows = [("flat", codec.encode_tile(flat, "raw"), 3, 3, "raw", "EPSG:4326",
+             0.0, 0.0, 1.0, -1.0),
+            ("par", codec.encode_tile(par, "raw"), 3, 3, "raw", "EPSG:4326",
+             10.0, 0.0, 1.0, -1.0)]
+    df = spark.createDataFrame(rows, COLS)
+    got = {(r.image_id): (r.curv, r.plan_curv, r.prof_curv)
+           for r in terrain.curvature_zt(df).collect()}
+    c, p, q = got["flat"]
+    assert c == 0.0 and (p is None or np.isnan(p)) and (q is None or np.isnan(q))
+    c, p, q = got["par"]
+    assert c == -2.0 * (((0.0 + 4.0) / 2.0 - 1.0) / 1.0)  # D = 1 -> curv -2
