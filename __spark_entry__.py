@@ -391,6 +391,17 @@ def q_terrain_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.isnan("prof_curv"), F.col("prof_curv")).alias("prof_curv"))
 
 
+def q_lattice_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seamless cross-tile chip extraction (chips.lattice_chips —
+    closes point_chips' clamp-at-edges seam): stride-7 probe cells on
+    the halo-exchanged lattice get their FULL 5×5 window across tile
+    boundaries (radius-2 strips); lattice-edge chips see NaN halo ≡
+    the twin's absent rows. Exact chip stats on global pixel keys."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return chips.lattice_chips(focal.lattice_remap(t, per_row=40), 2, 7)
+
+
 def q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn slope / aspect / hillshade (operators/terrain.py; Horn 1981
     stencil, the GDAL/ESRI DEM convention — EXTENSION beyond the
@@ -2154,6 +2165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round, and every remaining in-window stale entry guards a
         # kernel path with NO sibling; it heads the r06 debt list.
         "terrain_curvature": q_terrain_curvature,
+        # lattice_chips: same deliberate below-marker placement — its two
+        # halves (halo placement, chip-stat reduction) are certified
+        # in-window by the focal family and point_chips; heads r06.
+        "lattice_chips": q_lattice_chips,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -3210,6 +3225,45 @@ def oracle_sql() -> dict[str, str]:
             )
             select image_id, count(*) as conv_cells, sum(s) as conv_sum
             from cellagg group by 1
+        """,
+        "lattice_chips": f"""
+            with tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+            ),
+            tl2 as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     rn % 40 as tx, rn // 40 as ty
+              from tl
+            ),
+            px as (
+              select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as value
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            offs(dy, dx) as (values
+              {", ".join(f"({dy},{dx})" for dy in range(-2, 3) for dx in range(-2, 3))}),
+            cand as (
+              select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                     c.gx, c.gy, c.gx + o.dx as ngx, c.gy + o.dy as ngy
+              from px c cross join offs o
+              where c.gx % 7 = 0 and c.gy % 7 = 0 and c.value is not null
+            )
+            select cand.image_id, cand.gx, cand.gy,
+                   count(*) as n_valid, sum(n.value) as vsum,
+                   min(n.value) as vmin, max(n.value) as vmax
+            from cand
+            join px n
+              on n.crs = cand.crs and n.cell_width = cand.cell_width
+             and n.cell_height = cand.cell_height and n.w = cand.w and n.h = cand.h
+             and n.gx = cand.ngx and n.gy = cand.ngy
+            where n.value is not null
+            group by 1, 2, 3
         """,
         "terrain_horn": _terrain_horn_sql(tiles, pixels),
         "terrain_curvature": _terrain_curvature_sql(tiles, pixels),

@@ -748,3 +748,31 @@ def test_quality_filter_cascade(spark):
     r = __import__("rasters_spark.datapipe.textstats",
                    fromlist=["x"]).quality_filter(d).collect()[0]
     assert r.reason == "too_short"
+
+
+def test_lattice_chips_cross_seam(spark):
+    """A probe at a tile's right edge must include the neighbor tile's
+    pixels via the halo — compare against the assembled global array."""
+    from rasters_spark.datapipe import chips as chipmod
+    from tests.test_focal import _lattice_rows, _global_array, COLS, H, W
+
+    lattice = spark.createDataFrame(_lattice_rows(), COLS)
+    g = _global_array()
+    got = {(r.gx, r.gy): (r.n_valid, r.vsum, r.vmin, r.vmax)
+           for r in chipmod.lattice_chips(lattice, 2, 3).collect()}
+    gh, gw = g.shape
+    n_cross = 0
+    for gy in range(0, gh, 3):
+        for gx in range(0, gw, 3):
+            if not np.isfinite(g[gy, gx]):
+                assert (gx, gy) not in got
+                continue
+            win = g[max(gy - 2, 0):gy + 3, max(gx - 2, 0):gx + 3]
+            m = np.isfinite(win)
+            v = win[m].astype(np.float64)
+            assert got[(gx, gy)] == (int(m.sum()), float(v.sum()),
+                                     float(v.min()), float(v.max())), (gx, gy)
+            # does this chip cross a tile seam?
+            if (gx % W) in (0, 1, W - 2, W - 1) or (gy % H) in (0, 1, H - 2, H - 1):
+                n_cross += 1
+    assert n_cross > 0  # seam chips were actually exercised
