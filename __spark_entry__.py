@@ -168,6 +168,34 @@ def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, tbl, os.path.join(work, "ckpt"), 0.0, 1024.0, 64)
 
 
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decontamination at ingest (streaming.
+    stream_decontaminate_available_now): the TRAIN docs split into 3
+    files drain availableNow; the eval 4-gram digest set is built
+    once (the persisted benchmark-digest table) and stream-static
+    joined per micro-batch, per-doc overlap partials committed
+    exactly-once. Each doc lives in one batch, so the partial union
+    IS the batch answer — the oracle is decontaminate's SQL
+    verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.streaming import stream_decontaminate_available_now
+    from rasters_spark.tableio import TableIO
+
+    d = _docs(spark, sf_dir)
+    work = os.path.join(tempfile.gettempdir(),
+                        f"stream-dc-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "in")
+    d.filter("doc_id % 10 != 0").repartition(3).write.mode("overwrite").parquet(src)
+    tbl = TableIO(os.path.join(work, "tbl"))
+    return stream_decontaminate_available_now(
+        spark, src, d.filter("doc_id % 10 = 0"), tbl,
+        os.path.join(work, "ckpt"), 4)
+
+
 def q_stream_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental greatest-value composite as Structured Streaming
     (streaming.stream_composite_available_now): the tile table split
@@ -2169,6 +2197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # halves (halo placement, chip-stat reduction) are certified
         # in-window by the focal family and point_chips; heads r06.
         "lattice_chips": q_lattice_chips,
+        # stream_decontaminate: same note — stream_minhash_dedup (in-
+        # window) certifies the availableNow+ledger machinery and
+        # decontaminate (in-window) the gram/digest join; heads r06.
+        "stream_decontaminate": q_stream_decontaminate,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4672,4 +4704,5 @@ def oracle_sql() -> dict[str, str]:
     # addition — exactly the batch histogram, same oracle
     sql["stream_histogram"] = sql["tile_histogram"]
     sql["stream_composite"] = sql["temporal_composite"]
+    sql["stream_decontaminate"] = sql["decontaminate"]
     return sql

@@ -151,7 +151,8 @@ def doc_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5) -> DataFrame:
+def decontaminate(docs: DataFrame, eval_docs: DataFrame = None, n: int = 5,
+                  eval_grams: DataFrame = None) -> DataFrame:
     """Test-set decontamination by word n-gram overlap (the GPT-3
     appendix-C / Dolma protocol, at n=5 here because the synthetic
     docs are short; production uses 13-grams): a training doc is
@@ -161,7 +162,8 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5) -> DataFram
     occurrences they cover).
 
     Grams join on md5 digests — at 100 TB the digest table is what
-    you'd persist and bucket (the gram text never shuffles); md5 of
+    you'd persist and bucket (pass it back in via ``eval_grams`` to
+    skip recomputation — the streaming variant does); md5 of
     equal strings is equal on both engines, so the oracle joins the
     same digests. Scale shape: scan-side explode on BOTH sides, one
     distinct on the (smaller) eval side, one hash join, one keyed
@@ -173,7 +175,9 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5) -> DataFram
             F.explode(_word_ngrams(toks, n)).alias("gram"),
         ).select("doc_id", F.md5(F.col("gram")).alias("g"))
 
-    ev = grams(eval_docs).select("g").distinct()
+    if eval_grams is None:
+        eval_grams = grams(eval_docs).select("g").distinct()
+    ev = eval_grams
     tr = grams(docs)
     hit = tr.join(ev, "g")
     return hit.groupBy("doc_id").agg(

@@ -432,3 +432,51 @@ def stream_composite_available_now(
     return out.select(
         "trow", "tcol", F.col("b.v").alias("value"),
         (-F.col("b.ne")).alias("epoch"), "n_obs")
+
+
+def stream_decontaminate_available_now(
+    spark: SparkSession,
+    docs_path: str,
+    eval_docs: DataFrame,
+    table: TableIO,
+    checkpoint_dir: str,
+    n: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """INCREMENTAL test-set decontamination at ingest — the streaming
+    face of ``textstats.decontaminate``: training documents arrive as
+    a file stream; the eval n-gram digest set is built ONCE (the
+    persisted benchmark-digest table of a production pipeline) and
+    stream-static-joined against each micro-batch's grams; per-doc
+    overlap partials commit exactly-once to the TableIO ledger. A doc
+    appears in exactly one batch, so the union of partials IS the
+    batch answer and the oracle is decontaminate's SQL verbatim."""
+    from rasters_spark.datapipe import textstats
+
+    # build the digest set ONCE, eagerly cached, so every batch reuses it
+    toks = textstats._ws_tokens(F.col("text"))
+    eg = (eval_docs.select(F.explode(textstats._word_ngrams(toks, n)).alias("gram"))
+          .select(F.md5(F.col("gram")).alias("g")).distinct().cache())
+    eg.count()
+
+    schema = spark.read.parquet(docs_path).schema
+    ds = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(docs_path))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        part = textstats.decontaminate(
+            batch_df.dropDuplicates(["doc_id"]).select("doc_id", "text"),
+            n=n, eval_grams=eg)
+        table.write(part, operation="stream-decontam", job_id="decontam",
+                    chunk_id=f"batch-{batch_id}", inputs=[docs_path])
+
+    q = (
+        ds.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark).select(
+        "doc_id", "n_overlap_grams", "n_overlap_instances")

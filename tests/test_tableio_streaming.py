@@ -398,3 +398,27 @@ def test_stream_composite_matches_batch(spark, tmp_path):
     gm = {key(r): (r.value, r.epoch, r.n_obs) for r in got}
     bm = {key(r): (r.value, r.epoch, r.n_obs) for r in batch}
     assert gm == bm
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    from rasters_spark.datapipe import textstats
+    from rasters_spark.streaming import stream_decontaminate_available_now
+    from rasters_spark.tableio import TableIO
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common phrase four grams tail{i % 3}") for i in range(12)]
+        + [(100, "common phrase four grams")],
+        "doc_id long, text string")
+    train = docs.filter("doc_id < 100")
+    ev = docs.filter("doc_id = 100")
+    src = str(tmp_path / "in")
+    train.repartition(3).write.mode("overwrite").parquet(src)
+    tbl = TableIO(str(tmp_path / "tbl"))
+    got = {r.doc_id: (r.n_overlap_grams, r.n_overlap_instances)
+           for r in stream_decontaminate_available_now(
+               spark, src, ev, tbl, str(tmp_path / "ckpt"), 4).collect()}
+    batch = {r.doc_id: (r.n_overlap_grams, r.n_overlap_instances)
+             for r in textstats.decontaminate(train, ev, 4).collect()}
+    assert got == batch and len(got) == 12
+    snaps = [s for s in tbl.snapshots() if s["operation"] == "stream-decontam"]
+    assert len(snaps) >= 2
