@@ -64,16 +64,16 @@ def main(only: list[str]) -> int:
         try:
             got = fn(spark, SF_DIR).toPandas()
         except Exception as ex:
-            print(f"FAIL {name}: spark error: {ex}")
+            print(f"FAIL {name}: spark error: {ex}", flush=True)
             failures += 1
             continue
         if name not in osql:
-            print(f"ok?  {name}: rows-only check, {len(got)} rows (no oracle)")
+            print(f"ok?  {name}: rows-only check, {len(got)} rows (no oracle)", flush=True)
             continue
         try:
             exp = con.sql(osql[name]).df()
         except Exception as ex:
-            print(f"FAIL {name}: oracle error: {ex}")
+            print(f"FAIL {name}: oracle error: {ex}", flush=True)
             failures += 1
             continue
         problems = []
@@ -91,11 +91,11 @@ def main(only: list[str]) -> int:
                 problems.append(f"  spark={a[:160]}\n  duck ={b[:160]}")
         if problems:
             failures += 1
-            print(f"FAIL {name}: " + "; ".join(problems[:1]))
+            print(f"FAIL {name}: " + "; ".join(problems[:1]), flush=True)
             for p in problems[1:]:
                 print("  " + p)
         else:
-            print(f"PASS {name}: {len(got)} rows")
+            print(f"PASS {name}: {len(got)} rows", flush=True)
     return failures
 
 
