@@ -837,6 +837,86 @@ def _somerc_inverse(x, y, p):
     return lon, np.degrees(phi)
 
 
+def _krovak_params(c: str, a: float, e2: float) -> dict:
+    """Krovák oblique conformal conic (EPSG method 9819, PROJ
+    +proj=krovak) — the S-JTSK grid of Czechia/Slovakia (EPSG:5514
+    East/North = negated southing/westing of EPSG:5513). Public EPSG
+    Guidance Note 7-2 construction: Gaussian conformal sphere at the
+    projection centre (B, γ0, t0), rotation to the oblique pole at
+    azimuth αc, then a conformal cone at the PSEUDO standard parallel
+    φ1 = 78.5° on the oblique sphere."""
+    e = float(np.sqrt(e2))
+    phic = np.radians(_proj4_param(c, "lat_0", 49.5))
+    alphac = np.radians(_proj4_param(c, "alpha", 30.28813972222222))
+    phi1 = np.radians(78.5)  # fixed by the method (no PROJ parameter)
+    k = _proj4_param(c, "k", _proj4_param(c, "k_0", 0.9999))
+    sc = np.sin(phic)
+    B = float(np.sqrt(1 + e2 * np.cos(phic) ** 4 / (1 - e2)))
+    A_ = float(a * np.sqrt(1 - e2) / (1 - e2 * sc * sc))
+    gamma0 = float(np.arcsin(sc / B))
+    t0 = float(np.tan(np.pi / 4 + gamma0 / 2)
+               * ((1 + e * sc) / (1 - e * sc)) ** (e * B / 2)
+               / np.tan(np.pi / 4 + phic / 2) ** B)
+    n = float(np.sin(phi1))
+    r0 = float(k * A_ / np.tan(phi1))
+    return {"kind": "krovak", "a": a, "e2": e2, "e": e, "B": B,
+            "t0": t0, "n": n, "r0": r0, "phi1": float(phi1),
+            "alphac": float(alphac),
+            "lon0": _proj4_param(c, "lon_0", 24.833333333333332),
+            "x0": _proj4_param(c, "x_0", 0.0), "y0": _proj4_param(c, "y_0", 0.0)}
+
+
+def _krovak_forward(lon, lat, p):
+    """EPSG 9819 forward (East/North axis convention of EPSG:5514:
+    E = −westing, N = −southing, so in-country coordinates are
+    negative)."""
+    e, B = p["e"], p["B"]
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        U = 2.0 * (np.arctan(p["t0"] * np.tan(np.pi / 4 + phi / 2) ** B
+                             * ((1 - e * s) / (1 + e * s)) ** (e * B / 2))
+                   - np.pi / 4)
+    V = B * np.radians(p["lon0"] - np.asarray(lon, np.float64))
+    ca, sa = np.cos(p["alphac"]), np.sin(p["alphac"])
+    S = np.arcsin(np.clip(ca * np.sin(U) + sa * np.cos(U) * np.cos(V), -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(S), -1.0, 1.0))
+        theta = p["n"] * D
+        r = (p["r0"] * np.tan(np.pi / 4 + p["phi1"] / 2) ** p["n"]
+             / np.tan(np.pi / 4 + S / 2) ** p["n"])
+    southing = r * np.cos(theta)
+    westing = r * np.sin(theta)
+    return -westing + p["x0"], -southing + p["y0"]
+
+
+def _krovak_inverse(x, y, p):
+    """EPSG 9819 reverse: polar → oblique sphere → Gaussian sphere →
+    ellipsoid (fixed-point on the conformal latitude, 5 rounds)."""
+    e, B = p["e"], p["B"]
+    westing = -(np.asarray(x, np.float64) - p["x0"])
+    southing = -(np.asarray(y, np.float64) - p["y0"])
+    r = np.hypot(westing, southing)
+    theta = np.arctan2(westing, southing)
+    D = theta / p["n"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = 2.0 * (np.arctan((p["r0"] / r) ** (1.0 / p["n"])
+                             * np.tan(np.pi / 4 + p["phi1"] / 2)) - np.pi / 4)
+    ca, sa = np.cos(p["alphac"]), np.sin(p["alphac"])
+    U = np.arcsin(np.clip(ca * np.sin(S) - sa * np.cos(S) * np.cos(D), -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        V = np.arcsin(np.clip(np.cos(S) * np.sin(D) / np.cos(U), -1.0, 1.0))
+    lon = p["lon0"] - np.degrees(V) / B
+    tU = np.tan(np.pi / 4 + U / 2)
+    phi = U.copy() if hasattr(U, "copy") else np.asarray(U, np.float64)
+    for _ in range(5):
+        s = np.sin(phi)
+        phi = 2.0 * (np.arctan((tU / p["t0"]) ** (1.0 / B)
+                               * ((1 + e * s) / (1 - e * s)) ** (e / 2))
+                     - np.pi / 4)
+    return lon, np.degrees(phi)
+
+
 def _eaea_forward(lon, lat, p):
     """ELLIPSOIDAL Albers equal-area conic (Snyder §14, eq. 14-1..14-4
     with q/m auxiliaries 3-12/14-15): ρ = a·√(C − n·q)/n. EPSG:5070
@@ -1138,6 +1218,23 @@ def _parse_crs(crs: str) -> dict:
     if "+proj=utm" in c:
         zone = int(c.split("+zone=")[1].split()[0])
         return {"kind": "utm", "lon0": zone * 6 - 183, "south": "+south" in c}
+    if c.upper() in ("EPSG:5514", "EPSG:5513"):  # S-JTSK / Krovak
+        # 5514 is East/North (negated axes); 5513 is the same grid in
+        # southing/westing — we expose both through the 5514 convention
+        # with a sign flag
+        flip = c.upper() == "EPSG:5513"
+        c = ("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+             "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel")
+        d = _krovak_params(c, *_crs_ellipsoid(c))
+        d["flip_5513"] = flip
+        return d
+    if "+proj=krovak" in c:
+        ell = _crs_ellipsoid(c)
+        a, e2 = ell if ell is not None else (
+            _proj4_param(c, "R", _proj4_param(c, "a", _EARTH_R)), 0.0)
+        d = _krovak_params(c, a, e2)
+        d["flip_5513"] = False
+        return d
     if c.upper() == "EPSG:2056":  # CH1903+ / LV95
         c = ("+proj=somerc +lat_0=46.952405555555556 +lon_0=7.4395833333333334 "
              "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel")
@@ -1311,6 +1408,7 @@ def _parse_crs(crs: str) -> dict:
         f"oblique double stereographic EPSG:28992/+proj=sterea, "
         f"generic transverse Mercator EPSG:27700/+proj=tmerc, "
         f"Swiss oblique Mercator EPSG:2056/21781/+proj=somerc, "
+        f"Krovak EPSG:5514/5513/+proj=krovak, "
         f"Web Mercator, Mercator EPSG:3395/+proj=merc, cylindrical equal-area "
         f"EPSG:6933/3410/+proj=cea, equidistant cylindrical EPSG:4087/32662/"
         f"+proj=eqc, Mollweide, geostationary +proj=geos, orthographic)")
@@ -1362,6 +1460,10 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         lon, lat = _tmerc_inverse(np.asarray(x, np.float64), np.asarray(y, np.float64), s)
     elif s["kind"] == "somerc":
         lon, lat = _somerc_inverse(x, y, s)
+    elif s["kind"] == "krovak":
+        if s.get("flip_5513"):  # (southing, westing) -> 5514 (E, N)
+            x, y = -np.asarray(y, np.float64), -np.asarray(x, np.float64)
+        lon, lat = _krovak_inverse(x, y, s)
     elif s["kind"] == "moll":
         lon, lat = _moll_inverse(x, y, s)
     else:
@@ -1413,6 +1515,10 @@ def transform_xy_np(x: np.ndarray, y: np.ndarray, src: str, dst: str):
         return _tmerc_forward(lon, lat, d)
     if d["kind"] == "somerc":
         return _somerc_forward(lon, lat, d)
+    if d["kind"] == "krovak":
+        xx, yy = _krovak_forward(lon, lat, d)
+        # EPSG:5513 axis order is (X = southing, Y = westing)
+        return (-yy, -xx) if d.get("flip_5513") else (xx, yy)
     if d["kind"] == "moll":
         return _moll_forward(lon, lat, d)
     return _aeqd_forward(lon, lat, d["lon0"], d["lat0"])

