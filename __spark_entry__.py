@@ -2033,6 +2033,19 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hamming_band_pairs(pool, threshold=3, bands=4)
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/events.sessionize — the
+    web-analytics lag → flag → running-sum window pattern, 30-min
+    inactivity gap): one row per session keyed by its MIN event_id
+    (engine-stable), with counts and exact integer-microsecond
+    duration (unix_micros ≡ DuckDB epoch_us). Total-order tie-break
+    (ts, event_id). All JVM window functions; one user_id exchange
+    reused by the session aggregate."""
+    from rasters_spark.operators import events as eventops
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eventops.sessionize(ev, 30)
+
+
 def q_events_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (the batch shape of the
     streaming windowed agg): epoch-hour buckets for engine-portable
@@ -2201,6 +2214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window) certifies the availableNow+ledger machinery and
         # decontaminate (in-window) the gram/digest join; heads r06.
         "stream_decontaminate": q_stream_decontaminate,
+        # event_sessions: below-marker brand-new, sibling-covered
+        # (events_cell_count / stream_window_counts certify the events
+        # scan + windowed-agg surface; the lag/running-sum pattern is
+        # pinned by its own pytest brute force); heads r06.
+        "event_sessions": q_event_sessions,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4634,6 +4652,31 @@ def oracle_sql() -> dict[str, str]:
             from pool a cross join pool b
             where a.image_id < b.image_id
               and bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "event_sessions": """
+            with t as (
+              select user_id, event_id, event_type, ts, epoch_us(ts) as us,
+                     case when lag(ts) over w is null
+                               or epoch_us(ts) - epoch_us(lag(ts) over w)
+                                  > 30 * 60000000
+                          then 1 else 0 end as is_new
+              from events
+              window w as (partition by user_id order by ts, event_id)
+            ),
+            tagged as (
+              select user_id, event_id, event_type, us,
+                     sum(is_new) over (partition by user_id
+                                       order by ts, event_id
+                                       rows between unbounded preceding
+                                            and current row) as sess
+              from t
+            )
+            select user_id, min(event_id) as session_id,
+                   cast(count(*) as bigint) as n_events,
+                   cast(count(case when event_type = \'error\' then 1 end) as bigint) as n_error,
+                   min(us) as first_us, max(us) as last_us,
+                   max(us) - min(us) as duration_us
+            from tagged group by user_id, sess
         """,
         "events_hour_window": """
             select cast(trunc(epoch(ts) / 3600.0) as bigint) as epoch_hour,

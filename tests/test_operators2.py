@@ -222,3 +222,26 @@ def test_epoch_trend_closed_form(spark):
            for r in bands.epoch_trend(df, 3).collect()}
     assert got[(0, 0)] == ((3.0 - 1.0) / 2.0, (1.0 + 5.0 + 3.0) / 3.0)
     assert (0, 1) not in got  # strict: NaN at any epoch excludes the pixel
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from rasters_spark.operators import events as eventops
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "view"),
+        (2, t0 + dt.timedelta(minutes=10), 7, "error"),
+        (3, t0 + dt.timedelta(minutes=41), 7, "click"),   # 31-min gap -> new session
+        (4, t0 + dt.timedelta(minutes=70), 7, "view"),    # 29-min gap -> same
+        (5, t0, 9, "view"),                               # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    got = {(r.user_id, r.session_id): (r.n_events, r.n_error, r.duration_us)
+           for r in eventops.sessionize(df, 30).collect()}
+    assert got[(7, 1)] == (2, 1, 10 * 60 * 1_000_000)
+    assert got[(7, 3)] == (2, 0, 29 * 60 * 1_000_000)
+    assert got[(9, 5)] == (1, 0, 0)
+    assert len(got) == 3
