@@ -2046,6 +2046,16 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eventops.sessionize(ev, 30)
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/events.cohort_retention):
+    first-active-day cohorts × day offsets with distinct-user counts —
+    pure integer epoch-day arithmetic (UTC-pinned session ≡ DuckDB),
+    two combiner-friendly aggregates + one user_id join."""
+    from rasters_spark.operators import events as eventops
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eventops.cohort_retention(ev)
+
+
 def q_events_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (the batch shape of the
     streaming windowed agg): epoch-hour buckets for engine-portable
@@ -2214,11 +2224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window) certifies the availableNow+ledger machinery and
         # decontaminate (in-window) the gram/digest join; heads r06.
         "stream_decontaminate": q_stream_decontaminate,
-        # event_sessions: below-marker brand-new, sibling-covered
-        # (events_cell_count / stream_window_counts certify the events
-        # scan + windowed-agg surface; the lag/running-sum pattern is
-        # pinned by its own pytest brute force); heads r06.
+        # event_sessions/cohort_retention: below-marker brand-new,
+        # sibling-covered (events_cell_count / stream_window_counts
+        # certify the events scan + windowed-agg surface; the
+        # lag/running-sum and cohort patterns are pinned by their own
+        # pytest brute forces); both head r06.
         "event_sessions": q_event_sessions,
+        "cohort_retention": q_cohort_retention,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4652,6 +4664,20 @@ def oracle_sql() -> dict[str, str]:
             from pool a cross join pool b
             where a.image_id < b.image_id
               and bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "cohort_retention": """
+            with active as (
+              select distinct user_id,
+                     cast(floor(epoch_us(ts) / 86400000000) as bigint) as day
+              from events
+            ),
+            first as (
+              select user_id, min(day) as day0 from active group by user_id
+            )
+            select f.day0 as cohort_day, a.day - f.day0 as day_offset,
+                   cast(count(distinct a.user_id) as bigint) as n_users
+            from active a join first f using (user_id)
+            group by 1, 2
         """,
         "event_sessions": """
             with t as (

@@ -53,3 +53,23 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .select("user_id", "session_id", "n_events", "n_error",
                     "first_us", "last_us",
                     (F.col("last_us") - F.col("first_us")).alias("duration_us")))
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix (the product-analytics staple): users
+    are cohorted by their FIRST active day; each later active day
+    increments (cohort_day, day_offset) → (cohort_day, day_offset,
+    n_users) with n_users = distinct users of that cohort active
+    exactly day_offset days after their first day.
+
+    Pure integer day arithmetic on epoch days (floor(epoch/86400) over
+    the UTC-pinned session ≡ DuckDB's), two keyed aggregates and one
+    broadcastable join on user_id — fully combiner-friendly."""
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(86_400_000_000)).alias("day")
+    active = events.select("user_id", day).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("day0"))
+    j = active.join(first, "user_id")
+    return (j.groupBy(F.col("day0").alias("cohort_day"),
+                      (F.col("day") - F.col("day0")).alias("day_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users")))

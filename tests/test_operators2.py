@@ -245,3 +245,23 @@ def test_sessionize_gap_semantics(spark):
     assert got[(7, 3)] == (2, 0, 29 * 60 * 1_000_000)
     assert got[(9, 5)] == (1, 0, 0)
     assert len(got) == 3
+
+
+def test_cohort_retention_brute(spark):
+    import datetime as dt
+
+    from rasters_spark.operators import events as eventops
+
+    d = lambda n, h=0: dt.datetime(2024, 1, 1 + n, h)  # noqa: E731
+    rows = [
+        (1, d(0), 7, "view"), (2, d(0, 5), 7, "view"),  # same day counts once
+        (3, d(1), 7, "view"), (4, d(3), 7, "view"),
+        (5, d(1), 9, "view"), (6, d(2), 9, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in eventops.cohort_retention(df).collect()}
+    day0 = 19723  # 2024-01-01 epoch day
+    assert got == {(day0, 0): 1, (day0, 1): 1, (day0, 3): 1,
+                   (day0 + 1, 0): 1, (day0 + 1, 1): 1}
