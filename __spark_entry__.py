@@ -2056,6 +2056,16 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eventops.cohort_retention(ev)
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/events.funnel —
+    view → click → purchase with strict at-or-after ordering): one
+    keyed min-agg per step joined to the previous frontier; integer
+    microsecond comparisons, exact counts."""
+    from rasters_spark.operators import events as eventops
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eventops.funnel(ev)
+
+
 def q_events_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (the batch shape of the
     streaming windowed agg): epoch-hour buckets for engine-portable
@@ -2224,13 +2234,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window) certifies the availableNow+ledger machinery and
         # decontaminate (in-window) the gram/digest join; heads r06.
         "stream_decontaminate": q_stream_decontaminate,
-        # event_sessions/cohort_retention: below-marker brand-new,
+        # event_sessions/cohort_retention/event_funnel: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
         # pytest brute forces); both head r06.
         "event_sessions": q_event_sessions,
         "cohort_retention": q_cohort_retention,
+        "event_funnel": q_event_funnel,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4664,6 +4675,29 @@ def oracle_sql() -> dict[str, str]:
             from pool a cross join pool b
             where a.image_id < b.image_id
               and bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "event_funnel": """
+            with e as (
+              select user_id, event_type, epoch_us(ts) as us from events
+            ),
+            s1 as (
+              select user_id, min(us) as t from e
+              where event_type = \'view\' group by 1
+            ),
+            s2 as (
+              select e.user_id, min(e.us) as t from e join s1 using (user_id)
+              where e.event_type = \'click\' and e.us >= s1.t group by 1
+            ),
+            s3 as (
+              select e.user_id, min(e.us) as t from e join s2 using (user_id)
+              where e.event_type = \'purchase\' and e.us >= s2.t group by 1
+            )
+            select cast(1 as int) as step, \'view\' as event_type,
+                   cast(count(*) as bigint) as n_users from s1
+            union all
+            select cast(2 as int), \'click\', cast(count(*) as bigint) from s2
+            union all
+            select cast(3 as int), \'purchase\', cast(count(*) as bigint) from s3
         """,
         "cohort_retention": """
             with active as (

@@ -73,3 +73,34 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     return (j.groupBy(F.col("day0").alias("cohort_day"),
                       (F.col("day") - F.col("day0")).alias("day_offset"))
             .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+def funnel(events: DataFrame, steps=("view", "click", "purchase")) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k when they have
+    a ``steps[k]`` event AT OR AFTER their earliest completion of step
+    k−1 (the strict-ordering funnel every product-analytics engine
+    computes) → one row per step (step, event_type, n_users).
+
+    Plan: one keyed min-aggregate per step, each joined to the
+    previous step's (user_id, t) frontier — k broadcastable joins on
+    user_id for a k-step funnel, all integer-microsecond comparisons
+    (exact on both engines). The step loop builds the PLAN, not
+    driver-side data."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.select("user_id", "event_type", us.alias("us"))
+    out = None
+    prev = None
+    for i, st in enumerate(steps):
+        ek = e.filter(F.col("event_type") == st)
+        if prev is None:
+            cur = ek.groupBy("user_id").agg(F.min("us").alias("t"))
+        else:
+            cur = (ek.join(prev, "user_id")
+                   .filter(F.col("us") >= F.col("t"))
+                   .groupBy("user_id").agg(F.min("us").alias("t_next"))
+                   .withColumnRenamed("t_next", "t"))
+        row = cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(st).alias("event_type"), "n_users")
+        out = row if out is None else out.unionByName(row)
+        prev = cur.select("user_id", "t")
+    return out

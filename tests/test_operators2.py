@@ -265,3 +265,25 @@ def test_cohort_retention_brute(spark):
     day0 = 19723  # 2024-01-01 epoch day
     assert got == {(day0, 0): 1, (day0, 1): 1, (day0, 3): 1,
                    (day0 + 1, 0): 1, (day0 + 1, 1): 1}
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+
+    from rasters_spark.operators import events as eventops
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1 completes the funnel in order
+        (1, t(0), 1, "view"), (2, t(1), 1, "click"), (3, t(2), 1, "purchase"),
+        # user 2 clicks BEFORE viewing -> stops at view
+        (4, t(5), 2, "click"), (5, t(6), 2, "view"),
+        # user 3 purchase before click -> reaches click only
+        (6, t(0), 3, "view"), (7, t(1), 3, "purchase"), (8, t(2), 3, "click"),
+        # user 4 never views
+        (9, t(0), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    got = {r.step: r.n_users for r in eventops.funnel(df).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
