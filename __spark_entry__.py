@@ -1057,6 +1057,14 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (textstats.source_quality —
+    quality_filter verdicts grouped by the source column): exact
+    counts + one keep_rate division. The monitoring query a corpus
+    pipeline runs per crawl snapshot."""
+    return textstats.source_quality(_docs(spark, sf_dir))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2242,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "cohort_retention": q_cohort_retention,
         "event_funnel": q_event_funnel,
+        "source_quality": q_source_quality,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4153,6 +4162,61 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"source_quality": """
+            with qf as (
+            with tk as (
+              select doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) as l
+              from documents
+            ),
+            tok as (
+              select doc_id, unnest(l) as tok, generate_subscripts(l, 1) as pos from tk
+            ),
+            g as (
+              select doc_id,
+                     tok || ' ' || lead(tok) over (partition by doc_id order by pos) as gram
+              from tok
+            ),
+            cnt as (
+              select doc_id, gram, count(*) as c from g
+              where gram is not null group by 1, 2
+            ),
+            rep as (
+              select doc_id,
+                     cast(sum(c) - count(*) as double) / cast(sum(c) as double) as dup_frac,
+                     cast(max(c) as double) / cast(sum(c) as double) as top_frac
+              from cnt group by 1
+            ),
+            st as (
+              select doc_id,
+                     cast(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) as int) as n_tokens
+              from documents
+            ),
+            j as (
+              select st.doc_id, st.n_tokens,
+                     coalesce(rep.dup_frac, 0.0) as dup_frac,
+                     coalesce(rep.top_frac, 0.0) as top_frac
+              from st left join rep using (doc_id)
+            )
+            select doc_id, n_tokens, dup_frac, top_frac,
+                   (case when n_tokens < 16 then 'too_short'
+                         when dup_frac > 0.05 then 'repetitive'
+                         when top_frac > 0.1 then 'top_heavy' end) is null as keep,
+                   case when n_tokens < 16 then 'too_short'
+                        when dup_frac > 0.05 then 'repetitive'
+                        when top_frac > 0.1 then 'top_heavy' end as reason
+            from j
+                    )
+            select d.source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(count(case when qf.keep then 1 end) as bigint) as n_keep,
+                   cast(count(case when qf.keep then 1 end) as double)
+                     / cast(count(*) as double) as keep_rate,
+                   cast(count(case when qf.reason = \'too_short\' then 1 end) as bigint) as n_too_short,
+                   cast(count(case when qf.reason = \'repetitive\' then 1 end) as bigint) as n_repetitive,
+                   cast(count(case when qf.reason = \'top_heavy\' then 1 end) as bigint) as n_top_heavy
+            from qf join documents d using (doc_id)
+            group by d.source
         """,
 "quality_filter": """
             with tk as (

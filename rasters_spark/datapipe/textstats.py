@@ -210,3 +210,22 @@ def quality_filter(docs: DataFrame, min_tokens: int = 16,
               .when(F.col("top_frac") > max_top_frac, F.lit("top_heavy")))
     return j.select("doc_id", "n_tokens", "dup_frac", "top_frac",
                     reason.isNull().alias("keep"), reason.alias("reason"))
+
+
+def source_quality(docs: DataFrame, **thresholds) -> DataFrame:
+    """Per-source corpus health report — the monitoring face of
+    ``quality_filter``: group the verdicts by the ``source`` column →
+    (source, n_docs, n_keep, keep_rate, n_too_short, n_repetitive,
+    n_top_heavy). keep_rate is one division of exact int64 counts."""
+    v = quality_filter(docs, **thresholds).join(
+        docs.select("doc_id", "source"), "doc_id")
+    return (v.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+                 F.count(F.when(F.col("reason") == "too_short", 1)).alias("n_too_short"),
+                 F.count(F.when(F.col("reason") == "repetitive", 1)).alias("n_repetitive"),
+                 F.count(F.when(F.col("reason") == "top_heavy", 1)).alias("n_top_heavy"))
+            .select("source", "n_docs", "n_keep",
+                    (F.col("n_keep").cast("double")
+                     / F.col("n_docs").cast("double")).alias("keep_rate"),
+                    "n_too_short", "n_repetitive", "n_top_heavy"))
