@@ -1065,6 +1065,16 @@ def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.source_quality(_docs(spark, sf_dir))
 
 
+def q_equalize_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-equalization LUT (stats.equalize_lut): per raw tile
+    the full cumulative distribution of distinct values — exact
+    counts/cumulative ranks plus cdf = cum/n (single division). The
+    relational twin's ordered window must reproduce every rank."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return stats.equalize_lut(t)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2242,7 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window) certifies the availableNow+ledger machinery and
         # decontaminate (in-window) the gram/digest join; heads r06.
         "stream_decontaminate": q_stream_decontaminate,
-        # event_sessions/cohort_retention/event_funnel: below-marker brand-new,
+        # event_sessions/cohort_retention/event_funnel/source_quality/
+        # equalize_lut: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2251,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "event_funnel": q_event_funnel,
         "source_quality": q_source_quality,
+        "equalize_lut": q_equalize_lut,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4162,6 +4174,28 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"equalize_lut": f"""
+            with v as (
+              select p.image_id, cast(p.value as double) as value
+              from {pixels} p
+              join {tiles} t using (image_id)
+              where t.fmt = 'raw' and t.image_id < 'img000000000300'
+                and not isnan(p.value)
+            ),
+            c as (
+              select image_id, value, count(*) as n_at
+              from v group by 1, 2
+            )
+            select image_id, value, n_at,
+                   sum(n_at) over (partition by image_id order by value
+                                   rows between unbounded preceding
+                                        and current row) as cum,
+                   cast(sum(n_at) over (partition by image_id order by value
+                                        rows between unbounded preceding
+                                             and current row) as double)
+                     / cast(sum(n_at) over (partition by image_id) as double) as cdf
+            from c
         """,
 "source_quality": """
             with qf as (

@@ -306,3 +306,44 @@ def qa_flags_stats(tiles: DataFrame, bits: dict | None = None,
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, schema=schema)
+
+
+def equalize_lut(tiles: DataFrame) -> DataFrame:
+    """Per-tile histogram-equalization lookup table (the imaging
+    contrast op; EXTENSION beyond the reference's percentile stretch):
+    for every distinct valid value of a tile, its count and cumulative
+    rank → ``(image_id, value, n_at, cum, cdf)`` with
+    cdf = cum / n_valid (one exact-int division). Applying the LUT is
+    the elementwise map ``v ↦ cdf(v)``; emitting the LUT itself keeps
+    the output skinny and lets the relational twin certify the FULL
+    cumulative distribution (a wrong sort order or a dropped value
+    shifts every later rank). ONE map-only Arrow pass."""
+    cols = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    schema = ("image_id string, value double, n_at long, cum long, cdf double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                v = arr.astype(np.float64).ravel()
+                v = v[np.isfinite(v)]
+                if v.size == 0:
+                    continue
+                uniq, counts = np.unique(v, return_counts=True)
+                cum = np.cumsum(counts)
+                n = float(v.size)
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "value": uniq,
+                    "n_at": counts.astype(np.int64),
+                    "cum": cum.astype(np.int64),
+                    "cdf": cum.astype(np.float64) / n}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "value": pd.Series([], dtype=float),
+                                 "n_at": pd.Series([], dtype=np.int64),
+                                 "cum": pd.Series([], dtype=np.int64),
+                                 "cdf": pd.Series([], dtype=float)}))
+
+    return cols.mapInPandas(run, schema=schema)

@@ -141,3 +141,13 @@ def test_reclassify_bands_and_validation(spark):
         rm3.reclassify([1.0, 1.0], [1, 2, 3])
     with pytest.raises(ValueError):
         rm3.reclassify([1.0], [1])
+
+
+def test_equalize_lut_ranks(spark):
+    from rasters_spark.operators import stats as st
+    arr = np.array([[1.0, 2.0], [2.0, np.nan], [0.5, 2.0]], dtype=np.float32)
+    df = spark.createDataFrame(
+        [("t", codec.encode_tile(arr, "raw"), 2, 3, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    got = {r.value: (r.n_at, r.cum, r.cdf) for r in st.equalize_lut(df).collect()}
+    assert got == {0.5: (1, 1, 1 / 5), 1.0: (1, 2, 2 / 5), 2.0: (3, 5, 1.0)}
