@@ -1075,6 +1075,16 @@ def q_equalize_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.equalize_lut(t)
 
 
+def q_rgb_to_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rec.601 luma collapse (bands.to_gray — ITU-R BT.601 weights):
+    same complete-3-stack qualification as gap_fill/epoch_trend;
+    (0.299·r + 0.587·g) + 0.114·b with shared expression text — raw
+    doubles hash bit-identically."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and w = 16 and h = 16 and image_id < 'img000000001188'")
+    return bands.to_gray(bands.stack_by_rank(t, 3))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2253,7 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate (in-window) the gram/digest join; heads r06.
         "stream_decontaminate": q_stream_decontaminate,
         # event_sessions/cohort_retention/event_funnel/source_quality/
-        # equalize_lut: below-marker brand-new,
+        # equalize_lut/rgb_to_gray: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2263,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "source_quality": q_source_quality,
         "equalize_lut": q_equalize_lut,
+        "rgb_to_gray": q_rgb_to_gray,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4174,6 +4185,38 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"rgb_to_gray": f"""
+            with tl as (
+              select image_id, w, h,
+                     row_number() over (partition by w, h order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and w = 16 and h = 16
+                and image_id < 'img000000001188'
+            ),
+            st as (select image_id, rn % 3 as band, rn // 3 as stack_id from tl),
+            full_st as (
+              select stack_id from st group by stack_id having count(*) = 3
+            ),
+            px as (
+              select s.stack_id, s.band, p.prow, p.pcol,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as v
+              from st s
+              join full_st using (stack_id)
+              join {pixels} p using (image_id)
+            ),
+            pv as (
+              select stack_id, prow, pcol,
+                     max(case when band = 0 then v end) as v0,
+                     max(case when band = 1 then v end) as v1,
+                     max(case when band = 2 then v end) as v2
+              from px group by 1, 2, 3
+            )
+            select stack_id, prow, pcol,
+                   (0.299 * v0 + 0.587 * v1) + 0.114 * v2 as gray
+            from pv
+            where v0 is not null and v1 is not null and v2 is not null
         """,
 "equalize_lut": f"""
             with v as (

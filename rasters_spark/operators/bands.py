@@ -233,3 +233,44 @@ def epoch_trend(stacked: DataFrame, n_epochs: int = 3) -> DataFrame:
             "mean": mean[rows, cols]})
 
     return src.groupBy("stack_id").applyInPandas(fn, schema=schema)
+
+
+def to_gray(stacked: DataFrame) -> DataFrame:
+    """Rec.601 luma band collapse (ITU-R BT.601: the standard RGB→gray
+    weights; EXTENSION beyond the reference): bands 0/1/2 as R/G/B,
+    gray = (0.299·r + 0.587·g) + 0.114·b per pixel valid in ALL three
+    bands — the expression order is shared verbatim with the SQL twin
+    (each product and the two adds correctly rounded on identical
+    inputs → raw doubles hash bit-identically).
+    → (stack_id, prow, pcol, gray). Same bounded 3-row cogroup as
+    epoch_trend."""
+    import numpy as np
+    import pandas as pd
+
+    from rasters_spark import codec
+
+    src = stacked.select("stack_id", "band", "bytes", "w", "h", "fmt")
+    schema = "stack_id long, prow int, pcol int, gray double"
+
+    def fn(key, pdf):
+        empty = pd.DataFrame({"stack_id": pd.Series([], dtype=np.int64),
+                              "prow": pd.Series([], dtype=np.int32),
+                              "pcol": pd.Series([], dtype=np.int32),
+                              "gray": pd.Series([], dtype=float)})
+        if len(pdf) != 3:
+            return empty
+        pdf = pdf.sort_values("band")
+        r, g, b = [codec.decode_tile(t.bytes, t.w, t.h, t.fmt).astype(np.float64)
+                   for t in pdf.itertuples(index=False)]
+        ok = np.isfinite(r) & np.isfinite(g) & np.isfinite(b)
+        rows, cols = np.nonzero(ok)
+        if rows.size == 0:
+            return empty
+        gray = (0.299 * r + 0.587 * g) + 0.114 * b
+        return pd.DataFrame({
+            "stack_id": key[0],
+            "prow": rows.astype(np.int32),
+            "pcol": cols.astype(np.int32),
+            "gray": gray[rows, cols]})
+
+    return src.groupBy("stack_id").applyInPandas(fn, schema=schema)

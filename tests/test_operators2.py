@@ -287,3 +287,16 @@ def test_funnel_strict_ordering(spark):
         rows, "event_id long, ts timestamp_ntz, user_id long, event_type string")
     got = {r.step: r.n_users for r in eventops.funnel(df).collect()}
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_to_gray_rec601(spark):
+    def tile(vals):
+        return codec.encode_tile(np.array(vals, dtype=np.float32), "raw")
+
+    r = [[1.0, np.nan]]; g = [[2.0, 1.0]]; b = [[4.0, 1.0]]
+    rows = [(f"b{k}", tile(a), 2, 1, "raw", k, 0) for k, a in enumerate([r, g, b])]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "band int, stack_id long")
+    got = {(x.prow, x.pcol): x.gray for x in bands.to_gray(df).collect()}
+    assert got == {(0, 0): (0.299 * 1.0 + 0.587 * 2.0) + 0.114 * 4.0}
