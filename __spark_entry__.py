@@ -1085,6 +1085,25 @@ def q_rgb_to_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.to_gray(bands.stack_by_rank(t, 3))
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the Catalyst gap-window
+    primitive) certified against the relational lag → running-sum twin
+    that event_sessions uses: both merge on gap <= 30 min (probed: an
+    exactly-30-min gap merges on both) and report identical
+    (first_us, last_us, counts) per session — last_us recovered as
+    window.end − gap (Spark's end = last event + gap). One native
+    aggregate, no window functions at all on the Spark side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (ev.groupBy("user_id", sw.alias("sw"))
+            .agg(F.count("*").alias("n_events"),
+                 F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"))
+            .select("user_id",
+                    F.unix_micros("sw.start").alias("first_us"),
+                    (F.unix_micros("sw.end") - F.lit(30 * 60_000_000)).alias("last_us"),
+                    "n_events", "n_error"))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2263,7 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate (in-window) the gram/digest join; heads r06.
         "stream_decontaminate": q_stream_decontaminate,
         # event_sessions/cohort_retention/event_funnel/source_quality/
-        # equalize_lut/rgb_to_gray: below-marker brand-new,
+        # equalize_lut/rgb_to_gray/session_window_native: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2274,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": q_source_quality,
         "equalize_lut": q_equalize_lut,
         "rgb_to_gray": q_rgb_to_gray,
+        "session_window_native": q_session_window_native,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4853,6 +4873,29 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct a.user_id) as bigint) as n_users
             from active a join first f using (user_id)
             group by 1, 2
+        """,
+        "session_window_native": """
+            with t as (
+              select user_id, event_id, event_type, ts, epoch_us(ts) as us,
+                     case when lag(ts) over w is null
+                               or epoch_us(ts) - epoch_us(lag(ts) over w)
+                                  > 30 * 60000000
+                          then 1 else 0 end as is_new
+              from events
+              window w as (partition by user_id order by ts, event_id)
+            ),
+            tagged as (
+              select user_id, event_type, us,
+                     sum(is_new) over (partition by user_id
+                                       order by ts, event_id
+                                       rows between unbounded preceding
+                                            and current row) as sess
+              from t
+            )
+            select user_id, min(us) as first_us, max(us) as last_us,
+                   cast(count(*) as bigint) as n_events,
+                   cast(count(case when event_type = \'error\' then 1 end) as bigint) as n_error
+            from tagged group by user_id, sess
         """,
         "event_sessions": """
             with t as (
