@@ -1104,6 +1104,18 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events", "n_error"))
 
 
+def q_terrain_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRI (Riley 1999) + TPI (Weiss 2001) over the halo lattice
+    (terrain.terrain_indices — the remaining DEMProcessing modes):
+    valid-neighbor semantics; squared-difference sums are exact
+    dyadic, so the sqrt and the single division are CR with shared
+    text — raw doubles hash bit-identically; n_nbr certifies the
+    window population."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return terrain.terrain_indices(focal.lattice_remap(t, per_row=40))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2282,7 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate (in-window) the gram/digest join; heads r06.
         "stream_decontaminate": q_stream_decontaminate,
         # event_sessions/cohort_retention/event_funnel/source_quality/
-        # equalize_lut/rgb_to_gray/session_window_native: below-marker brand-new,
+        # equalize_lut/rgb_to_gray/session_window_native/terrain_indices:
+        # below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2294,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equalize_lut": q_equalize_lut,
         "rgb_to_gray": q_rgb_to_gray,
         "session_window_native": q_session_window_native,
+        "terrain_indices": q_terrain_indices,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4205,6 +4219,51 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"terrain_indices": f"""
+            with tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+            ),
+            tl2 as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     rn % 40 as tx, rn // 40 as ty
+              from tl
+            ),
+            px as (
+              select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                     p.prow, p.pcol,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as value
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            offs(dy, dx) as (values
+              (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+            cand as (
+              select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                     c.prow, c.pcol, c.value as cval,
+                     c.gx + o.dx as ngx, c.gy + o.dy as ngy
+              from px c cross join offs o
+              where c.value is not null
+            ),
+            nb as (
+              select cand.image_id, cand.prow, cand.pcol, cand.cval, n.value
+              from cand
+              join px n
+                on n.crs = cand.crs and n.cell_width = cand.cell_width
+               and n.cell_height = cand.cell_height and n.w = cand.w and n.h = cand.h
+               and n.gx = cand.ngx and n.gy = cand.ngy
+              where n.value is not null
+            )
+            select image_id, prow, pcol,
+                   sqrt(sum((cval - value) * (cval - value))) as tri,
+                   any_value(cval) - (sum(value) / count(*)) as tpi,
+                   count(*) as n_nbr
+            from nb group by image_id, prow, pcol
         """,
 "rgb_to_gray": f"""
             with tl as (

@@ -331,3 +331,70 @@ def curvature_zt(tiles: DataFrame) -> DataFrame:
                                  "prof_curv": pd.Series([], dtype=float)}))
 
     return src.mapInPandas(run, schema=schema)
+
+
+def terrain_indices(tiles: DataFrame) -> DataFrame:
+    """Terrain Ruggedness Index (Riley et al. 1999: √Σ(z−zₙ)²) and
+    Topographic Position Index (Weiss 2001: z − mean(zₙ)) over the
+    8-neighborhood with halo exchange — the remaining GDAL
+    DEMProcessing modes beside slope/aspect/hillshade (EXTENSION
+    beyond the reference). Valid-neighbor semantics (n_nbr ≥ 1;
+    nodata neighbors excluded), center must be valid.
+
+    Parity: squared quarter-integer differences and their sums are
+    EXACT in double, so TRI's single sqrt and TPI's single division
+    are correctly rounded on identical inputs — raw doubles hash
+    bit-identically with the shared expression text.
+    → (image_id, prow, pcol, tri, tpi, n_nbr)."""
+    import warnings
+
+    t = _with_halo_payload(tiles, 1)
+    src = t.select("image_id", "w", "h", "fmt", "bytes", "halos")
+    schema = ("image_id string, prow int, pcol int, "
+              "tri double, tpi double, n_nbr long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                pad = _place_halos(arr, pdf["halos"].iloc[i], 1)
+                center = pad[1:1 + hh, 1:1 + ww]
+                ssum = np.zeros((hh, ww))
+                nsum = np.zeros((hh, ww))
+                nn = np.zeros((hh, ww), dtype=np.int64)
+                for dy in range(3):
+                    for dx in range(3):
+                        if dy == 1 and dx == 1:
+                            continue
+                        nb = pad[dy:dy + hh, dx:dx + ww]
+                        m = np.isfinite(nb)
+                        d = np.where(m, center - nb, 0.0)
+                        ssum += d * d
+                        nsum += np.where(m, nb, 0.0)
+                        nn += m
+                ok = np.isfinite(center) & (nn > 0)
+                with warnings.catch_warnings(), np.errstate(invalid="ignore"):
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    tri = np.sqrt(ssum)
+                    tpi = center - (nsum / nn)
+                rows, cols = np.nonzero(ok)
+                if rows.size == 0:
+                    continue
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rows.astype(np.int32),
+                    "pcol": cols.astype(np.int32),
+                    "tri": tri[rows, cols],
+                    "tpi": tpi[rows, cols],
+                    "n_nbr": nn[rows, cols]}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "tri": pd.Series([], dtype=float),
+                                 "tpi": pd.Series([], dtype=float),
+                                 "n_nbr": pd.Series([], dtype=np.int64)}))
+
+    return src.mapInPandas(run, schema=schema)

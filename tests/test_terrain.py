@@ -291,3 +291,35 @@ def test_curvature_flat_and_parabola(spark):
     assert c == 0.0 and (p is None or np.isnan(p)) and (q is None or np.isnan(q))
     c, p, q = got["par"]
     assert c == -2.0 * (((0.0 + 4.0) / 2.0 - 1.0) / 1.0)  # D = 1 -> curv -2
+
+
+def test_terrain_indices_match_global_brute(spark, lattice):
+    g = _global_array()
+    got = {(r.image_id, r.prow, r.pcol): (r.tri, r.tpi, r.n_nbr)
+           for r in terrain.terrain_indices(lattice).collect()}
+    gh, gw = g.shape
+    n_checked = 0
+    for gi in range(gh):
+        for gj in range(gw):
+            if not np.isfinite(g[gi, gj]):
+                continue
+            ss, ns, nn = 0.0, 0.0, 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == dx == 0:
+                        continue
+                    ni, nj = gi + dy, gj + dx
+                    if 0 <= ni < gh and 0 <= nj < gw and np.isfinite(g[ni, nj]):
+                        d = g[gi, gj] - g[ni, nj]
+                        ss += d * d
+                        ns += g[ni, nj]
+                        nn += 1
+            key = (f"t{gi // H}{gj // W}", gi % H, gj % W)
+            if nn == 0:
+                assert key not in got
+                continue
+            tri, tpi, gn = got[key]
+            assert gn == nn and tri == math.sqrt(ss), key
+            assert tpi == g[gi, gj] - (ns / nn), key
+            n_checked += 1
+    assert n_checked == len(got)
