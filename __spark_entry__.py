@@ -1116,6 +1116,17 @@ def q_terrain_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain.terrain_indices(focal.lattice_remap(t, per_row=40))
 
 
+def q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT zonal quantiles via the quantized-domain histogram trick
+    (stats.zonal_quantiles — no global sort, no per-zone collect):
+    per-(zone, value) count partials from the broadcast-zones pass,
+    one keyed merge, cumulative read-off with DuckDB quantile_cont's
+    exact interpolation v[lo]·(1−f)+v[hi]·f — the oracle IS
+    quantile_cont over the shared 48-zone rect lattice."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return stats.zonal_quantiles(t, _zone_lattice(spark))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2294,8 +2305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate (in-window) the gram/digest join; heads r06.
         "stream_decontaminate": q_stream_decontaminate,
         # event_sessions/cohort_retention/event_funnel/source_quality/
-        # equalize_lut/rgb_to_gray/session_window_native/terrain_indices:
-        # below-marker brand-new,
+        # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
+        # zonal_quantiles: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2308,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rgb_to_gray": q_rgb_to_gray,
         "session_window_native": q_session_window_native,
         "terrain_indices": q_terrain_indices,
+        "zonal_quantiles": q_zonal_quantiles,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4219,6 +4231,32 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"zonal_quantiles": f"""
+            with z as (
+              select range as i,
+                     -180.0 + (range % 12) * 30.0 + 1.0 / 3.0 as xmin,
+                     45.0 + (range // 12) * 9.0 + 1.0 / 3.0 as ymin
+              from range(48)
+            ),
+            zz as (select i as poly_id, xmin, ymin,
+                          xmin + 30.0 as xmax, ymin + 9.0 as ymax from z),
+            px as (
+              select g.poly_id, cast(px.value as double) as v
+              from {pixels} px
+              join {tiles} t using (image_id)
+              join zz g
+                on t.x_origin + t.cell_width * (px.pcol + 0.5) >= g.xmin
+               and t.x_origin + t.cell_width * (px.pcol + 0.5) <  g.xmax
+               and t.y_origin + t.cell_height * (px.prow + 0.5) >= g.ymin
+               and t.y_origin + t.cell_height * (px.prow + 0.5) <  g.ymax
+              where t.fmt = 'raw' and not isnan(px.value)
+            )
+            select poly_id, cast(count(*) as bigint) as n,
+                   quantile_cont(v, 0.25) as q_25,
+                   quantile_cont(v, 0.5) as q_5,
+                   quantile_cont(v, 0.75) as q_75
+            from px group by poly_id
         """,
 "terrain_indices": f"""
             with tl as (

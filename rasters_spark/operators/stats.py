@@ -347,3 +347,110 @@ def equalize_lut(tiles: DataFrame) -> DataFrame:
                                  "cdf": pd.Series([], dtype=float)}))
 
     return cols.mapInPandas(run, schema=schema)
+
+
+def zonal_quantiles(tiles: DataFrame, polygons: DataFrame,
+                    qs=(0.25, 0.5, 0.75)) -> DataFrame:
+    """EXACT zonal quantiles WITHOUT a global sort or a per-zone
+    collect — the quantized-domain trick: the same broadcast-zones
+    map-only pass as ``zonal_stats`` emits per-(zone, value) COUNT
+    partials (bounded by the value domain, not the pixel count), the
+    counts merge in one keyed agg, and each quantile is read off the
+    per-zone cumulative histogram with the interpolation
+    ``v[lo]·(1−f) + v[hi]·f`` — probed to be DuckDB quantile_cont's
+    exact expression (stretch_params precedent), so the oracle is
+    plain quantile_cont. → (poly_id, n, q_25, q_50, q_75).
+
+    100-TB shape: partials are ≤ |domain| rows per (task, zone); the
+    cumulative window runs over per-zone histograms (≤ 4096 rows/zone
+    here), never pixels. Boundary: a genuinely continuous domain
+    needs t-digest-style sketches — this operator is exact where
+    pixel values are quantized (q8/i32/b1 always; fixture raw too)."""
+    from pyspark.sql import Window
+
+    from rasters_spark.operators.joins import _ring_xy, ray_cast_inside
+
+    zrows = polygons.select("poly_id", "xmin", "ymin", "xmax", "ymax", "ring").collect()
+    zones = []
+    for r in zrows:
+        rx, ry = _ring_xy(r.ring)
+        zones.append((int(r.poly_id), float(r.xmin), float(r.ymin),
+                      float(r.xmax), float(r.ymax), rx, ry))
+    zxmin = np.array([z[1] for z in zones])
+    zymin = np.array([z[2] for z in zones])
+    zxmax = np.array([z[3] for z in zones])
+    zymax = np.array([z[4] for z in zones])
+    bc = tiles.sparkSession.sparkContext.broadcast((zones, zxmin, zymin, zxmax, zymax))
+
+    payload = tiles.select("image_id", "bytes", "w", "h", "fmt",
+                           "x_origin", "y_origin", "cell_width", "cell_height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zs, bxmin, bymin, bxmax, bymax = bc.value
+        for pdf in batches:
+            frames = []
+            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                h, w = arr.shape
+                x0 = pdf["x_origin"].iloc[i]
+                y0 = pdf["y_origin"].iloc[i]
+                cw = pdf["cell_width"].iloc[i]
+                ch = pdf["cell_height"].iloc[i]
+                txmin, txmax = x0, x0 + cw * w
+                tymax, tymin = y0, y0 + ch * h
+                hit = np.flatnonzero((bxmin < txmax) & (bxmax > txmin)
+                                     & (bymin < tymax) & (bymax > tymin))
+                if len(hit) == 0:
+                    continue
+                xs = x0 + cw * (np.arange(w, dtype=np.float64) + 0.5)
+                ys = y0 + ch * (np.arange(h, dtype=np.float64) + 0.5)
+                gx = np.broadcast_to(xs, (h, w)).ravel()
+                gy = np.repeat(ys, w)
+                vals = arr.ravel()
+                finite = np.isfinite(vals)
+                for zi in hit:
+                    poly_id, xmn, ymn, xmx, ymx, rx, ry = zs[zi]
+                    m = (finite & (gx >= xmn) & (gx < xmx)
+                         & (gy >= ymn) & (gy < ymx))
+                    idx_ = np.flatnonzero(m)
+                    if len(idx_) == 0:
+                        continue
+                    keep = ray_cast_inside(gx[idx_], gy[idx_], rx, ry)
+                    sel = idx_[keep]
+                    if len(sel) == 0:
+                        continue
+                    uniq, counts = np.unique(vals[sel].astype(np.float64),
+                                             return_counts=True)
+                    frames.append(pd.DataFrame({
+                        "poly_id": poly_id, "value": uniq,
+                        "cnt": counts.astype(np.int64)}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"poly_id": pd.Series([], dtype=np.int64),
+                                 "value": pd.Series([], dtype=float),
+                                 "cnt": pd.Series([], dtype=np.int64)}))
+
+    partial = payload.mapInPandas(run, schema="poly_id long, value double, cnt long")
+    hist = partial.groupBy("poly_id", "value").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("poly_id").orderBy("value")
+    h2 = hist.select("poly_id", "value", "cnt",
+                     F.sum("cnt").over(w).alias("cum")).cache()
+    nfr = h2.groupBy("poly_id").agg(F.max("cum").alias("n"))
+    out = nfr
+    for q in qs:
+        lbl = f"q_{str(q).replace('0.', '')}"
+        p = (F.col("n") - 1) * F.lit(float(q))
+        ranks = nfr.select("poly_id", F.floor(p).alias("lor"),
+                           F.ceil(p).alias("hir"), (p - F.floor(p)).alias("f"))
+        lov = (h2.join(ranks, "poly_id")
+               .filter((F.col("cum") - F.col("cnt") <= F.col("lor"))
+                       & (F.col("lor") < F.col("cum")))
+               .select("poly_id", F.col("value").alias("lov"), "f"))
+        hiv = (h2.join(ranks, "poly_id")
+               .filter((F.col("cum") - F.col("cnt") <= F.col("hir"))
+                       & (F.col("hir") < F.col("cum")))
+               .select("poly_id", F.col("value").alias("hiv")))
+        qf = lov.join(hiv, "poly_id").select(
+            "poly_id",
+            (F.col("lov") * (1.0 - F.col("f"))
+             + F.col("hiv") * F.col("f")).alias(lbl))
+        out = out.join(qf, "poly_id")
+    return out
