@@ -1127,6 +1127,15 @@ def q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.zonal_quantiles(t, _zone_lattice(spark))
 
 
+def q_polygon_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area + centroid for EVERY fixture polygon — rect,
+    convex AND concave (vecfn.area_centroid): the cross-term sums run
+    through a sequential HOF fold on both engines (F.aggregate ≡
+    list_reduce), so inexact products accumulate in the identical
+    order and the doubles hash bit-for-bit."""
+    return vecfn.area_centroid(load_polygons(spark, sf_dir))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2306,7 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": q_stream_decontaminate,
         # event_sessions/cohort_retention/event_funnel/source_quality/
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
-        # zonal_quantiles: below-marker brand-new,
+        # zonal_quantiles/polygon_area_centroid: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2320,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "terrain_indices": q_terrain_indices,
         "zonal_quantiles": q_zonal_quantiles,
+        "polygon_area_centroid": q_polygon_area_centroid,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4231,6 +4241,25 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"polygon_area_centroid": f"""
+            with t as (
+              select poly_id, ring,
+                     list_reduce(
+                       list_prepend({{'a': 0.0, 'x': 0.0, 'y': 0.0}},
+                         [{{'a': ring[i].x * ring[i+1].y - ring[i+1].x * ring[i].y,
+                            'x': (ring[i].x + ring[i+1].x)
+                                 * (ring[i].x * ring[i+1].y - ring[i+1].x * ring[i].y),
+                            'y': (ring[i].y + ring[i+1].y)
+                                 * (ring[i].x * ring[i+1].y - ring[i+1].x * ring[i].y)}}
+                          for i in range(1, len(ring))]),
+                       (a, t) -> {{'a': a.a + t.a, 'x': a.x + t.x, 'y': a.y + t.y}}) as acc
+              from read_parquet('{FD}/polygons.parquet')
+            )
+            select poly_id, acc.a / 2.0 as area,
+                   case when acc.a != 0.0 then acc.x / (3.0 * acc.a) end as cx,
+                   case when acc.a != 0.0 then acc.y / (3.0 * acc.a) end as cy
+            from t
         """,
 "zonal_quantiles": f"""
             with z as (

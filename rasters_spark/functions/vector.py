@@ -314,3 +314,36 @@ def pixel_outlines(tiles: DataFrame, drop_nodata: bool = True) -> DataFrame:
         (F.col("y") + F.col("cell_height") / 2).alias("y1"),
         "value",
     )
+
+
+def area_centroid(polys: DataFrame) -> DataFrame:
+    """Shoelace signed area + centroid for every polygon ring (Gauss's
+    area formula — EXTENSION beyond the reference's bbox accessors):
+    → (poly_id, area, cx, cy). The cross-term sums run through a
+    SEQUENTIAL HOF fold (``F.aggregate`` ≡ DuckDB ``list_reduce`` —
+    both left folds), so even the inexact products accumulate in the
+    IDENTICAL order on both engines and the doubles hash bit-for-bit
+    (the doc_fingerprint precedent). Degenerate (zero-area) rings
+    report NULL centroid. Scan-side, no shuffle at all."""
+    from pyspark.sql import functions as F
+
+    r = F.col("ring")
+    idx = F.sequence(F.lit(0), F.size(r) - 2)
+    terms = F.transform(idx, lambda i: F.struct(
+        (r[i]["x"] * r[i + 1]["y"] - r[i + 1]["x"] * r[i]["y"]).alias("cr"),
+        ((r[i]["x"] + r[i + 1]["x"])
+         * (r[i]["x"] * r[i + 1]["y"] - r[i + 1]["x"] * r[i]["y"])).alias("cx"),
+        ((r[i]["y"] + r[i + 1]["y"])
+         * (r[i]["x"] * r[i + 1]["y"] - r[i + 1]["x"] * r[i]["y"])).alias("cy")))
+    zero = F.struct(F.lit(0.0).alias("a"), F.lit(0.0).alias("x"),
+                    F.lit(0.0).alias("y"))
+    acc = F.aggregate(
+        terms, zero,
+        lambda a, t: F.struct((a["a"] + t["cr"]).alias("a"),
+                              (a["x"] + t["cx"]).alias("x"),
+                              (a["y"] + t["cy"]).alias("y")))
+    return polys.select(
+        "poly_id",
+        (acc["a"] / 2.0).alias("area"),
+        F.when(acc["a"] != 0.0, acc["x"] / (3.0 * acc["a"])).alias("cx"),
+        F.when(acc["a"] != 0.0, acc["y"] / (3.0 * acc["a"])).alias("cy"))

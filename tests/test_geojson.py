@@ -74,3 +74,25 @@ def test_multipoint_geojson_parse(spark):
     one = df.select(V.geojson_to_points(
         F.lit('{"type": "Point", "coordinates": [7.0,8.0]}')).alias("p")).collect()[0].p
     assert [(p.x, p.y) for p in one] == [(7.0, 8.0)]
+
+
+def test_area_centroid_shoelace(spark):
+    from rasters_spark.functions import vector as vecfn
+
+    def poly(pid, pts):
+        return (pid, [{"x": float(x), "y": float(y)} for x, y in pts])
+
+    square = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]          # CCW: area +4
+    ell = [(0, 0), (3, 0), (3, 1), (1, 1), (1, 2), (0, 2), (0, 0)]  # concave, area 4
+    cw = list(reversed(square))                                 # CW: area -4
+    df = spark.createDataFrame(
+        [poly(1, square), poly(2, ell), poly(3, cw)],
+        "poly_id long, ring array<struct<x:double,y:double>>")
+    got = {r.poly_id: (r.area, r.cx, r.cy) for r in vecfn.area_centroid(df).collect()}
+    assert got[1] == (4.0, 1.0, 1.0)
+    a, cx, cy = got[2]
+    assert a == 4.0
+    # L-shape = 3x1 rect (centroid 1.5, .5) + 1x1 square (centroid .5, 1.5)
+    assert cx == pytest.approx((3 * 1.5 + 1 * 0.5) / 4)
+    assert cy == pytest.approx((3 * 0.5 + 1 * 1.5) / 4)
+    assert got[3][0] == -4.0  # signed: CW ring is negative
