@@ -1136,6 +1136,29 @@ def q_polygon_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecfn.area_centroid(load_polygons(spark, sf_dir))
 
 
+def q_point_geodesics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance + initial bearing (vecfn.geodesic_sql —
+    haversine + forward azimuth on the IUGG mean sphere, EXTENSION
+    beyond the reference's planar Point.distance): the expression
+    TEXT is shared verbatim between F.expr and the DuckDB oracle, so
+    the only drift is last-ulp libm — absorbed by %.9e printf
+    quantization (the aspect/hillshade rule). Pairs are the id-offset
+    join point i ⋈ point i+2000 (id-range rule, no limit())."""
+    p = load_points(spark, sf_dir)
+    a = p.filter("point_id < 2000").select(
+        F.col("point_id").alias("point_a"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"))
+    b = p.filter("point_id >= 2000 and point_id < 4000").select(
+        F.col("point_id").alias("point_b"), F.col("x").alias("bx"),
+        F.col("y").alias("by"))
+    j = a.join(b, a["point_a"] + 2000 == b["point_b"])
+    dist, brg = vecfn.geodesic_sql("ax", "ay", "bx", "by")
+    return j.select(
+        "point_a", "point_b",
+        F.format_string("%.9e", F.expr(dist)).alias("dist_q"),
+        F.format_string("%.9e", F.expr(brg)).alias("bearing_q"))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2315,7 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": q_stream_decontaminate,
         # event_sessions/cohort_retention/event_funnel/source_quality/
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
-        # zonal_quantiles/polygon_area_centroid: below-marker brand-new,
+        # zonal_quantiles/polygon_area_centroid/point_geodesics:
+        # below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2330,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_indices": q_terrain_indices,
         "zonal_quantiles": q_zonal_quantiles,
         "polygon_area_centroid": q_polygon_area_centroid,
+        "point_geodesics": q_point_geodesics,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4241,6 +4266,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"point_geodesics": f"""
+            select a.point_id as point_a, b.point_id as point_b,
+                   printf('%.9e', (2.0 * 6371008.8 * asin(least(1.0, sqrt((sin((radians(b.y) - radians(a.y)) / 2.0) * sin((radians(b.y) - radians(a.y)) / 2.0) + cos(radians(a.y)) * cos(radians(b.y)) * sin((radians(b.x) - radians(a.x)) / 2.0) * sin((radians(b.x) - radians(a.x)) / 2.0))))))) as dist_q,
+                   printf('%.9e', cast((((degrees(atan2(sin((radians(b.x) - radians(a.x))) * cos(radians(b.y)), cos(radians(a.y)) * sin(radians(b.y)) - sin(radians(a.y)) * cos(radians(b.y)) * cos((radians(b.x) - radians(a.x))))) % 360.0) + 360.0) % 360.0) as double)) as bearing_q
+            from {points} a join {points} b
+              on a.point_id + 2000 = b.point_id
+            where a.point_id < 2000
+              and b.point_id >= 2000 and b.point_id < 4000
         """,
 "polygon_area_centroid": f"""
             with t as (

@@ -347,3 +347,26 @@ def area_centroid(polys: DataFrame) -> DataFrame:
         (acc["a"] / 2.0).alias("area"),
         F.when(acc["a"] != 0.0, acc["x"] / (3.0 * acc["a"])).alias("cx"),
         F.when(acc["a"] != 0.0, acc["y"] / (3.0 * acc["a"])).alias("cy"))
+
+
+#: IUGG mean Earth radius (meters) — inlined into BOTH engines' SQL.
+EARTH_R_MEAN = 6371008.8
+
+
+def geodesic_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> tuple[str, str]:
+    """(distance_m, bearing_deg) expression TEXT — haversine great
+    circle + initial forward azimuth on the IUGG mean sphere. The text
+    is evaluated verbatim by Spark SQL and DuckDB (shared-text rule),
+    so the only cross-engine drift is last-ulp libm, absorbed by the
+    caller's printf quantization."""
+    dlat2 = f"(radians({lat2}) - radians({lat1})) / 2.0"
+    dlon2 = f"(radians({lon2}) - radians({lon1})) / 2.0"
+    h = (f"(sin({dlat2}) * sin({dlat2}) + cos(radians({lat1})) * "
+         f"cos(radians({lat2})) * sin({dlon2}) * sin({dlon2}))")
+    dist = f"(2.0 * {EARTH_R_MEAN!r} * asin(least(1.0, sqrt({h}))))"
+    dlon = f"(radians({lon2}) - radians({lon1}))"
+    brg = (f"(((degrees(atan2(sin({dlon}) * cos(radians({lat2})), "
+           f"cos(radians({lat1})) * sin(radians({lat2})) - "
+           f"sin(radians({lat1})) * cos(radians({lat2})) * cos({dlon}))) "
+           f"% 360.0) + 360.0) % 360.0)")
+    return dist, brg

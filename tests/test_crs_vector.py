@@ -1124,3 +1124,20 @@ def test_transform_roundtrip_krovak():
     lo, la = C.transform_xy_np(x, y, "EPSG:5514", "EPSG:4326")
     np.testing.assert_allclose(lo, lons, atol=1e-9)
     np.testing.assert_allclose(la, lats, atol=1e-9)
+
+
+def test_geodesic_sql_known_values(spark):
+    from rasters_spark.functions import vector as vecfn
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 1.0, 0.0),    # 1° along the equator, due east
+         (0.0, 0.0, 0.0, 1.0)],   # 1° due north
+        "ax double, ay double, bx double, by double")
+    dist, brg = vecfn.geodesic_sql("ax", "ay", "bx", "by")
+    import pyspark.sql.functions as F
+    rows = df.select(F.expr(dist).alias("d"), F.expr(brg).alias("b")).collect()
+    one_deg = vecfn.EARTH_R_MEAN * np.pi / 180.0  # ≈ 111195 m
+    assert rows[0].d == pytest.approx(one_deg, rel=1e-12)
+    assert rows[0].b == pytest.approx(90.0, abs=1e-9)
+    assert rows[1].d == pytest.approx(one_deg, rel=1e-12)
+    assert rows[1].b == pytest.approx(0.0, abs=1e-9) or rows[1].b == pytest.approx(360.0, abs=1e-9)
