@@ -1159,6 +1159,28 @@ def q_point_geodesics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%.9e", F.expr(brg)).alias("bearing_q"))
 
 
+def q_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE near-dup clustering: the phash band-LSH pair
+    generator (q_phash_near_dups' planted-variant pool) feeds the SAME
+    label-propagation operator that clusters text and embedding dups
+    (dedup.dup_groups pairs= hook) → (doc_id = image id, group_id =
+    component min id). Zero-padded ids make lexicographic min ≡
+    numeric min; the oracle recomputes the components with the
+    recursive-CTE closure over the same brute-forced pair set."""
+    t = load_tiles(spark, sf_dir).select("image_id", "phash").withColumn(
+        "i", F.expr("cast(substring(image_id, 4, 12) as bigint)"))
+    mask = ("shiftleft(cast(1 as bigint), cast(i % 63 as int))"
+            " | shiftleft(cast(1 as bigint), cast((i div 7) % 63 as int))"
+            " | shiftleft(cast(1 as bigint), cast((i div 13) % 63 as int))")
+    variants = t.filter("i % 10 = 0").select(
+        F.concat("image_id", F.lit("~v")).alias("image_id"),
+        F.expr(f"phash ^ ({mask})").alias("phash"))
+    pool = t.select("image_id", "phash").unionByName(variants)
+    pairs = dedup.hamming_band_pairs(pool, threshold=3, bands=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup.dup_groups(None, pairs=pairs)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2338,8 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": q_stream_decontaminate,
         # event_sessions/cohort_retention/event_funnel/source_quality/
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
-        # zonal_quantiles/polygon_area_centroid/point_geodesics:
-        # below-marker brand-new,
+        # zonal_quantiles/polygon_area_centroid/point_geodesics/
+        # phash_dup_groups: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2355,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_quantiles": q_zonal_quantiles,
         "polygon_area_centroid": q_polygon_area_centroid,
         "point_geodesics": q_point_geodesics,
+        "phash_dup_groups": q_phash_dup_groups,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4266,6 +4289,42 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"phash_dup_groups": f"""
+            with recursive
+            t as (
+              select image_id, phash,
+                     cast(substring(image_id, 4, 12) as bigint) as i
+              from {tiles}
+            ),
+            pool as (
+              select image_id, phash from t
+              union all
+              select image_id || '~v' as image_id,
+                     xor(phash,
+                         (cast(1 as bigint) << cast(i % 63 as int))
+                         | (cast(1 as bigint) << cast((i // 7) % 63 as int))
+                         | (cast(1 as bigint) << cast((i // 13) % 63 as int))) as phash
+              from t where i % 10 = 0
+            ),
+            pairs as (
+              select a.image_id as doc_a, b.image_id as doc_b
+              from pool a cross join pool b
+              where a.image_id < b.image_id
+                and bit_count(xor(a.phash, b.phash)) <= 3
+            ),
+            edges as (
+              select doc_a, doc_b from pairs
+              union
+              select doc_b, doc_a from pairs
+            ),
+            walk(doc_id, reach) as (
+              select doc_a, doc_a from edges
+              union
+              select e.doc_a, w.reach from edges e join walk w on w.doc_id = e.doc_b
+            )
+            select doc_id, min(reach) as group_id
+            from walk group by doc_id
         """,
 "point_geodesics": f"""
             select a.point_id as point_a, b.point_id as point_b,
