@@ -1181,6 +1181,16 @@ def q_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_groups(None, pairs=pairs)
 
 
+def q_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summed-area table (stats.integral_image — Crow 1984, the O(1)
+    box-filter primitive): per-pixel 2-D prefix sums of values (NaN as
+    0) AND of the valid mask. Exact dyadic prefix sums ≡ the twin's
+    two chained cumulative windows, bit-for-bit."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    return stats.integral_image(t)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2361,7 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event_sessions/cohort_retention/event_funnel/source_quality/
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
         # zonal_quantiles/polygon_area_centroid/point_geodesics/
-        # phash_dup_groups: below-marker brand-new,
+        # phash_dup_groups/integral_image: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2378,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_area_centroid": q_polygon_area_centroid,
         "point_geodesics": q_point_geodesics,
         "phash_dup_groups": q_phash_dup_groups,
+        "integral_image": q_integral_image,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4289,6 +4300,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"integral_image": f"""
+            with px as (
+              select p.image_id, p.prow, p.pcol,
+                     case when isnan(p.value) then 0.0
+                          else cast(p.value as double) end as v,
+                     case when isnan(p.value) then 0 else 1 end as m
+              from {pixels} p join {tiles} t using (image_id)
+              where t.fmt = 'raw' and t.image_id < 'img000000000300'
+            ),
+            colcum as (
+              select image_id, prow, pcol,
+                     sum(v) over (partition by image_id, pcol order by prow
+                                  rows between unbounded preceding and current row) as cv,
+                     sum(m) over (partition by image_id, pcol order by prow
+                                  rows between unbounded preceding and current row) as cm
+              from px
+            )
+            select image_id, prow, pcol,
+                   sum(cv) over (partition by image_id, prow order by pcol
+                                 rows between unbounded preceding and current row) as sat,
+                   cast(sum(cm) over (partition by image_id, prow order by pcol
+                                      rows between unbounded preceding and current row) as bigint) as nsat
+            from colcum
         """,
 "phash_dup_groups": f"""
             with recursive

@@ -454,3 +454,44 @@ def zonal_quantiles(tiles: DataFrame, polygons: DataFrame,
              + F.col("hiv") * F.col("f")).alias(lbl))
         out = out.join(qf, "poly_id")
     return out
+
+
+def integral_image(tiles: DataFrame) -> DataFrame:
+    """Per-tile integral image / summed-area table (Crow 1984; the
+    constant-time box-filter primitive every vision pipeline uses —
+    EXTENSION beyond the reference): SAT(r,c) = Σ_{r'<=r, c'<=c} v
+    with NaN treated as 0 (the masked-SAT convention), emitted as
+    skinny per-pixel rows plus the per-pixel valid-count integral
+    ``nsat`` (so box means are SAT/nSAT — certifies the NaN handling
+    independently). Quarter-integer pixels keep every prefix sum
+    EXACT in double, so the twin's two chained cumulative windows
+    match bit-for-bit. ONE map-only Arrow pass (two np.cumsum)."""
+    cols = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    schema = ("image_id string, prow int, pcol int, sat double, nsat long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            arrs = codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            for i, arr in enumerate(arrs):
+                hh, ww = arr.shape
+                v = arr.astype(np.float64)
+                m = np.isfinite(v)
+                vz = np.where(m, v, 0.0)
+                sat = vz.cumsum(axis=0).cumsum(axis=1)
+                nsat = m.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+                rr, cc = np.divmod(np.arange(hh * ww, dtype=np.int64), ww)
+                frames.append(pd.DataFrame({
+                    "image_id": pdf["image_id"].iloc[i],
+                    "prow": rr.astype(np.int32),
+                    "pcol": cc.astype(np.int32),
+                    "sat": sat.ravel(),
+                    "nsat": nsat.ravel()}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "prow": pd.Series([], dtype=np.int32),
+                                 "pcol": pd.Series([], dtype=np.int32),
+                                 "sat": pd.Series([], dtype=float),
+                                 "nsat": pd.Series([], dtype=np.int64)}))
+
+    return cols.mapInPandas(run, schema=schema)

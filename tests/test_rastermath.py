@@ -151,3 +151,14 @@ def test_equalize_lut_ranks(spark):
         "image_id string, bytes binary, w int, h int, fmt string")
     got = {r.value: (r.n_at, r.cum, r.cdf) for r in st.equalize_lut(df).collect()}
     assert got == {0.5: (1, 1, 1 / 5), 1.0: (1, 2, 2 / 5), 2.0: (3, 5, 1.0)}
+
+
+def test_integral_image_brute(spark):
+    from rasters_spark.operators import stats as st
+    arr = np.array([[1.0, 2.0], [np.nan, 4.0]], dtype=np.float32)
+    df = spark.createDataFrame(
+        [("t", codec.encode_tile(arr, "raw"), 2, 2, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    got = {(r.prow, r.pcol): (r.sat, r.nsat) for r in st.integral_image(df).collect()}
+    assert got == {(0, 0): (1.0, 1), (0, 1): (3.0, 2),
+                   (1, 0): (1.0, 1), (1, 1): (7.0, 3)}
