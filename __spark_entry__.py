@@ -1191,6 +1191,25 @@ def q_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.integral_image(t)
 
 
+def q_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grayscale morphological OPENING (erosion ∘ dilation = focal min
+    then focal max, 3×3 structuring element — the despeckle/shape
+    filter; EXTENSION beyond the reference): TWO chained halo passes —
+    the intermediate eroded tiles re-derive and re-exchange their edge
+    strips, which is the composition story the halo family is built
+    for (each pass: payload ≤ one exchange, map-only kernel).
+    NaN-ignoring semantics at both levels (nodata-aware morphology);
+    cells whose opened window is empty drop out on both engines.
+    Per-pixel output vs a TWO-HOP relational twin (min-aggregate then
+    max-aggregate over the same lattice offsets)."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300'")
+    lat = focal.lattice_remap(t, per_row=40)
+    opened = focal.focal_tiles(focal.focal_tiles(lat, 1, "min"), 1, "max")
+    px = rm.pixels_of(opened)
+    return px.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2371,7 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event_sessions/cohort_retention/event_funnel/source_quality/
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
         # zonal_quantiles/polygon_area_centroid/point_geodesics/
-        # phash_dup_groups/integral_image: below-marker brand-new,
+        # phash_dup_groups/integral_image/morph_open: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2389,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_geodesics": q_point_geodesics,
         "phash_dup_groups": q_phash_dup_groups,
         "integral_image": q_integral_image,
+        "morph_open": q_morph_open,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4300,6 +4320,64 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"morph_open": f"""
+            with tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+            ),
+            tl2 as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     rn % 40 as tx, rn // 40 as ty
+              from tl
+            ),
+            px as (
+              select t.image_id, t.crs, t.cell_width, t.cell_height, t.w, t.h,
+                     p.prow, p.pcol,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as value
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            offs(dx, dy) as (values
+              (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+            -- centers x offsets expanded to plain key columns BEFORE each
+            -- big join (the focal-oracle planner rule)
+            cand1 as (
+              select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                     c.prow, c.pcol, c.gx, c.gy,
+                     c.gx + o.dx as ngx, c.gy + o.dy as ngy
+              from px c cross join offs o
+            ),
+            m1 as (
+              select cand1.image_id, cand1.crs, cand1.cell_width,
+                     cand1.cell_height, cand1.w, cand1.h,
+                     cand1.prow, cand1.pcol, cand1.gx, cand1.gy,
+                     min(n.value) as v
+              from cand1
+              join px n
+                on n.crs = cand1.crs and n.cell_width = cand1.cell_width
+               and n.cell_height = cand1.cell_height and n.w = cand1.w and n.h = cand1.h
+               and n.gx = cand1.ngx and n.gy = cand1.ngy
+              where n.value is not null
+              group by 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+            ),
+            cand2 as (
+              select c.image_id, c.crs, c.cell_width, c.cell_height, c.w, c.h,
+                     c.prow, c.pcol,
+                     c.gx + o.dx as ngx, c.gy + o.dy as ngy
+              from m1 c cross join offs o
+            )
+            select cand2.image_id, cand2.prow, cand2.pcol, max(n.v) as value
+            from cand2
+            join m1 n
+              on n.crs = cand2.crs and n.cell_width = cand2.cell_width
+             and n.cell_height = cand2.cell_height and n.w = cand2.w and n.h = cand2.h
+             and n.gx = cand2.ngx and n.gy = cand2.ngy
+            group by 1, 2, 3
         """,
 "integral_image": f"""
             with px as (

@@ -282,3 +282,23 @@ def test_proximity_matches_global_brute(spark, lattice):
                 assert exp_prox == best, key
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_morph_open_two_pass_composition(spark, lattice):
+    """Opening = dilation of the erosion — verify the two chained halo
+    passes against a global-array brute force (NaN-ignoring at both
+    levels), including tile-seam cells."""
+    g = _global_array()
+    eroded, _ = _brute(g, 1, "min")
+    opened, _ = _brute(eroded, 1, "max")
+    out = focal.focal_tiles(focal.focal_tiles(lattice, 1, "min"), 1, "max")
+    got = {}
+    for row in out.collect():
+        arr = codec.decode_tile(row["bytes"], row["w"], row["h"], "raw")
+        got[row["image_id"]] = arr
+    for ty in range(NY):
+        for tx in range(NX):
+            crop = opened[ty * H:(ty + 1) * H, tx * W:(tx + 1) * W]
+            np.testing.assert_allclose(
+                got[f"t{ty}{tx}"], crop.astype(np.float32),
+                rtol=0, atol=0, equal_nan=True, err_msg=f"tile t{ty}{tx}")
