@@ -323,3 +323,36 @@ def test_terrain_indices_match_global_brute(spark, lattice):
             assert tpi == g[gi, gj] - (ns / nn), key
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_flow_accumulation_matches_path_walk(spark, lattice):
+    """Distributed fixpoint vs brute path walking over the global
+    array (every cell walks its D8 path; each visited cell +1)."""
+    g = _global_array()
+    gh, gw = g.shape
+
+    def downstream(gi, gj):
+        best, code, tgt = -np.inf, None, None
+        for dy, dx, c, dist in terrain.D8_OFFSETS:
+            ni, nj = gi + dy, gj + dx
+            if not (0 <= ni < gh and 0 <= nj < gw) or not np.isfinite(g[ni, nj]):
+                continue
+            drop = (g[gi, gj] - g[ni, nj]) / dist
+            if drop > best:
+                best, code, tgt = drop, c, (ni, nj)
+        return tgt if (best is not None and best > 0.0) else None
+
+    acc = {}
+    for gi in range(gh):
+        for gj in range(gw):
+            if not np.isfinite(g[gi, gj]):
+                continue
+            cur = (gi, gj)
+            seen = set()
+            while cur is not None and cur not in seen:
+                seen.add(cur)
+                acc[cur] = acc.get(cur, 0) + 1
+                cur = downstream(*cur)
+            assert cur is None  # strictly descending -> no cycles
+    got = {(r.gy, r.gx): r.acc for r in terrain.flow_accumulation(lattice).collect()}
+    assert got == acc
