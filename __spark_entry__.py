@@ -1222,6 +1222,17 @@ def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain.flow_accumulation(focal.lattice_remap(t, per_row=40))
 
 
+def q_watersheds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed delineation (terrain.watersheds — every cell labeled
+    by its terminal D8 sink via POINTER DOUBLING: one skinny self-join
+    per round, ⌈log₂(path)⌉ rounds, changed-pointer fixpoint test).
+    The oracle walks every cell's path with a recursive CTE and keeps
+    the terminal — pure integer keys."""
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300' and w = 16 and h = 16")
+    return terrain.watersheds(focal.lattice_remap(t, per_row=40))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2402,8 +2413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event_sessions/cohort_retention/event_funnel/source_quality/
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
         # zonal_quantiles/polygon_area_centroid/point_geodesics/
-        # phash_dup_groups/integral_image/morph_open/flow_accumulation:
-        # below-marker brand-new,
+        # phash_dup_groups/integral_image/morph_open/flow_accumulation/
+        # watersheds: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2423,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integral_image": q_integral_image,
         "morph_open": q_morph_open,
         "flow_accumulation": q_flow_accumulation,
+        "watersheds": q_watersheds,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4334,6 +4346,65 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"watersheds": f"""
+            with recursive tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+                and w = 16 and h = 16
+            ),
+            tl2 as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     rn % 40 as tx, rn // 40 as ty
+              from tl
+            ),
+            px as (
+              select t.image_id, p.prow, p.pcol,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     case when isnan(p.value) then NULL
+                          else cast(p.value as double) end as value
+              from tl2 t join {pixels} p using (image_id)
+            ),
+            offs(dy, dx, code, dist) as (values
+              (0,1,1,1.0),(1,1,2,sqrt(2.0)),(1,0,4,1.0),(1,-1,8,sqrt(2.0)),
+              (0,-1,16,1.0),(-1,-1,32,sqrt(2.0)),(-1,0,64,1.0),(-1,1,128,sqrt(2.0))),
+            cand as (
+              select c.gx, c.gy, c.value as cval,
+                     c.gx + o.dx as ngx, c.gy + o.dy as ngy, o.code, o.dist
+              from px c cross join offs o
+              where c.value is not null
+            ),
+            nb as (
+              select cand.gx, cand.gy, cand.code, cand.ngx, cand.ngy,
+                     (cand.cval - n.value) / cand.dist as drop_
+              from cand join px n on n.gx = cand.ngx and n.gy = cand.ngy
+              where n.value is not null
+            ),
+            agg as (select gx, gy, max(drop_) as best from nb group by 1, 2),
+            rk as (
+              select nb.gx, nb.gy, nb.ngx, nb.ngy,
+                     row_number() over (partition by nb.gx, nb.gy
+                                        order by nb.code) as rn
+              from nb join agg a on a.gx = nb.gx and a.gy = nb.gy
+              where nb.drop_ = a.best and a.best > 0
+            ),
+            edges as (select gx, gy, ngx as tgx, ngy as tgy from rk where rn = 1),
+            walk(gx, gy, cgx, cgy, d) as (
+              select gx, gy, gx, gy, 0 from px where value is not null
+              union all
+              select w.gx, w.gy, e.tgx, e.tgy, w.d + 1
+              from walk w join edges e on e.gx = w.cgx and e.gy = w.cgy
+            ),
+            term as (
+              select gx, gy, arg_max(cgx, d) as sink_gx, arg_max(cgy, d) as sink_gy
+              from walk group by 1, 2
+            )
+            select p.image_id, p.prow, p.pcol, p.gx, p.gy, t.sink_gx, t.sink_gy
+            from px p join term t on t.gx = p.gx and t.gy = p.gy
+            where p.value is not null
         """,
 "flow_accumulation": f"""
             with recursive tl as (

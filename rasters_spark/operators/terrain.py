@@ -458,3 +458,56 @@ def flow_accumulation(tiles: DataFrame, max_rounds: int = 64) -> DataFrame:
     return (nodes.join(up, ["gx", "gy"])
             .select("image_id", "prow", "pcol", "gx", "gy",
                     (F.col("up") + 1).alias("acc")))
+
+
+def watersheds(tiles: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Watershed delineation over the D8 forest — every cell labeled
+    by its TERMINAL sink (pit/flat), the basin key (EXTENSION beyond
+    the reference; the ESRI/GDAL Watershed operator for the
+    all-sinks case). POINTER DOUBLING: each round replaces every
+    cell's downstream pointer with its pointer's pointer (one
+    self-join on the skinny global key), so convergence takes
+    ⌈log₂(longest path)⌉ rounds — 3 on this lattice — versus the
+    linear rounds of per-step walking; the fixpoint test is the
+    round when no pointer changes (count of non-terminal hops,
+    monotone decreasing). → (image_id, prow, pcol, gx, gy, sink_gx,
+    sink_gy) — sinks label themselves."""
+    from pyspark.sql import functions as F
+
+    d8 = flow_d8(tiles)
+    idx = tiles.select(
+        "image_id", "w", "h",
+        F.round(F.col("x_origin") / (F.col("w") * F.col("cell_width"))).cast("long").alias("tx"),
+        F.round(F.col("y_origin") / (F.col("h") * F.col("cell_height"))).cast("long").alias("ty"))
+    j = d8.join(idx, "image_id")
+    nodes = j.select(
+        "image_id", "prow", "pcol", "d8",
+        (F.col("tx") * F.col("w") + F.col("pcol")).alias("gx"),
+        (F.col("ty") * F.col("h") + F.col("prow")).alias("gy")).cache()
+    dy = F.element_at(F.create_map(
+        *[F.lit(v) for kv in _D8_DY.items() for v in kv]), F.col("d8"))
+    dx = F.element_at(F.create_map(
+        *[F.lit(v) for kv in _D8_DX.items() for v in kv]), F.col("d8"))
+    # terminal cells point at THEMSELVES — the doubling fixpoint
+    ptr = nodes.select(
+        "gx", "gy",
+        F.when(F.col("d8") > 0, F.col("gx") + dx).otherwise(F.col("gx")).alias("pgx"),
+        F.when(F.col("d8") > 0, F.col("gy") + dy).otherwise(F.col("gy")).alias("pgy"))
+    ptr = ptr.localCheckpoint()
+    for _ in range(max_rounds):
+        p2 = ptr.select(F.col("gx").alias("pgx"), F.col("gy").alias("pgy"),
+                        F.col("pgx").alias("ppgx"), F.col("pgy").alias("ppgy"))
+        new = (ptr.join(p2, ["pgx", "pgy"])
+               .select("gx", "gy", F.col("ppgx").alias("pgx"),
+                       F.col("ppgy").alias("pgy"))
+               .localCheckpoint())
+        changed = (new.join(ptr.withColumnRenamed("pgx", "ogx")
+                            .withColumnRenamed("pgy", "ogy"), ["gx", "gy"])
+                   .filter((F.col("pgx") != F.col("ogx"))
+                           | (F.col("pgy") != F.col("ogy"))).count())
+        ptr = new
+        if changed == 0:
+            break
+    return (nodes.join(ptr, ["gx", "gy"])
+            .select("image_id", "prow", "pcol", "gx", "gy",
+                    F.col("pgx").alias("sink_gx"), F.col("pgy").alias("sink_gy")))

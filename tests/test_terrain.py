@@ -356,3 +356,35 @@ def test_flow_accumulation_matches_path_walk(spark, lattice):
             assert cur is None  # strictly descending -> no cycles
     got = {(r.gy, r.gx): r.acc for r in terrain.flow_accumulation(lattice).collect()}
     assert got == acc
+
+
+def test_watersheds_match_path_walk(spark, lattice):
+    g = _global_array()
+    gh, gw = g.shape
+
+    def downstream(gi, gj):
+        best, tgt = -np.inf, None
+        for dy, dx, c, dist in terrain.D8_OFFSETS:
+            ni, nj = gi + dy, gj + dx
+            if not (0 <= ni < gh and 0 <= nj < gw) or not np.isfinite(g[ni, nj]):
+                continue
+            drop = (g[gi, gj] - g[ni, nj]) / dist
+            if drop > best:
+                best, tgt = drop, (ni, nj)
+        return tgt if best > 0.0 else None
+
+    want = {}
+    for gi in range(gh):
+        for gj in range(gw):
+            if not np.isfinite(g[gi, gj]):
+                continue
+            cur = (gi, gj)
+            while True:
+                nxt = downstream(*cur)
+                if nxt is None:
+                    break
+                cur = nxt
+            want[(gi, gj)] = cur
+    got = {(r.gy, r.gx): (r.sink_gy, r.sink_gx)
+           for r in terrain.watersheds(lattice).collect()}
+    assert got == want
