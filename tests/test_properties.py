@@ -212,3 +212,54 @@ def test_b1_codec_identity_property(bits, w):
     flt = codec.decode_tile(blob, w, h, "b1")
     assert not np.isnan(flt).any()
     np.testing.assert_array_equal(flt, a.astype(np.float64))
+
+
+pixval = st.one_of(
+    st.floats(min_value=0.0, max_value=1024.0, allow_nan=False, width=32),
+    st.just(float("nan")))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(pixval, min_size=4, max_size=64))
+def test_reclassify_kernel_total_and_closed(vals):
+    """Every finite input maps into the class set; NaN passes through;
+    band edges are half-open (searchsorted-right)."""
+    from rasters_spark.operators import rastermath as rm
+
+    breaks, classes = [256.0, 512.0, 768.0], [1.0, 2.0, 3.0, 4.0]
+    a = np.array(vals, dtype=np.float64)
+    out = rm.reclassify(breaks, classes)(a)
+    fin = np.isfinite(a)
+    assert set(np.unique(out[fin])) <= set(classes)
+    assert np.all(np.isnan(out[~fin]))
+    for v, o in zip(a[fin], out[fin]):
+        k = sum(v >= b for b in breaks)
+        assert o == classes[k]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(2, 6), st.integers(2, 6), st.integers(0, 2**32 - 1))
+def test_integral_image_corner_is_nansum(h, w, seed):
+    """SAT bottom-right corner equals the masked total; nsat corner
+    equals the valid count (prefix-sum soundness)."""
+    from rasters_spark.operators.stats import np as _np  # noqa: F401
+
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(0, 4096, (h, w)) * 0.25).astype(np.float64)
+    a[rng.random((h, w)) < 0.2] = np.nan
+    m = np.isfinite(a)
+    sat = np.where(m, a, 0.0).cumsum(axis=0).cumsum(axis=1)
+    assert sat[-1, -1] == np.where(m, a, 0.0).sum()
+    nsat = m.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    assert nsat[-1, -1] == int(m.sum())
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 5), st.integers(0, 2**32 - 1))
+def test_augment_involutions(h, w, seed):
+    """hflip and vflip are involutions; rot180 = hflip∘vflip."""
+    rng = np.random.default_rng(seed)
+    a = rng.random((h, w))
+    assert np.array_equal(a[:, ::-1][:, ::-1], a)
+    assert np.array_equal(a[::-1, :][::-1, :], a)
+    assert np.array_equal(a[:, ::-1][::-1, :], a[::-1, ::-1])
