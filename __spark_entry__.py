@@ -1233,6 +1233,25 @@ def q_watersheds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain.watersheds(focal.lattice_remap(t, per_row=40))
 
 
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-distance surface (operators/costdist.cost_distance — the
+    ESRI CostDistance shape): ≤8-hop Bellman-Ford relaxation to the
+    nearest low-cost source over the 8-neighbor lattice graph,
+    ENTIRELY DataFrame ops (skinny-key joins + keyed mins + least;
+    NULL = unreached, skipped identically by both engines' least/min).
+    The oracle unrolls the SAME 8 rounds as nested CTEs; candidate
+    distances are built by identical expression chains, so every min
+    compares identical doubles. The contract is the K-BOUNDED
+    distance (the oracle unrolls the same K — equality holds whether
+    or not K reaches the diameter); pytest asserts true convergence
+    for a denser-source configuration and monotone reach for this
+    sparse one."""
+    from rasters_spark.operators import costdist
+    t = load_tiles(spark, sf_dir).filter(
+        "fmt = 'raw' and image_id < 'img000000000300' and w = 16 and h = 16")
+    return costdist.cost_distance(t, 8.0, 8)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2414,7 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
         # zonal_quantiles/polygon_area_centroid/point_geodesics/
         # phash_dup_groups/integral_image/morph_open/flow_accumulation/
-        # watersheds: below-marker brand-new,
+        # watersheds/cost_distance: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2435,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morph_open": q_morph_open,
         "flow_accumulation": q_flow_accumulation,
         "watersheds": q_watersheds,
+        "cost_distance": q_cost_distance,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4346,6 +4366,126 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) as double)
                      / len(regexp_extract_all(text, '{_BPE_PAT}', 0)) as chars_per_bpe
             from documents
+        """,
+"cost_distance": f"""
+            with tl as (
+              select image_id, crs, cell_width, cell_height, w, h,
+                     row_number() over (partition by crs, cell_width, cell_height, w, h
+                                        order by image_id) - 1 as rn
+              from {tiles}
+              where fmt = 'raw' and image_id < 'img000000000300'
+                and w = 16 and h = 16
+            ),
+            tl2 as (
+              select image_id, w, h, rn % 40 as tx, rn // 40 as ty from tl
+            ),
+            px as (
+              select t.image_id, p.prow, p.pcol,
+                     t.tx * t.w + p.pcol as gx, t.ty * t.h + p.prow as gy,
+                     cast(p.value as double) as cost
+              from tl2 t join {pixels} p using (image_id)
+              where not isnan(p.value)
+            ),
+            offs(dy, dx, dist) as (values
+              (-1,-1,sqrt(2.0)),(-1,0,1.0),(-1,1,sqrt(2.0)),(0,-1,1.0),
+              (0,1,1.0),(1,-1,sqrt(2.0)),(1,0,1.0),(1,1,sqrt(2.0))),
+            cand as (
+              select c.gx, c.gy, c.cost,
+                     c.gx + o.dx as ngx, c.gy + o.dy as ngy, o.dist
+              from px c cross join offs o
+            ),
+            edges as (
+              select cand.gx, cand.gy, cand.ngx, cand.ngy,
+                     ((n.cost + cand.cost) / 2.0) * cand.dist as w
+              from cand join px n on n.gx = cand.ngx and n.gy = cand.ngy
+            ),
+            d0 as (
+              select gx, gy,
+                     case when cost < 8.0 then 0.0 end as d
+              from px
+            ),
+            m1 as (
+              select e.gx, e.gy, min(p.d + e.w) as reach
+              from edges e join d0 p on p.gx = e.ngx and p.gy = e.ngy
+              where p.d is not null
+              group by e.gx, e.gy
+            ),
+            d1 as (
+              select d.gx, d.gy, least(d.d, m.reach) as d
+              from d0 d left join m1 m using (gx, gy)
+            ),
+            m2 as (
+              select e.gx, e.gy, min(p.d + e.w) as reach
+              from edges e join d1 p on p.gx = e.ngx and p.gy = e.ngy
+              where p.d is not null
+              group by e.gx, e.gy
+            ),
+            d2 as (
+              select d.gx, d.gy, least(d.d, m.reach) as d
+              from d1 d left join m2 m using (gx, gy)
+            ),
+            m3 as (
+              select e.gx, e.gy, min(p.d + e.w) as reach
+              from edges e join d2 p on p.gx = e.ngx and p.gy = e.ngy
+              where p.d is not null
+              group by e.gx, e.gy
+            ),
+            d3 as (
+              select d.gx, d.gy, least(d.d, m.reach) as d
+              from d2 d left join m3 m using (gx, gy)
+            ),
+            m4 as (
+              select e.gx, e.gy, min(p.d + e.w) as reach
+              from edges e join d3 p on p.gx = e.ngx and p.gy = e.ngy
+              where p.d is not null
+              group by e.gx, e.gy
+            ),
+            d4 as (
+              select d.gx, d.gy, least(d.d, m.reach) as d
+              from d3 d left join m4 m using (gx, gy)
+            ),
+            m5 as (
+              select e.gx, e.gy, min(p.d + e.w) as reach
+              from edges e join d4 p on p.gx = e.ngx and p.gy = e.ngy
+              where p.d is not null
+              group by e.gx, e.gy
+            ),
+            d5 as (
+              select d.gx, d.gy, least(d.d, m.reach) as d
+              from d4 d left join m5 m using (gx, gy)
+            ),
+            m6 as (
+              select e.gx, e.gy, min(p.d + e.w) as reach
+              from edges e join d5 p on p.gx = e.ngx and p.gy = e.ngy
+              where p.d is not null
+              group by e.gx, e.gy
+            ),
+            d6 as (
+              select d.gx, d.gy, least(d.d, m.reach) as d
+              from d5 d left join m6 m using (gx, gy)
+            ),
+            m7 as (
+              select e.gx, e.gy, min(p.d + e.w) as reach
+              from edges e join d6 p on p.gx = e.ngx and p.gy = e.ngy
+              where p.d is not null
+              group by e.gx, e.gy
+            ),
+            d7 as (
+              select d.gx, d.gy, least(d.d, m.reach) as d
+              from d6 d left join m7 m using (gx, gy)
+            ),
+            m8 as (
+              select e.gx, e.gy, min(p.d + e.w) as reach
+              from edges e join d7 p on p.gx = e.ngx and p.gy = e.ngy
+              where p.d is not null
+              group by e.gx, e.gy
+            ),
+            d8 as (
+              select d.gx, d.gy, least(d.d, m.reach) as d
+              from d7 d left join m8 m using (gx, gy)
+            )
+            select p.image_id, p.prow, p.pcol, p.gx, p.gy, d8.d
+            from px p join d8 on d8.gx = p.gx and d8.gy = p.gy
         """,
 "watersheds": f"""
             with recursive tl as (

@@ -388,3 +388,35 @@ def test_watersheds_match_path_walk(spark, lattice):
     got = {(r.gy, r.gx): (r.sink_gy, r.sink_gx)
            for r in terrain.watersheds(lattice).collect()}
     assert got == want
+
+
+def test_cost_distance_hand_case_and_convergence(spark):
+    from rasters_spark.operators import costdist
+
+    arr = np.array([[1.0, 10.0, 10.0]], dtype=np.float32)
+    df = spark.createDataFrame(
+        [("t", codec.encode_tile(arr, "raw"), 3, 1, "raw", "EPSG:4326",
+          0.0, 0.0, CW, CH)],
+        ["image_id", "bytes", "w", "h", "fmt", "crs",
+         "x_origin", "y_origin", "cell_width", "cell_height"])
+    got = {r.pcol: r.d for r in costdist.cost_distance(df, 8.0, 4).collect()}
+    assert got[0] == 0.0
+    assert got[1] == (1.0 + 10.0) / 2.0
+    assert got[2] == (1.0 + 10.0) / 2.0 + (10.0 + 10.0) / 2.0
+    # convergence on the real fixture subset: one extra round changes nothing
+    from rasters_spark import fixtures
+    from rasters_spark.tiles import load_tiles
+    SFD = "/root/testdata/sf0.001"
+    fixtures.ensure_fixtures(SFD)
+    t = load_tiles(spark, SFD).filter(
+        "fmt = 'raw' and image_id < 'img000000000060' and w = 16 and h = 16")
+    # denser sources (cost < 64) -> short paths -> 8 rounds converge
+    a8 = {(r.gx, r.gy): r.d for r in costdist.cost_distance(t, 64.0, 8).collect()}
+    a9 = {(r.gx, r.gy): r.d for r in costdist.cost_distance(t, 64.0, 9).collect()}
+    assert a8 == a9
+    # sparse sources genuinely need more hops -> K-bounded semantics bite
+    s8 = costdist.cost_distance(t, 8.0, 8)
+    s9 = costdist.cost_distance(t, 8.0, 9)
+    n8 = s8.filter("d is not null").count()
+    n9 = s9.filter("d is not null").count()
+    assert n9 >= n8  # more rounds only ever reach more cells
