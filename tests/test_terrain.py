@@ -420,3 +420,20 @@ def test_cost_distance_hand_case_and_convergence(spark):
     n8 = s8.filter("d is not null").count()
     n9 = s9.filter("d is not null").count()
     assert n9 >= n8  # more rounds only ever reach more cells
+
+
+def test_iterative_ops_partitioning_invariance(spark, lattice):
+    """flow accumulation and watersheds must not depend on physical
+    partitioning (driver-looped joins are a classic place where
+    nondeterminism sneaks in)."""
+    base_acc = {(r.gx, r.gy): r.acc
+                for r in terrain.flow_accumulation(lattice).collect()}
+    rep = lattice.repartition(7)
+    rep_acc = {(r.gx, r.gy): r.acc
+               for r in terrain.flow_accumulation(rep).collect()}
+    assert base_acc == rep_acc
+    base_ws = {(r.gx, r.gy): (r.sink_gx, r.sink_gy)
+               for r in terrain.watersheds(lattice).collect()}
+    rep_ws = {(r.gx, r.gy): (r.sink_gx, r.sink_gy)
+              for r in terrain.watersheds(rep).collect()}
+    assert base_ws == rep_ws
