@@ -1252,6 +1252,29 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return costdist.cost_distance(t, 8.0, 8)
 
 
+def q_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cohort retention (streaming.
+    stream_cohort_available_now): per-batch distinct (user, day)
+    activity partials exactly-once to the ledger; the final reduce
+    dedups across batches and recomputes cohorts — pure integers,
+    EXACTLY the batch answer, oracle = cohort_retention's SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.streaming import stream_cohort_available_now
+    from rasters_spark.tableio import TableIO
+
+    work = os.path.join(tempfile.gettempdir(),
+                        f"stream-cohort-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "in")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    tbl = TableIO(os.path.join(work, "tbl"))
+    return stream_cohort_available_now(spark, src, tbl, os.path.join(work, "ckpt"))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2433,7 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
         # zonal_quantiles/polygon_area_centroid/point_geodesics/
         # phash_dup_groups/integral_image/morph_open/flow_accumulation/
-        # watersheds/cost_distance: below-marker brand-new,
+        # watersheds/cost_distance/stream_cohort: below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2455,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accumulation": q_flow_accumulation,
         "watersheds": q_watersheds,
         "cost_distance": q_cost_distance,
+        "stream_cohort": q_stream_cohort,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -5608,4 +5632,5 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_histogram"] = sql["tile_histogram"]
     sql["stream_composite"] = sql["temporal_composite"]
     sql["stream_decontaminate"] = sql["decontaminate"]
+    sql["stream_cohort"] = sql["cohort_retention"]
     return sql

@@ -480,3 +480,47 @@ def stream_decontaminate_available_now(
     q.awaitTermination()
     return table.read(spark).select(
         "doc_id", "n_overlap_grams", "n_overlap_instances")
+
+
+def stream_cohort_available_now(
+    spark: SparkSession,
+    events_path: str,
+    table: TableIO,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """INCREMENTAL cohort retention — the streaming face of
+    ``operators.events.cohort_retention``: each micro-batch commits
+    its distinct (user_id, epoch_day) activity partials exactly-once;
+    the final reduce de-duplicates across batches (a user active on
+    one day in several batches collapses), derives day0 = min(day)
+    per user, and counts distinct users per (cohort_day, offset) —
+    EXACTLY the batch answer in pure integer math, so the oracle is
+    cohort_retention's SQL verbatim. The activity ledger (user × day,
+    bounded by users · horizon, not events) is the production shape
+    for a rolling retention dashboard."""
+    schema = spark.read.parquet(events_path).schema
+    es = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(events_path))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                      / F.lit(86_400_000_000)).alias("day")
+        part = batch_df.dropDuplicates(["event_id"]).select("user_id", day).distinct()
+        table.write(part, operation="stream-cohort", job_id="cohort",
+                    chunk_id=f"batch-{batch_id}", inputs=[events_path])
+
+    q = (
+        es.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    active = table.read(spark).select("user_id", "day").distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("day0"))
+    j = active.join(first, "user_id")
+    return (j.groupBy(F.col("day0").alias("cohort_day"),
+                      (F.col("day") - F.col("day0")).alias("day_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users")))

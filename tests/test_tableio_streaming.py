@@ -422,3 +422,23 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     assert got == batch and len(got) == 12
     snaps = [s for s in tbl.snapshots() if s["operation"] == "stream-decontam"]
     assert len(snaps) >= 2
+
+
+def test_stream_cohort_matches_batch(spark, tmp_path):
+    from rasters_spark.operators import events as eventops
+    from rasters_spark.streaming import stream_cohort_available_now
+    from rasters_spark.tableio import TableIO
+
+    src = str(tmp_path / "in")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .repartition(3).write.mode("overwrite").parquet(src)
+    tbl = TableIO(str(tmp_path / "tbl"))
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in stream_cohort_available_now(
+               spark, src, tbl, str(tmp_path / "ckpt")).collect()}
+    batch = {(r.cohort_day, r.day_offset): r.n_users
+             for r in eventops.cohort_retention(
+                 spark.read.parquet("/root/testdata/sf0.001/events.parquet")).collect()}
+    assert got == batch
+    snaps = [s for s in tbl.snapshots() if s["operation"] == "stream-cohort"]
+    assert len(snaps) >= 2
