@@ -1275,6 +1275,15 @@ def q_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_cohort_available_now(spark, src, tbl, os.path.join(work, "ckpt"))
 
 
+def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority value per zone (stats.zonal_mode — the categorical
+    zonal statistic over the shared per-(zone,value) count partials):
+    highest count, ties → smallest value (total-order rule); the
+    oracle ranks the same relational histogram."""
+    t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
+    return stats.zonal_mode(t, _zone_lattice(spark))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2456,7 +2465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
         # zonal_quantiles/polygon_area_centroid/point_geodesics/
         # phash_dup_groups/integral_image/morph_open/flow_accumulation/
-        # watersheds/cost_distance/stream_cohort: below-marker brand-new,
+        # watersheds/cost_distance/stream_cohort/zonal_mode:
+        # below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
         # lag/running-sum and cohort patterns are pinned by their own
@@ -2479,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watersheds": q_watersheds,
         "cost_distance": q_cost_distance,
         "stream_cohort": q_stream_cohort,
+        "zonal_mode": q_zonal_mode,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -4774,6 +4785,41 @@ def oracle_sql() -> dict[str, str]:
                    case when acc.a != 0.0 then acc.x / (3.0 * acc.a) end as cx,
                    case when acc.a != 0.0 then acc.y / (3.0 * acc.a) end as cy
             from t
+        """,
+"zonal_mode": f"""
+            with z as (
+              select range as i,
+                     -180.0 + (range % 12) * 30.0 + 1.0 / 3.0 as xmin,
+                     45.0 + (range // 12) * 9.0 + 1.0 / 3.0 as ymin
+              from range(48)
+            ),
+            zz as (select i as poly_id, xmin, ymin,
+                          xmin + 30.0 as xmax, ymin + 9.0 as ymax from z),
+            px as (
+              select g.poly_id, cast(px.value as double) as v
+              from {pixels} px
+              join {tiles} t using (image_id)
+              join zz g
+                on t.x_origin + t.cell_width * (px.pcol + 0.5) >= g.xmin
+               and t.x_origin + t.cell_width * (px.pcol + 0.5) <  g.xmax
+               and t.y_origin + t.cell_height * (px.prow + 0.5) >= g.ymin
+               and t.y_origin + t.cell_height * (px.prow + 0.5) <  g.ymax
+              where t.fmt = 'raw' and not isnan(px.value)
+            ),
+            vc as (
+              select poly_id, v as value, count(*) as cnt
+              from px group by 1, 2
+            ),
+            rk as (
+              select poly_id, value, cnt,
+                     row_number() over (partition by poly_id
+                                        order by cnt desc, value asc) as rn,
+                     sum(cnt) over (partition by poly_id) as n_valid
+              from vc
+            )
+            select poly_id, value as mode, cnt as mode_n,
+                   cast(n_valid as bigint) as n_valid
+            from rk where rn = 1
         """,
 "zonal_quantiles": f"""
             with z as (

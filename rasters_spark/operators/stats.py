@@ -370,66 +370,7 @@ def zonal_quantiles(tiles: DataFrame, polygons: DataFrame,
 
     from rasters_spark.operators.joins import _ring_xy, ray_cast_inside
 
-    zrows = polygons.select("poly_id", "xmin", "ymin", "xmax", "ymax", "ring").collect()
-    zones = []
-    for r in zrows:
-        rx, ry = _ring_xy(r.ring)
-        zones.append((int(r.poly_id), float(r.xmin), float(r.ymin),
-                      float(r.xmax), float(r.ymax), rx, ry))
-    zxmin = np.array([z[1] for z in zones])
-    zymin = np.array([z[2] for z in zones])
-    zxmax = np.array([z[3] for z in zones])
-    zymax = np.array([z[4] for z in zones])
-    bc = tiles.sparkSession.sparkContext.broadcast((zones, zxmin, zymin, zxmax, zymax))
-
-    payload = tiles.select("image_id", "bytes", "w", "h", "fmt",
-                           "x_origin", "y_origin", "cell_width", "cell_height")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        zs, bxmin, bymin, bxmax, bymax = bc.value
-        for pdf in batches:
-            frames = []
-            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
-                h, w = arr.shape
-                x0 = pdf["x_origin"].iloc[i]
-                y0 = pdf["y_origin"].iloc[i]
-                cw = pdf["cell_width"].iloc[i]
-                ch = pdf["cell_height"].iloc[i]
-                txmin, txmax = x0, x0 + cw * w
-                tymax, tymin = y0, y0 + ch * h
-                hit = np.flatnonzero((bxmin < txmax) & (bxmax > txmin)
-                                     & (bymin < tymax) & (bymax > tymin))
-                if len(hit) == 0:
-                    continue
-                xs = x0 + cw * (np.arange(w, dtype=np.float64) + 0.5)
-                ys = y0 + ch * (np.arange(h, dtype=np.float64) + 0.5)
-                gx = np.broadcast_to(xs, (h, w)).ravel()
-                gy = np.repeat(ys, w)
-                vals = arr.ravel()
-                finite = np.isfinite(vals)
-                for zi in hit:
-                    poly_id, xmn, ymn, xmx, ymx, rx, ry = zs[zi]
-                    m = (finite & (gx >= xmn) & (gx < xmx)
-                         & (gy >= ymn) & (gy < ymx))
-                    idx_ = np.flatnonzero(m)
-                    if len(idx_) == 0:
-                        continue
-                    keep = ray_cast_inside(gx[idx_], gy[idx_], rx, ry)
-                    sel = idx_[keep]
-                    if len(sel) == 0:
-                        continue
-                    uniq, counts = np.unique(vals[sel].astype(np.float64),
-                                             return_counts=True)
-                    frames.append(pd.DataFrame({
-                        "poly_id": poly_id, "value": uniq,
-                        "cnt": counts.astype(np.int64)}))
-            yield (pd.concat(frames, ignore_index=True) if frames else
-                   pd.DataFrame({"poly_id": pd.Series([], dtype=np.int64),
-                                 "value": pd.Series([], dtype=float),
-                                 "cnt": pd.Series([], dtype=np.int64)}))
-
-    partial = payload.mapInPandas(run, schema="poly_id long, value double, cnt long")
-    hist = partial.groupBy("poly_id", "value").agg(F.sum("cnt").alias("cnt"))
+    hist = _zonal_value_counts(tiles, polygons)
     w = Window.partitionBy("poly_id").orderBy("value")
     h2 = hist.select("poly_id", "value", "cnt",
                      F.sum("cnt").over(w).alias("cum")).cache()
@@ -495,3 +436,88 @@ def integral_image(tiles: DataFrame) -> DataFrame:
                                  "nsat": pd.Series([], dtype=np.int64)}))
 
     return cols.mapInPandas(run, schema=schema)
+
+
+def zonal_mode(tiles: DataFrame, polygons: DataFrame) -> DataFrame:
+    """Majority value per zone (the categorical zonal statistic —
+    dominant land-cover class): reuses zonal_quantiles' per-(zone,
+    value) count partials (quantized-domain trick, no sort/collect)
+    and picks the value with the highest count, ties → SMALLEST value
+    (the to_grid_mode total-order rule). → (poly_id, mode, mode_n,
+    n_valid)."""
+    from pyspark.sql import Window
+
+    hist = _zonal_value_counts(tiles, polygons)
+    w = Window.partitionBy("poly_id").orderBy(F.col("cnt").desc(), F.col("value").asc())
+    ranked = hist.withColumn("rn", F.row_number().over(w))
+    totals = hist.groupBy("poly_id").agg(F.sum("cnt").alias("n_valid"))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("poly_id", F.col("value").alias("mode"),
+                    F.col("cnt").alias("mode_n"))
+            .join(totals, "poly_id"))
+
+
+def _zonal_value_counts(tiles: DataFrame, polygons: DataFrame) -> DataFrame:
+    """(poly_id, value, cnt) — the shared per-zone value-histogram
+    partial pass (broadcast zones, map-only; see zonal_quantiles)."""
+    from rasters_spark.operators.joins import _ring_xy, ray_cast_inside
+
+    zrows = polygons.select("poly_id", "xmin", "ymin", "xmax", "ymax", "ring").collect()
+    zones = []
+    for r in zrows:
+        rx, ry = _ring_xy(r.ring)
+        zones.append((int(r.poly_id), float(r.xmin), float(r.ymin),
+                      float(r.xmax), float(r.ymax), rx, ry))
+    zxmin = np.array([z[1] for z in zones])
+    zymin = np.array([z[2] for z in zones])
+    zxmax = np.array([z[3] for z in zones])
+    zymax = np.array([z[4] for z in zones])
+    bc = tiles.sparkSession.sparkContext.broadcast((zones, zxmin, zymin, zxmax, zymax))
+    payload = tiles.select("image_id", "bytes", "w", "h", "fmt",
+                           "x_origin", "y_origin", "cell_width", "cell_height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zs, bxmin, bymin, bxmax, bymax = bc.value
+        for pdf in batches:
+            frames = []
+            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                h, w = arr.shape
+                x0 = pdf["x_origin"].iloc[i]
+                y0 = pdf["y_origin"].iloc[i]
+                cw = pdf["cell_width"].iloc[i]
+                ch = pdf["cell_height"].iloc[i]
+                txmin, txmax = x0, x0 + cw * w
+                tymax, tymin = y0, y0 + ch * h
+                hit = np.flatnonzero((bxmin < txmax) & (bxmax > txmin)
+                                     & (bymin < tymax) & (bymax > tymin))
+                if len(hit) == 0:
+                    continue
+                xs = x0 + cw * (np.arange(w, dtype=np.float64) + 0.5)
+                ys = y0 + ch * (np.arange(h, dtype=np.float64) + 0.5)
+                gx = np.broadcast_to(xs, (h, w)).ravel()
+                gy = np.repeat(ys, w)
+                vals = arr.ravel()
+                finite = np.isfinite(vals)
+                for zi in hit:
+                    poly_id, xmn, ymn, xmx, ymx, rx, ry = zs[zi]
+                    m = (finite & (gx >= xmn) & (gx < xmx)
+                         & (gy >= ymn) & (gy < ymx))
+                    idx_ = np.flatnonzero(m)
+                    if len(idx_) == 0:
+                        continue
+                    keep = ray_cast_inside(gx[idx_], gy[idx_], rx, ry)
+                    sel = idx_[keep]
+                    if len(sel) == 0:
+                        continue
+                    uniq, counts = np.unique(vals[sel].astype(np.float64),
+                                             return_counts=True)
+                    frames.append(pd.DataFrame({
+                        "poly_id": poly_id, "value": uniq,
+                        "cnt": counts.astype(np.int64)}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"poly_id": pd.Series([], dtype=np.int64),
+                                 "value": pd.Series([], dtype=float),
+                                 "cnt": pd.Series([], dtype=np.int64)}))
+
+    partial = payload.mapInPandas(run, schema="poly_id long, value double, cnt long")
+    return partial.groupBy("poly_id", "value").agg(F.sum("cnt").alias("cnt"))

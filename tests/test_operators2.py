@@ -324,3 +324,24 @@ def test_zonal_quantiles_exact_interpolation(spark):
     # sorted valid values: [1, 2, 2, 4, 8]; n=5
     # q25: p=1.0 -> 2; q50: p=2.0 -> 2; q75: p=3.0 -> 4
     assert (r.n, r.q_25, r.q_5, r.q_75) == (5, 2.0, 2.0, 4.0)
+
+
+def test_zonal_mode_tie_breaks_to_smallest(spark):
+    from rasters_spark.operators import stats as st
+    from rasters_spark.tiles import with_grid
+
+    # zone holds {1.0 x2, 2.0 x2, 3.0}: tie at 2 -> mode must be 1.0
+    arr = np.array([[1.0, 2.0, 1.0], [2.0, 3.0, np.nan]], dtype=np.float32)
+    tiles = with_grid(spark.createDataFrame(
+        [("t", codec.encode_tile(arr, "raw"), 3, 2, "raw",
+          10.0, 50.0, 0.25, -0.25, "EPSG:4326")],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "x_origin double, y_origin double, cell_width double, "
+        "cell_height double, crs string"))
+    ring = [(9.0, 48.0), (12.0, 48.0), (12.0, 51.0), (9.0, 51.0), (9.0, 48.0)]
+    polys = spark.createDataFrame(
+        [(0, 9.0, 48.0, 12.0, 51.0, [{"x": x, "y": y} for x, y in ring])],
+        "poly_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring array<struct<x:double,y:double>>")
+    r = st.zonal_mode(tiles, polys).collect()[0]
+    assert (r.mode, r.mode_n, r.n_valid) == (1.0, 2, 5)
