@@ -1284,6 +1284,47 @@ def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.zonal_mode(t, _zone_lattice(spark))
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental sessionization (streaming.
+    stream_sessionize_available_now): the event log split into 3
+    strictly TIME-ORDERED files (ascending mtimes force batch order);
+    each batch sessionizes locally and merges with the state table's
+    open sessions (TableIO replace snapshots, replay-idempotent via
+    completed_chunks) — sessions spanning batch boundaries merge
+    link-by-link, so the final state EXACTLY equals the one-shot
+    sessionize and the oracle is event_sessions' SQL verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from rasters_spark.streaming import stream_sessionize_available_now
+    from rasters_spark.tableio import TableIO
+
+    work = os.path.join(tempfile.gettempdir(),
+                        f"stream-sess-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime as _dt
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + span + span]
+    parts = [ev.filter(F.col("ts") < cuts[0]),
+             ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+             ev.filter(F.col("ts") >= cuts[1])]
+    for k, part in enumerate(parts):
+        tmp = os.path.join(work, f"tmp{k}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        shutil.move(os.path.join(tmp, pf), dst)
+        os.utime(dst, (1700000000 + k * 3600, 1700000000 + k * 3600))
+    tbl = TableIO(os.path.join(work, "tbl"))
+    return stream_sessionize_available_now(
+        spark, src, tbl, os.path.join(work, "ckpt"), 30)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating cascade (textstats.quality_filter — the
     Gopher/C4-style rule stack, Rae 2021 table A1): first failing
@@ -2465,7 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equalize_lut/rgb_to_gray/session_window_native/terrain_indices/
         # zonal_quantiles/polygon_area_centroid/point_geodesics/
         # phash_dup_groups/integral_image/morph_open/flow_accumulation/
-        # watersheds/cost_distance/stream_cohort/zonal_mode:
+        # watersheds/cost_distance/stream_cohort/zonal_mode/stream_sessions:
         # below-marker brand-new,
         # sibling-covered (events_cell_count / stream_window_counts
         # certify the events scan + windowed-agg surface; the
@@ -2490,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance": q_cost_distance,
         "stream_cohort": q_stream_cohort,
         "zonal_mode": q_zonal_mode,
+        "stream_sessions": q_stream_sessions,
         # -- displaced r03-green -> MUST head r06 (siblings in docstring)
         "stream_user_counts": q_stream_user_counts,
         "phash_near_dups": q_phash_near_dups,
@@ -5679,4 +5721,5 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_composite"] = sql["temporal_composite"]
     sql["stream_decontaminate"] = sql["decontaminate"]
     sql["stream_cohort"] = sql["cohort_retention"]
+    sql["stream_sessions"] = sql["event_sessions"]
     return sql

@@ -524,3 +524,84 @@ def stream_cohort_available_now(
     return (j.groupBy(F.col("day0").alias("cohort_day"),
                       (F.col("day") - F.col("day0")).alias("day_offset"))
             .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+def stream_sessionize_available_now(
+    spark: SparkSession,
+    events_path: str,
+    table: TableIO,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """CROSS-BATCH incremental sessionization — the stateful-streaming
+    face of ``operators.events.sessionize``: events arrive as strictly
+    TIME-ORDERED files (one per micro-batch); each batch is sessionized
+    locally, then merged against the session STATE table: a user's
+    latest open session extends with the batch's earliest session when
+    the inactivity gap is ≤ the threshold (sessions spanning many
+    batches merge transitively, one link per batch). The state commits
+    as a TableIO ``replace`` snapshot per batch, idempotent under
+    replay via completed_chunks — so the final state EXACTLY equals
+    the one-shot batch sessionize and the oracle is event_sessions'
+    SQL verbatim.
+
+    Correctness requires time-ordered batches (the caller stamps file
+    mtimes ascending); merged session ids stay the MIN event_id of the
+    merged span (least of the two candidates), preserving the batch
+    operator's engine-stable keys."""
+    from pyspark.sql import Window
+
+    from rasters_spark.operators import events as eventops
+
+    gap_us = gap_minutes * 60_000_000
+    schema = spark.read.parquet(events_path).schema
+    es = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(events_path))
+    cols = ["user_id", "session_id", "n_events", "n_error", "first_us", "last_us"]
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        cid = f"batch-{batch_id}"
+        if cid in table.completed_chunks("sessions"):
+            return
+        bs = (eventops.sessionize(batch_df.dropDuplicates(["event_id"]), gap_minutes)
+              .select(*cols))
+        has_state = any(s["operation"] in ("append", "replace")
+                        for s in table.snapshots())
+        if not has_state:
+            state = bs
+        else:
+            prev = table.read(spark).select(*cols)
+            wp = Window.partitionBy("user_id").orderBy(F.col("last_us").desc())
+            wb = Window.partitionBy("user_id").orderBy(F.col("first_us").asc())
+            p1 = (prev.withColumn("rnp", F.row_number().over(wp))
+                  .filter("rnp = 1").drop("rnp"))
+            b1 = (bs.withColumn("rnb", F.row_number().over(wb))
+                  .filter("rnb = 1").drop("rnb"))
+            cand = (p1.alias("p").join(b1.alias("b"), "user_id")
+                    .filter(F.col("b.first_us") - F.col("p.last_us") <= gap_us))
+            merged = cand.select(
+                "user_id",
+                F.least("p.session_id", "b.session_id").alias("session_id"),
+                (F.col("p.n_events") + F.col("b.n_events")).alias("n_events"),
+                (F.col("p.n_error") + F.col("b.n_error")).alias("n_error"),
+                F.col("p.first_us").alias("first_us"),
+                F.col("b.last_us").alias("last_us"))
+            dead_p = cand.select("user_id", F.col("p.session_id").alias("session_id"))
+            dead_b = cand.select("user_id", F.col("b.session_id").alias("session_id"))
+            state = (prev.join(dead_p, ["user_id", "session_id"], "left_anti")
+                     .unionByName(bs.join(dead_b, ["user_id", "session_id"], "left_anti"))
+                     .unionByName(merged))
+        table.write(state, operation="replace", job_id="sessions",
+                    chunk_id=cid, inputs=[events_path])
+
+    q = (
+        es.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark).select(
+        "user_id", "session_id", "n_events", "n_error", "first_us", "last_us",
+        (F.col("last_us") - F.col("first_us")).alias("duration_us"))

@@ -442,3 +442,48 @@ def test_stream_cohort_matches_batch(spark, tmp_path):
     assert got == batch
     snaps = [s for s in tbl.snapshots() if s["operation"] == "stream-cohort"]
     assert len(snaps) >= 2
+
+
+def test_stream_sessionize_merges_across_batches(spark, tmp_path):
+    """A session whose events straddle the batch-file boundary must
+    merge into ONE state row equal to the batch answer."""
+    import datetime as dt
+    import os
+
+    from rasters_spark.operators import events as eventops
+    from rasters_spark.streaming import stream_sessionize_available_now
+    from rasters_spark.tableio import TableIO
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view"),
+        (2, t0 + dt.timedelta(minutes=20), 7, "error"),     # file 0
+        (3, t0 + dt.timedelta(minutes=40), 7, "click"),     # file 1: 20-min gap -> SAME session
+        (4, t0 + dt.timedelta(minutes=200), 7, "view"),     # file 2: new session
+        (5, t0 + dt.timedelta(minutes=30), 9, "view"),      # other user, file 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    splits = [df.filter("event_id <= 2"), df.filter("event_id in (3, 5)"),
+              df.filter("event_id = 4")]
+    for k, part in enumerate(splits):
+        tmp = str(tmp_path / f"t{k}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(tmp, pf), dst)
+        os.utime(dst, (1700000000 + k * 3600,) * 2)
+    tbl = TableIO(str(tmp_path / "tbl"))
+    got = {(r.user_id, r.session_id): (r.n_events, r.n_error, r.duration_us)
+           for r in stream_sessionize_available_now(
+               spark, src, tbl, str(tmp_path / "ckpt"), 30).collect()}
+    batch = {(r.user_id, r.session_id): (r.n_events, r.n_error, r.duration_us)
+             for r in eventops.sessionize(df, 30).collect()}
+    assert got == batch
+    assert got[(7, 1)] == (3, 1, 40 * 60 * 1_000_000)  # straddles files 0|1
+    assert (7, 4) in got and (9, 5) in got
+    # one replace snapshot per micro-batch
+    reps = [s for s in tbl.snapshots() if s["operation"] == "replace"]
+    assert len(reps) == 3
