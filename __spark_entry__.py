@@ -2383,7 +2383,7 @@ def q_events_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is a coverage lever: the driver's correctness gate
     certifies the first 50 entries each round (rotation policy in
-    CLAUDE.md; the window is now ⌈148/50⌉ = 3 rounds). Round-5 head
+    CLAUDE.md; the window is now ⌈149/50⌉ = 3 rounds). Round-5 head
     (exactly 50): the 34 brand-new round-5 entries (14 from the
     continuation session + 20 from earlier in the round — none has
     ever held a driver row, so they outrank everything), then
