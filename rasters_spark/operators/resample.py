@@ -225,6 +225,11 @@ def to_grid_conv(tiles: DataFrame, target: dict, resampling: str = "linear") -> 
         d = d.withColumn(
             f"cc_{_lbl(i)}",
             F.expr(f"least(greatest(cast(floor(fc) as bigint) + ({i}), 0), w - 1)"))
+    # NOTE (round-6, measured): the taps deliberately stay on the Arrow
+    # slice kernel — the pure-JVM hex/conv bit decode that now powers
+    # sample_nearest was 3x SLOWER here (interleaved A/B, 16-tap cubic
+    # 6.5 s vs 2.3 s): 16 conv chains per row lose to ONE fused
+    # ArrowEvalPython that decodes every tap in a single round trip.
     for i in taps:
         for j in taps:
             d = d.withColumn(

@@ -102,6 +102,105 @@ def _idw_tile(arr: np.ndarray, t, qx: np.ndarray, qy: np.ndarray,
 
 
 
+def _le32_bits(sl: str) -> str:
+    """bigint from a 4-byte little-endian binary expression ``sl`` —
+    hex() then byte-swap the hex pairs and conv() base-16. Pure JVM
+    string/integer ops, no Python boundary."""
+    h = f"hex({sl})"
+    return (f"conv(concat(substring({h},7,2),substring({h},5,2),"
+            f"substring({h},3,2),substring({h},1,2)),16,10)")
+
+
+def _f32_from_bits(bits: str) -> str:
+    """IEEE-754 binary32 → double from a bigint bit pattern — exact:
+    (mantissa + 2^23)·2^(exp−150) is a 24-bit integer times a power of
+    two, both exactly representable in double. NaN → NULL (the Arrow
+    kernel's NaN→null convention at the relational boundary), ±Inf kept."""
+    sign = f"IF(({bits} >> 31) & 1 = 1, -1.0, 1.0)"
+    exp = f"(({bits} >> 23) & 255)"
+    man = f"({bits} & 8388607)"
+    return (
+        f"CASE WHEN {exp} = 255 THEN "
+        f"  CASE WHEN {man} = 0 THEN {sign} * cast('Infinity' as double) "
+        f"       ELSE cast(null as double) END "
+        f"WHEN {exp} = 0 THEN {sign} * cast({man} as double) * power(2.0, -149.0) "
+        f"ELSE {sign} * cast({man} + 8388608 as double) * "
+        f"     power(2.0, cast({exp} as double) - 150.0) END")
+
+
+def _q8_chain_sql(vminf: str, vmaxf: str, q: str) -> str:
+    """q8 decode in SQL, bit-identical to ``codec.pixel_at``'s float32
+    chain: every step is rounded to binary32 via cast(... as float) —
+    double-rounding through float64 is innocuous for /,*,+ at 24 vs 53
+    bits (>= 2p+2), so each cast equals the direct float32 op.
+    ``vminf``/``vmaxf`` are float columns, ``q`` a bigint byte column."""
+    sub = f"cast(({vmaxf} - {vminf}) as float)"
+    span = f"IF(cast({sub} as double) = 0.0, cast(1.0 as float), {sub})"
+    t1 = f"cast((cast({q} as float) / cast(254.0 as float)) as float)"
+    t2 = f"cast(({t1} * {span}) as float)"
+    out = f"cast(({vminf} + {t2}) as float)"
+    return f"IF({q} = 255, cast(null as double), cast({out} as double))"
+
+
+def _q8_header_float_sql(pos: int) -> str:
+    """float32 at byte offset ``pos`` of a q8 header, 0.0f for non-q8."""
+    hdr_bits = f"cast({_le32_bits(f'substring(bytes, {pos}, 4)')} as bigint)"
+    return (f"IF(fmt = 'q8', cast(({_f32_from_bits(hdr_bits)}) as float), "
+            f"cast(0.0 as float))")
+
+
+def pixel_value_sql(df: DataFrame, row_col: str, col_col: str,
+                    value_name: str = "value") -> DataFrame:
+    """Attach the decoded pixel at (``row_col``, ``col_col``) as a double
+    column — ENTIRELY inside the JVM (hex/conv bit math), no
+    ArrowEvalPython node, semantically identical to
+    ``slice_pixel`` + ``_nearest_slice_kernel`` (NaN→NULL, i32 sentinel
+    → NULL, q8 float32 chain bit-exact; verified exhaustively against
+    ``codec.pixel_at`` and re-certified against the DuckDB oracles of
+    every slice-decode query). Round-6 optimization: the Python
+    boundary round trip was ~60% of merge_mean's wall even at 8 B/row
+    (guide §4.1 — built-ins beat any UDF). The per-row bit pattern and
+    the q8 header floats are hoisted into their own projection columns
+    (CollapseProject keeps non-cheap aliases un-inlined) so each
+    hex/conv runs once per row, not once per reference — inlining them
+    measured 1.8× slower."""
+    off = f"({row_col}*w+{col_col})"
+    b = f"_pxb_{value_name}"
+    vminf, vmaxf = f"_vmin_{value_name}", f"_vmax_{value_name}"
+    # one bits column per fmt family: raw/i32 → LE uint32 of the 4-byte
+    # slice, b1/q8 → the single byte value
+    bits_expr = (
+        f"CASE WHEN fmt IN ('raw','i32') THEN "
+        f"cast({_le32_bits(f'substring(bytes, cast(4*{off} as int) + 1, 4)')} as bigint) "
+        f"WHEN fmt = 'b1' THEN cast(conv(hex(substring(bytes, cast({off} as int) + 1, 1)),16,10) as bigint) "
+        f"ELSE cast(conv(hex(substring(bytes, cast({off} as int) + 9, 1)),16,10) as bigint) END")
+    i32 = f"IF({b} >= 2147483648, {b} - 4294967296, {b})"
+    val_expr = (
+        f"CASE WHEN fmt = 'raw' THEN ({_f32_from_bits(b)}) "
+        f"WHEN fmt = 'i32' THEN IF({i32} = -2147483648, cast(null as double), cast({i32} as double)) "
+        f"WHEN fmt = 'b1' THEN cast({b} as double) "
+        f"ELSE ({_q8_chain_sql(vminf, vmaxf, b)}) END")
+    has_hdr = "_q8hdr_vmin" in df.columns
+    if not has_hdr:
+        df = (df.withColumn(vminf, F.expr(_q8_header_float_sql(1)))
+                .withColumn(vmaxf, F.expr(_q8_header_float_sql(5))))
+    else:
+        df = (df.withColumn(vminf, F.col("_q8hdr_vmin"))
+                .withColumn(vmaxf, F.col("_q8hdr_vmax")))
+    return (df.withColumn(b, F.expr(bits_expr))
+              .withColumn(value_name, F.expr(val_expr))
+              .drop(b, vminf, vmaxf))
+
+
+def with_q8_header(df: DataFrame) -> DataFrame:
+    """Precompute the q8 header floats ONCE for callers that decode many
+    pixels per row (to_grid_conv's 4-16 taps): pixel_value_sql reuses
+    ``_q8hdr_vmin``/``_q8hdr_vmax`` instead of re-deriving the header
+    per tap. Drop the columns after the last decode."""
+    return (df.withColumn("_q8hdr_vmin", F.expr(_q8_header_float_sql(1)))
+              .withColumn("_q8hdr_vmax", F.expr(_q8_header_float_sql(5))))
+
+
 def slice_pixel(row_col: str, col_col: str):
     """JVM-side single-pixel byte slice for a (bytes, w, fmt) row given
     pixel coordinates in columns ``row_col``/``col_col``: 4 bytes
@@ -130,14 +229,12 @@ def decode_slice(sl, fmt):
 def sample_nearest(joined: DataFrame, value_name: str = "value") -> DataFrame:
     """Nearest-pixel sampling with JVM-side byte slicing.
 
-    The joined rows carry the full tile blob; slicing the 4 (raw) / 9
-    (q8) relevant bytes with binary ``substring`` INSIDE the join stage
-    means Arrow ships ~8 bytes/row to Python instead of the whole tile
-    — on skewed cells (one tile matched by thousands of points) this is
-    the difference between ~4 MB and ~GBs per stage."""
-    return joined.withColumn("_sl", slice_pixel("prow", "pcol")).withColumn(
-        value_name, _nearest_slice_kernel(F.col("_sl"), F.col("fmt"))
-    ).drop("_sl")
+    The joined rows carry the full tile blob; the relevant 4 (raw) / 9
+    (q8) bytes are sliced AND decoded inside the JVM
+    (``pixel_value_sql`` — hex/conv IEEE-754 bit math), so the stage has
+    no Python boundary at all (round-6: the ArrowEvalPython round trip
+    was the dominant cost even at 8 B/row)."""
+    return pixel_value_sql(joined, "prow", "pcol", value_name)
 
 
 _TILE_PAYLOAD = ("bytes", "w", "h", "fmt", "x_origin", "y_origin",
