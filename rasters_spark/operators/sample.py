@@ -299,16 +299,46 @@ def _sharded_tile_agg(skinny: DataFrame, keep: list[str], payload: DataFrame,
         agg = skinny.groupBy(F.col("image_id").alias("_aimg")).agg(structs)
         return payload.join(agg, payload["_img"] == agg["_aimg"]).drop("_img", "_aimg")
     if tile_counts is None:
-        # counts from a REPARTITION of the index, not a second pass over
-        # its lineage: the aggregate downstream groups on (image_id,
-        # _shard), which the image_id hash partitioning already
-        # satisfies (subset rule — no second struct exchange for the
-        # agg), and the counts branch re-reads the SAME shuffle output
-        # (AQE stage reuse) instead of recomputing the spatial join.
-        # Measured (tools/bench_skew_grouped.py, uniform 2M points):
-        # 11.9 s (lineage recompute) → 8.4 s vs 6.8 s unsalted.
-        skinny = skinny.repartition("image_id")
-        tile_counts = skinny.groupBy("image_id").agg(F.count(F.lit(1)).alias("n"))
+        # round-6 replan: per-tile match counts via a WINDOW over the
+        # image_id partitioning instead of a separate counts subtree.
+        # The r5 shape (repartition + counts groupBy + broadcast join +
+        # payload fanout explode + 2-key join) relied on AQE exchange
+        # reuse that column pruning defeats — the captured plan showed
+        # the whole spatial join computed THREE times and the counts
+        # aggregate twice (plans/r06/point_sample_idw_before.txt, 26
+        # Exchanges). Here: ONE exchange on image_id feeds the window
+        # count, the (image_id, _shard) aggregate reuses that
+        # partitioning (subset rule — no second exchange), and the
+        # payload equi-joins on image_id alone, so blobs still cross
+        # exactly one exchange. A hot tile's shard rows co-locate in
+        # one partition (they no longer spread via the fanout join) —
+        # each row stays bounded at shard_target structs, which is the
+        # OOM protection the sharding exists for; per-row kernel work
+        # is vectorized, so co-location costs a straggler only in the
+        # pathological one-giant-tile case (documented trade: the r5
+        # spread cost 2 extra subtree computations per run, measured
+        # ~2x the whole stage at sf0.1).
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy("image_id")
+        skinny2 = skinny.withColumn("_n", F.count(F.lit(1)).over(win))
+        hash_cols = [c for c in keep if c != "image_id"]
+        skinny2 = skinny2.withColumn(
+            "_ns", F.least(
+                F.lit(max_shards),
+                F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(float(shard_target))))
+            ).cast("int")
+        ).withColumn(
+            "_shard", F.pmod(F.hash(*[F.col(c) for c in hash_cols]), F.col("_ns")))
+        agg = skinny2.groupBy(F.col("image_id").alias("_aimg"),
+                              F.col("_shard").alias("_ashard")).agg(structs)
+        # SHUFFLE_HASH, payload as build side: without the hint the
+        # planner broadcast-collects the blob table through the driver
+        # (~100 MB serial at sf0.1, unbounded at scale); the hash join
+        # shuffles it once, in parallel, and builds one-row-per-tile
+        # maps per partition
+        return (payload.hint("shuffle_hash").join(agg, payload["_img"] == agg["_aimg"])
+                .drop("_img", "_aimg", "_ashard"))
     counts = (tile_counts
               .withColumn("_ns", F.least(
                   F.lit(max_shards),
@@ -395,35 +425,53 @@ def sample_idw(joined: DataFrame, tiles: DataFrame | None = None,
         list(skinny.schema.fields) + [StructField(value_name, DoubleType())])
 
     def run(batches):
-        for pdf in batches:
-            # ONE output DataFrame per Arrow batch: per-tile frames +
-            # concat cost ~0.2 ms × n_tiles and dominated the stage at
-            # 171k matched tiles
-            cols = {c: pdf[c].values for c in
-                    ("_rows", "bytes", "w", "h", "fmt",
-                     "x_origin", "y_origin", "cell_width", "cell_height")}
-            all_rows: list = []
-            vals_parts: list = []
-            for i in range(len(pdf)):
-                rows = cols["_rows"][i]
-                arr = codec.decode_tile(cols["bytes"][i], int(cols["w"][i]),
-                                        int(cols["h"][i]), cols["fmt"][i])
-                qx = np.fromiter((d["x"] for d in rows), np.float64, len(rows))
-                qy = np.fromiter((d["y"] for d in rows), np.float64, len(rows))
-                vals_parts.append(_idw_tile(
-                    arr,
-                    {"x_origin": cols["x_origin"][i], "y_origin": cols["y_origin"][i],
-                     "cell_width": cols["cell_width"][i], "cell_height": cols["cell_height"][i]},
-                    qx, qy, power))
-                all_rows.extend(rows)
-            if all_rows:
-                out = pd.DataFrame(all_rows)
-                out[value_name] = np.concatenate(vals_parts)
-                yield out
-            else:
-                yield pd.DataFrame({c: [] for c in out_cols + [value_name]})
+        # mapInArrow (round-6): the point structs stay Arrow end to end —
+        # pc.list_flatten explodes the per-tile arrays zero-copy and the
+        # output batch reuses the flattened field arrays, replacing the
+        # per-row dict conversion + pd.DataFrame(list-of-dicts) of the
+        # mapInPandas version (nested list<struct> -> pandas goes
+        # through per-element Python objects)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return withp.mapInPandas(run, schema=out_schema)
+        for batch in batches:
+            rows_col = batch.column(batch.schema.get_field_index("_rows"))
+            if len(rows_col) == 0 or isinstance(rows_col, pa.ChunkedArray):
+                rows_col = pa.concat_arrays(rows_col.chunks) if isinstance(rows_col, pa.ChunkedArray) else rows_col
+            if len(rows_col) == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=rows_col.type.value_type.field(i).type)
+                     for i in range(len(out_cols))]
+                    + [pa.array([], type=pa.float64())],
+                    names=out_cols + [value_name])
+                continue
+            flat = pc.list_flatten(rows_col)
+            lengths = pc.list_value_length(rows_col).to_numpy().astype(np.int64)
+            starts = np.r_[0, np.cumsum(lengths)]
+            name_of = {n: flat.type.get_field_index(n) for n in out_cols}
+            qx_all = flat.field(name_of["x"]).to_numpy(zero_copy_only=False)
+            qy_all = flat.field(name_of["y"]).to_numpy(zero_copy_only=False)
+            col = {c: batch.column(batch.schema.get_field_index(c))
+                   for c in ("bytes", "w", "h", "fmt",
+                             "x_origin", "y_origin", "cell_width", "cell_height")}
+            vals = np.empty(len(flat), dtype=np.float64)
+            for i in range(len(rows_col)):
+                s, e2 = starts[i], starts[i + 1]
+                arr = codec.decode_tile(col["bytes"][i].as_py(),
+                                        col["w"][i].as_py(), col["h"][i].as_py(),
+                                        col["fmt"][i].as_py())
+                vals[s:e2] = _idw_tile(
+                    arr,
+                    {"x_origin": col["x_origin"][i].as_py(),
+                     "y_origin": col["y_origin"][i].as_py(),
+                     "cell_width": col["cell_width"][i].as_py(),
+                     "cell_height": col["cell_height"][i].as_py()},
+                    qx_all[s:e2], qy_all[s:e2], power)
+            arrays = [flat.field(name_of[c]) for c in out_cols]
+            arrays.append(pa.array(vals, type=pa.float64(), from_pandas=True))
+            yield pa.RecordBatch.from_arrays(arrays, names=out_cols + [value_name])
+
+    return withp.mapInArrow(run, schema=out_schema)
 
 
 def sample_nearest_grouped(joined: DataFrame, tiles: DataFrame,
@@ -449,15 +497,29 @@ def sample_nearest_grouped(joined: DataFrame, tiles: DataFrame,
     3. a mapInPandas kernel reads each matched pixel with
        ``codec.pixel_at`` — O(1) byte slices, no tile decode.
 
-    Pixel bytes never cross an exchange and nothing is driver-serial in
-    the matched-pair count. A hot tile (n matches > ``shard_target``)
-    spreads its aggregate over up to ``max_shards`` shard rows/tasks
-    (``_sharded_tile_agg``), so no single collect_list row — and no
-    single kernel task — grows with the hot-tile match count.
-    Result ≡ sample_nearest (same oracle)."""
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    Pixel bytes never fan out through an exchange (blobs cross exactly
+    one exchange, once per tile) and nothing is driver-serial in the
+    matched-pair count. Result ≡ sample_nearest (same oracle).
 
+    Round-6 replan (guide §8 — decide with small rows, move big rows
+    once): the r4/r5 shape aggregated the matched index into per-tile
+    collect_list rows, joined the payload to the aggregate and read
+    pixels in a Python kernel. With the pixel decode now pure JVM
+    (``pixel_value_sql``), the whole cogroup/kernel machinery is
+    unnecessary: the skinny matched pairs shuffle-join the payload on
+    image_id and the per-pair decode fuses into the join's codegen
+    stage — the buffered payload row's blob is READ (4-9 bytes per
+    pair), never copied or shipped. No per-group buffer exists at all,
+    so the hot-tile OOM surface the r5 sharding protected against is
+    gone by construction, and AQE skew-join splitting spreads a hot
+    tile's pairs natively. ``shard_target``/``max_shards``/
+    ``tile_counts`` are retained for API compatibility but no longer
+    used — there is no aggregate to shard. The join is pinned to
+    SHUFFLE_HASH with the one-row-per-tile payload as build side:
+    planner estimates must never choose to broadcast-collect blobs (or
+    the matched pairs) through the driver — that serial build was the
+    measured 2→8-core efficiency cliff (0.95 → 0.47) at 1M points."""
+    del shard_target, max_shards, tile_counts  # kept for API compatibility
     payload = tiles.select(
         F.col("image_id").alias("_img"), "bytes", "w", "h", "fmt",
         *[F.col(c).alias(c) for c in ("caption",) if c in tiles.columns])
@@ -465,39 +527,11 @@ def sample_nearest_grouped(joined: DataFrame, tiles: DataFrame,
             if c not in ("bytes", "w", "h", "fmt", "grid", "bbox", "caption", "phash",
                          "x_origin", "y_origin", "cell_width", "cell_height", "crs")]
     skinny = joined.select(*keep)
-    withp = _sharded_tile_agg(skinny, keep, payload,
-                              shard_target, max_shards, tile_counts)
     out_cols = keep + [c for c in ("caption",) if c in tiles.columns]
-    out_schema = StructType(
-        [f for f in skinny.schema.fields]
-        + [f for f in payload.schema.fields if f.name == "caption"]
-        + [StructField(value_name, DoubleType())])
-
-    def run(batches):
-        for pdf in batches:
-            all_rows: list = []
-            vals: list = []
-            caps: list = []
-            has_cap = "caption" in pdf.columns
-            for i in range(len(pdf)):
-                rows = pdf["_rows"].iloc[i]
-                blob, w, h, fmt = (pdf["bytes"].iloc[i], int(pdf["w"].iloc[i]),
-                                   int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i])
-                for d in rows:
-                    vals.append(codec.pixel_at(blob, w, h, fmt, int(d["prow"]), int(d["pcol"])))
-                all_rows.extend(rows)
-                if has_cap:
-                    caps.extend([pdf["caption"].iloc[i]] * len(rows))
-            if all_rows:
-                out = pd.DataFrame(all_rows)
-                if has_cap:
-                    out["caption"] = caps
-                out[value_name] = np.array(vals, dtype=np.float64)
-                yield out
-            else:
-                yield pd.DataFrame({c: [] for c in out_cols + [value_name]})
-
-    return withp.mapInPandas(run, schema=out_schema)
+    j = skinny.join(payload.hint("shuffle_hash"),
+                    skinny["image_id"] == payload["_img"]).drop("_img")
+    return pixel_value_sql(j, "prow", "pcol", value_name).select(
+        *out_cols, value_name)
 
 
 def sample_auto(joined: DataFrame, tiles: DataFrame | None = None,
