@@ -154,6 +154,38 @@ def ring_cells(cid, level: int, ring: int) -> Column:
     )
 
 
+def ring_cells_bbox(bbox: Column, level: int, ring: int) -> Column:
+    """Union of Chebyshev-``ring`` neighborhoods around EVERY cell a
+    bbox covers → array<long> of DISTINCT cells, generated directly as
+    the padded index rectangle (round-6 kNN optimization).
+
+    ``cells_for_bbox`` covers the contiguous clamped range
+    [iy0..iy1]×[ix0..ix1]; the union of rings around those cells is
+    exactly [iy0−R..iy1+R]×[ix0−R..ix1+R] with latitude clamped and
+    longitude wrapped — so generating the padded rectangle yields the
+    identical candidate set as exploding per-cell rings, WITHOUT the
+    ~4× duplicate rows a multi-cell footprint produces (adjacent cells'
+    rings overlap). Distinctness is by construction: each iy appears
+    once, and the ix sequence is capped at nx values before the pmod
+    wrap."""
+    nx, ny = 2 * (1 << level), 1 << level
+    ix0, ix1 = cell_ix(bbox["xmin"], level), cell_ix(bbox["xmax"], level)
+    iy0, iy1 = cell_iy(bbox["ymax"], level), cell_iy(bbox["ymin"], level)
+    lo_y = F.greatest(F.lit(0), iy0 - ring)
+    hi_y = F.least(F.lit(ny - 1), iy1 + ring)
+    lo_x = ix0 - ring
+    hi_x = F.least(ix1 + ring, lo_x + nx - 1)  # never wrap past a full circle
+    return F.flatten(
+        F.transform(
+            F.sequence(lo_y, hi_y),
+            lambda iy: F.transform(
+                F.sequence(lo_x, hi_x),
+                lambda ix: pack(level, iy, F.pmod(ix, F.lit(nx))),
+            ),
+        )
+    )
+
+
 def salted(cid, n_salts: int) -> Column:
     """Composite skew key: cell_id scaled + deterministic per-row salt.
 

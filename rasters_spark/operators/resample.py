@@ -293,6 +293,80 @@ def _segment_stat(key: np.ndarray, val: np.ndarray, stat: str):
     return keys, out, counts
 
 
+def _batch_cell_values(pdf: pd.DataFrame):
+    """Vectorized source-pixel → target-cell routing for a WHOLE Arrow
+    batch (round-6: the former per-tile Python loop — meshgrid +
+    index_point + masks per 16-64px tile — was ~60% of to_grid_med's
+    wall at 20k tiles; fixture shapes cycle through 9 (w,h) combos, so
+    batching by shape vectorizes ~all of it away).
+
+    Yields per (w, h) shape group: (row_positions, gkey, vals) where
+    ``row_positions`` are pdf row indices, ``gkey`` is the GLOBAL
+    int64 segment key ``pos·(t_rows·t_cols) + trow·t_cols + tcol`` and
+    ``vals`` the finite, in-bounds pixel values (float64) in C scan
+    order per tile — the same per-segment element ORDER as the
+    per-tile loop, so every downstream reduction stays bit-identical.
+    """
+    from rasters_spark import codec
+
+    n = len(pdf)
+    if n == 0:
+        return
+    ws = pdf["w"].to_numpy().astype(np.int64)
+    hs = pdf["h"].to_numpy().astype(np.int64)
+    fmts = pdf["fmt"].to_numpy()
+    blobs = pdf["bytes"].to_numpy()
+    x0s = pdf["x_origin"].to_numpy().astype(np.float64)
+    y0s = pdf["y_origin"].to_numpy().astype(np.float64)
+    cws = pdf["cell_width"].to_numpy().astype(np.float64)
+    chs = pdf["cell_height"].to_numpy().astype(np.float64)
+    t_x0 = float(pdf["t_x0"].iloc[0]); t_y0 = float(pdf["t_y0"].iloc[0])
+    t_cw = float(pdf["t_cw"].iloc[0]); t_ch = float(pdf["t_ch"].iloc[0])
+    t_rows = int(pdf["t_rows"].iloc[0]); t_cols = int(pdf["t_cols"].iloc[0])
+    span = t_rows * t_cols
+    shape_key = ws * 1_000_000 + hs
+    for sk in np.unique(shape_key):
+        pos = np.flatnonzero(shape_key == sk)
+        w = int(ws[pos[0]]); h = int(hs[pos[0]]); m = len(pos)
+        # bulk decode: one frombuffer per lossless format run, per-tile
+        # fallback only for q8 (~6% of fixture tiles)
+        V = np.empty((m, h * w), dtype=np.float64)
+        fsub = fmts[pos]
+        for fmt in ("raw", "i32", "b1"):
+            sel = np.flatnonzero(fsub == fmt)
+            if len(sel) == 0:
+                continue
+            cat = b"".join(blobs[pos[sel]])
+            if fmt == "raw":
+                V[sel] = np.frombuffer(cat, dtype="<f4").reshape(len(sel), h * w)
+            elif fmt == "i32":
+                iv = np.frombuffer(cat, dtype="<i4").reshape(len(sel), h * w)
+                fv = iv.astype(np.float64)
+                fv[iv == codec.I32_NODATA] = np.nan
+                V[sel] = fv
+            else:
+                V[sel] = np.frombuffer(cat, dtype=np.uint8).reshape(len(sel), h * w)
+        qsel = np.flatnonzero(~np.isin(fsub, ("raw", "i32", "b1")))
+        for q in qsel:
+            V[q] = codec.decode_tile(blobs[pos[q]], w, h, fmts[pos[q]]).ravel()
+        # per-tile pixel-center coords -> target indices (banker's round,
+        # the exact npref.index_point expression order)
+        px = x0s[pos, None] + cws[pos, None] * (np.arange(w) + 0.5)          # (m, w)
+        py = y0s[pos, None] + chs[pos, None] * (np.arange(h) + 0.5)          # (m, h)
+        tcol = np.round((px - t_x0) / t_cw - 0.5).astype(np.int64)
+        trow = np.round((py - t_y0) / t_ch - 0.5).astype(np.int64)
+        rok = (trow >= 0) & (trow < t_rows)                                   # (m, h)
+        cok = (tcol >= 0) & (tcol < t_cols)                                   # (m, w)
+        Vm = V.reshape(m, h, w)
+        mask = np.isfinite(Vm) & rok[:, :, None] & cok[:, None, :]
+        if not mask.any():
+            continue
+        gkey = (pos.astype(np.int64)[:, None, None] * span
+                + trow[:, :, None] * t_cols + tcol[:, None, :])
+        flat = mask.ravel()
+        yield pos, gkey.ravel()[flat], Vm.ravel()[flat]
+
+
 def to_grid_stat(tiles: DataFrame, target: dict, stat: str) -> DataFrame:
     """to_grid(resampling ∈ max/min/med/mode/q1/q3) — GDAL's
     aggregation-family kernels (constants.py:13-28): every SOURCE pixel
@@ -313,30 +387,23 @@ def to_grid_stat(tiles: DataFrame, target: dict, stat: str) -> DataFrame:
     schema = "image_id string, trow long, tcol long, value double, n long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rasters_spark import codec, npref
+        from rasters_spark.operators.resample import (_batch_cell_values,
+                                                      _segment_stat)
 
         for pdf in batches:
             frames = []
-            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
-                hh, ww = arr.shape
-                x0, y0 = pdf["x_origin"].iloc[i], pdf["y_origin"].iloc[i]
-                cw, ch = pdf["cell_width"].iloc[i], pdf["cell_height"].iloc[i]
-                px = x0 + cw * (np.arange(ww) + 0.5)
-                py = y0 + ch * (np.arange(hh) + 0.5)
-                PX, PY = np.meshgrid(px, py)
-                trow, tcol = npref.index_point(
-                    PX.ravel(), PY.ravel(),
-                    pdf["t_x0"].iloc[i], pdf["t_y0"].iloc[i], pdf["t_cw"].iloc[i], pdf["t_ch"].iloc[i])
-                v = arr.ravel().astype(np.float64)
-                ok = (np.isfinite(v) & (trow >= 0) & (trow < pdf["t_rows"].iloc[i])
-                      & (tcol >= 0) & (tcol < pdf["t_cols"].iloc[i]))
-                if not ok.any():
-                    continue
-                tc = int(pdf["t_cols"].iloc[i])
-                keys, out, counts = _segment_stat(trow[ok] * tc + tcol[ok], v[ok], stat)
+            span = int(pdf["t_rows"].iloc[0]) * int(pdf["t_cols"].iloc[0]) if len(pdf) else 0
+            tc = int(pdf["t_cols"].iloc[0]) if len(pdf) else 1
+            for pos, gkey, vals in _batch_cell_values(pdf):
+                # ONE lexsort + reduction per shape group: global keys
+                # embed the tile index, so per-segment ordering — and
+                # therefore every reduction — is identical to the
+                # former per-tile calls
+                keys, out, counts = _segment_stat(gkey, vals, stat)
+                cell = keys % span
                 frames.append(pd.DataFrame({
-                    "image_id": pdf["image_id"].iloc[i],
-                    "trow": keys // tc, "tcol": keys % tc,
+                    "image_id": pdf["image_id"].to_numpy()[keys // span],
+                    "trow": cell // tc, "tcol": cell % tc,
                     "value": out, "n": counts,
                 }))
             yield pd.concat(frames) if frames else pd.DataFrame(
@@ -494,34 +561,25 @@ def to_grid_average(tiles: DataFrame, target: dict) -> DataFrame:
     schema = "image_id string, trow long, tcol long, vsum double, n long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rasters_spark import codec, npref
+        from rasters_spark.operators.resample import _batch_cell_values
 
         for pdf in batches:
             frames = []
-            for i, arr in enumerate(codec.decode_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
-                hh, ww = arr.shape
-                x0, y0 = pdf["x_origin"].iloc[i], pdf["y_origin"].iloc[i]
-                cw, ch = pdf["cell_width"].iloc[i], pdf["cell_height"].iloc[i]
-                px = x0 + cw * (np.arange(ww) + 0.5)
-                py = y0 + ch * (np.arange(hh) + 0.5)
-                PX, PY = np.meshgrid(px, py)
-                trow, tcol = npref.index_point(
-                    PX.ravel(), PY.ravel(),
-                    pdf["t_x0"].iloc[i], pdf["t_y0"].iloc[i], pdf["t_cw"].iloc[i], pdf["t_ch"].iloc[i])
-                v = arr.ravel().astype(np.float64)
-                ok = (np.isfinite(v) & (trow >= 0) & (trow < pdf["t_rows"].iloc[i])
-                      & (tcol >= 0) & (tcol < pdf["t_cols"].iloc[i]))
-                if not ok.any():
-                    continue
-                key = trow[ok] * int(pdf["t_cols"].iloc[i]) + tcol[ok]
-                uniq, inv = np.unique(key, return_inverse=True)
+            span = int(pdf["t_rows"].iloc[0]) * int(pdf["t_cols"].iloc[0]) if len(pdf) else 0
+            tc = int(pdf["t_cols"].iloc[0]) if len(pdf) else 1
+            for pos, gkey, vals in _batch_cell_values(pdf):
+                # np.unique + add.at over GLOBAL (tile, cell) keys: each
+                # segment's elements keep their C scan order, so the
+                # accumulation order — and the float sum — is identical
+                # to the former per-tile calls
+                uniq, inv = np.unique(gkey, return_inverse=True)
                 sums = np.zeros(len(uniq)); cnts = np.zeros(len(uniq), dtype=np.int64)
-                np.add.at(sums, inv, v[ok])
+                np.add.at(sums, inv, vals)
                 np.add.at(cnts, inv, 1)
+                cell = uniq % span
                 frames.append(pd.DataFrame({
-                    "image_id": pdf["image_id"].iloc[i],
-                    "trow": uniq // int(pdf["t_cols"].iloc[i]),
-                    "tcol": uniq % int(pdf["t_cols"].iloc[i]),
+                    "image_id": pdf["image_id"].to_numpy()[uniq // span],
+                    "trow": cell // tc, "tcol": cell % tc,
                     "vsum": sums, "n": cnts,
                 }))
             yield pd.concat(frames) if frames else pd.DataFrame(

@@ -73,6 +73,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # tile rows are KB-sized; default 128MB splits starve parallelism
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # scale-adaptive scan-parallelism FLOOR (round-6): a 77 MB tile
+        # table under 8 MB splits yields ~10 scan tasks — a third of
+        # local[32] idle through every Arrow kernel stage. The floor is
+        # derived from the core count (not a constant), so big inputs
+        # are still governed by maxPartitionBytes while small ones
+        # fan out to the machine.
+        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
