@@ -48,14 +48,29 @@ def point_in_tile_join(
     """
     payload_cols = tuple(c for c in payload_cols if c in tiles_cells.columns)
     exploded = "cell_id" in tiles_cells.columns
+    # Round-6 replan: with the pixel decode now pure JVM
+    # (sample.pixel_value_sql), payload columns RIDE THE SCAN inline
+    # when the point side broadcasts — the whole flagship collapses to
+    # ONE stage (scan → cell explode → broadcast probe → decode →
+    # project) with zero exchanges, so the blob is only ever a pointer
+    # inside the codegen pipeline; the former index-then-fetch split
+    # (skinny join + matched-pair broadcast + payload re-scan) existed
+    # to keep bytes out of the Arrow boundary and cost a second scan +
+    # a driver-serial broadcast build per run. The split shape survives
+    # below for the non-broadcast (huge point side / bucketed payload)
+    # path, where the fanout would materialize blobs into an exchange.
+    bm = broadcast_points if broadcast_matched is None else broadcast_matched
+    inline_payload = bool(payload_cols) and broadcast_points and bm
     if exploded:
-        index = tiles_cells.drop(*payload_cols)
-        payload_src = tiles_cells.drop("cell_id").dropDuplicates(["image_id"]) if payload_cols else None
+        index = tiles_cells if inline_payload else tiles_cells.drop(*payload_cols)
+        payload_src = (None if inline_payload or not payload_cols
+                       else tiles_cells.drop("cell_id").dropDuplicates(["image_id"]))
     else:
         from rasters_spark.tiles import tiles_with_cells
 
-        index = tiles_with_cells(tiles_cells.drop(*payload_cols), level)
-        payload_src = tiles_cells if payload_cols else None
+        src = tiles_cells if inline_payload else tiles_cells.drop(*payload_cols)
+        index = tiles_with_cells(src, level)
+        payload_src = None if inline_payload or not payload_cols else tiles_cells
     pts = points.withColumn("cell_id", cells.cell_id(F.col("x"), F.col("y"), level))
     if n_salts:
         index = index.withColumn(
@@ -74,6 +89,11 @@ def point_in_tile_join(
         "pcol", grid.point_col(g, F.col("x"))
     )
     j = j.filter(grid.in_bounds(g, F.col("prow"), F.col("pcol")))
+    if inline_payload:
+        # reproduce the historical column order of the split shape:
+        # join cols (payload last) — callers select by name anyway
+        base = [c for c in j.columns if c not in payload_cols]
+        return j.select(*base, *payload_cols)
     if payload_src is not None:
         # matched pairs are bounded by |points|·fanout when the point side
         # was broadcast-able → broadcast them and STREAM the payload scan
@@ -100,7 +120,6 @@ def point_in_tile_join(
         # slower). For a huge point side prefer
         # sample.sample_nearest_grouped, which shuffles point structs
         # only (0.84 eff at 1M points) — see q_point_sample_join_grouped.
-        bm = broadcast_points if broadcast_matched is None else broadcast_matched
         matched = F.broadcast(slim) if bm else slim
         j = payload_src.join(matched, "image_id").select(*out_cols)
     return j
