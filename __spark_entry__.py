@@ -898,7 +898,7 @@ def q_trim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_merge_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
-    return resample.merge_mean(t, RASTERIZE_TARGET)
+    return resample.merge_mean(t, RASTERIZE_TARGET, fmts=("raw",))
 
 
 def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,7 +914,7 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin (group-max + join-back min(epoch)) agrees
     bit-for-bit — no printf."""
     t = load_tiles(spark, sf_dir).filter("fmt = 'raw'")
-    return resample.composite_max(t, RASTERIZE_TARGET)
+    return resample.composite_max(t, RASTERIZE_TARGET, fmts=("raw",))
 
 
 def q_mosaic_first(spark: SparkSession, sf_dir: str) -> DataFrame:

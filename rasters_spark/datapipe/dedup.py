@@ -256,12 +256,22 @@ def hamming_band_pairs(items: DataFrame, id_col: str = "image_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     ).withColumn("key", F.expr(f"shiftright(h, band * {width}) & {mask}"))
     a, b = banded.alias("a"), banded.alias("b")
+    # report-once: a pair agreeing on several bands survives ONLY at its
+    # FIRST agreeing band, so the join emits each pair exactly once and
+    # the former .distinct() — the sole shuffle in the whole query — is
+    # unnecessary (round-6; the same anchor trick as
+    # q_tile_windows_for_polygons). The first agreeing band is
+    # recomputed from the two full hashes post-join.
+    first_band = "CASE " + " ".join(
+        f"WHEN (shiftright(ha, {j * width}) & {mask}) = (shiftright(hb, {j * width}) & {mask}) THEN {j}"
+        for j in range(bands)) + " END"
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
-        .distinct()
+                F.col("a.h").alias("ha"), F.col("b.h").alias("hb"),
+                F.col("a.band").alias("band"))
+        .filter(F.col("band") == F.expr(first_band))
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
     return (cand.withColumn("hamming", ham)

@@ -63,18 +63,21 @@ def target_candidates(tiles: DataFrame, target: dict) -> DataFrame:
     return cand
 
 
-def _with_nearest_value(cand: DataFrame) -> DataFrame:
-    # JVM-side byte slicing (sample.sample_nearest): Arrow ships ~8 B per
-    # candidate instead of the whole tile blob
+def _with_nearest_value(cand: DataFrame,
+                        fmts: tuple[str, ...] | None = None) -> DataFrame:
+    # pure-JVM per-candidate pixel decode (sample.pixel_value_sql);
+    # ``fmts`` prunes dead format branches when the input is statically
+    # filtered (e.g. fmt='raw')
     from rasters_spark.operators.sample import sample_nearest
 
-    return sample_nearest(cand)
+    return sample_nearest(cand, fmts=fmts)
 
 
-def merge_mean(tiles: DataFrame, target: dict) -> DataFrame:
+def merge_mean(tiles: DataFrame, target: dict,
+               fmts: tuple[str, ...] | None = None) -> DataFrame:
     """Raster.merge float path: mean of valid overlaps per target cell
     → (trow, tcol, value, n)."""
-    v = _with_nearest_value(target_candidates(tiles, target))
+    v = _with_nearest_value(target_candidates(tiles, target), fmts)
     return v.groupBy("trow", "tcol").agg(
         (F.sum("value") / F.count("value")).alias("value"),
         F.count("value").alias("n"),
@@ -88,7 +91,8 @@ def mosaic_first(tiles: DataFrame, target: dict, order_col: str = "image_id") ->
     return v.groupBy("trow", "tcol").agg(F.min_by("value", order_col).alias("value"))
 
 
-def composite_max(tiles: DataFrame, target: dict, epoch_expr=None) -> DataFrame:
+def composite_max(tiles: DataFrame, target: dict, epoch_expr=None,
+                  fmts: tuple[str, ...] | None = None) -> DataFrame:
     """Greatest-value temporal compositing (max-NDVI-composite shape —
     EXTENSION beyond the reference; the reference stops at merge=mean
     raster.py:2014 and mosaic=first raster.py:2064): per target cell,
@@ -110,7 +114,7 @@ def composite_max(tiles: DataFrame, target: dict, epoch_expr=None) -> DataFrame:
     agrees bit-for-bit."""
     if epoch_expr is None:
         epoch_expr = F.expr("cast(substring(image_id, 4, 12) as bigint) % 3")
-    v = _with_nearest_value(target_candidates(tiles, target))
+    v = _with_nearest_value(target_candidates(tiles, target), fmts)
     v = (v.filter(F.col("value").isNotNull() & ~F.isnan("value"))
           .withColumn("epoch", epoch_expr)
           .withColumn("value", F.col("value").cast("double")))

@@ -150,7 +150,8 @@ def _q8_header_float_sql(pos: int) -> str:
 
 
 def pixel_value_sql(df: DataFrame, row_col: str, col_col: str,
-                    value_name: str = "value") -> DataFrame:
+                    value_name: str = "value",
+                    fmts: tuple[str, ...] | None = None) -> DataFrame:
     """Attach the decoded pixel at (``row_col``, ``col_col``) as a double
     column — ENTIRELY inside the JVM (hex/conv bit math), no
     ArrowEvalPython node, semantically identical to
@@ -167,29 +168,47 @@ def pixel_value_sql(df: DataFrame, row_col: str, col_col: str,
     off = f"({row_col}*w+{col_col})"
     b = f"_pxb_{value_name}"
     vminf, vmaxf = f"_vmin_{value_name}", f"_vmax_{value_name}"
+    # ``fmts``: branch pruning for callers whose input is statically
+    # filtered to known formats (e.g. merge_mean over fmt='raw') — the
+    # dead q8/i32 branches cost a measured ~20% of the stage even when
+    # never taken (bigger codegen, per-row header IFs)
+    all_fmts = ("raw", "i32", "b1", "q8")
+    fmts = tuple(f for f in all_fmts if fmts is None or f in fmts) or all_fmts
     # one bits column per fmt family: raw/i32 → LE uint32 of the 4-byte
     # slice, b1/q8 → the single byte value
-    bits_expr = (
-        f"CASE WHEN fmt IN ('raw','i32') THEN "
-        f"cast({_le32_bits(f'substring(bytes, cast(4*{off} as int) + 1, 4)')} as bigint) "
-        f"WHEN fmt = 'b1' THEN cast(conv(hex(substring(bytes, cast({off} as int) + 1, 1)),16,10) as bigint) "
-        f"ELSE cast(conv(hex(substring(bytes, cast({off} as int) + 9, 1)),16,10) as bigint) END")
+    bits_of = {
+        "raw": f"cast({_le32_bits(f'substring(bytes, cast(4*{off} as int) + 1, 4)')} as bigint)",
+        "b1": f"cast(conv(hex(substring(bytes, cast({off} as int) + 1, 1)),16,10) as bigint)",
+        "q8": f"cast(conv(hex(substring(bytes, cast({off} as int) + 9, 1)),16,10) as bigint)",
+    }
+    bits_of["i32"] = bits_of["raw"]
     i32 = f"IF({b} >= 2147483648, {b} - 4294967296, {b})"
-    val_expr = (
-        f"CASE WHEN fmt = 'raw' THEN ({_f32_from_bits(b)}) "
-        f"WHEN fmt = 'i32' THEN IF({i32} = -2147483648, cast(null as double), cast({i32} as double)) "
-        f"WHEN fmt = 'b1' THEN cast({b} as double) "
-        f"ELSE ({_q8_chain_sql(vminf, vmaxf, b)}) END")
-    has_hdr = "_q8hdr_vmin" in df.columns
-    if not has_hdr:
-        df = (df.withColumn(vminf, F.expr(_q8_header_float_sql(1)))
-                .withColumn(vmaxf, F.expr(_q8_header_float_sql(5))))
-    else:
-        df = (df.withColumn(vminf, F.col("_q8hdr_vmin"))
-                .withColumn(vmaxf, F.col("_q8hdr_vmax")))
+    val_of = {
+        "raw": f"({_f32_from_bits(b)})",
+        "i32": f"IF({i32} = -2147483648, cast(null as double), cast({i32} as double))",
+        "b1": f"cast({b} as double)",
+        "q8": f"({_q8_chain_sql(vminf, vmaxf, b)})",
+    }
+
+    def _case(exprs: dict) -> str:
+        if len(fmts) == 1:
+            return exprs[fmts[0]]
+        branches = " ".join(f"WHEN fmt = '{f}' THEN {exprs[f]}" for f in fmts[:-1])
+        return f"CASE {branches} ELSE {exprs[fmts[-1]]} END"
+
+    bits_expr = _case(bits_of)
+    val_expr = _case(val_of)
+    need_hdr = "q8" in fmts
+    if need_hdr:
+        if "_q8hdr_vmin" in df.columns:
+            df = (df.withColumn(vminf, F.col("_q8hdr_vmin"))
+                    .withColumn(vmaxf, F.col("_q8hdr_vmax")))
+        else:
+            df = (df.withColumn(vminf, F.expr(_q8_header_float_sql(1)))
+                    .withColumn(vmaxf, F.expr(_q8_header_float_sql(5))))
     return (df.withColumn(b, F.expr(bits_expr))
               .withColumn(value_name, F.expr(val_expr))
-              .drop(b, vminf, vmaxf))
+              .drop(*([b, vminf, vmaxf] if need_hdr else [b])))
 
 
 def with_q8_header(df: DataFrame) -> DataFrame:
@@ -226,7 +245,8 @@ def decode_slice(sl, fmt):
     return _nearest_slice_kernel(sl, fmt)
 
 
-def sample_nearest(joined: DataFrame, value_name: str = "value") -> DataFrame:
+def sample_nearest(joined: DataFrame, value_name: str = "value",
+                   fmts: tuple[str, ...] | None = None) -> DataFrame:
     """Nearest-pixel sampling with JVM-side byte slicing.
 
     The joined rows carry the full tile blob; the relevant 4 (raw) / 9
@@ -234,7 +254,7 @@ def sample_nearest(joined: DataFrame, value_name: str = "value") -> DataFrame:
     (``pixel_value_sql`` — hex/conv IEEE-754 bit math), so the stage has
     no Python boundary at all (round-6: the ArrowEvalPython round trip
     was the dominant cost even at 8 B/row)."""
-    return pixel_value_sql(joined, "prow", "pcol", value_name)
+    return pixel_value_sql(joined, "prow", "pcol", value_name, fmts)
 
 
 _TILE_PAYLOAD = ("bytes", "w", "h", "fmt", "x_origin", "y_origin",

@@ -413,7 +413,7 @@ def stream_composite_available_now(
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         part = resample.composite_max(
             with_grid(batch_df.dropDuplicates(["image_id"]).filter("fmt = 'raw'")),
-            target)
+            target, fmts=("raw",))
         table.write(part, operation="stream-composite", job_id="composite",
                     chunk_id=f"batch-{batch_id}", inputs=[tiles_path])
 
