@@ -87,19 +87,39 @@ def knn_tiles(
         # engines (numpy / DuckDB oracle), libm pow is not guaranteed to be
         .withColumn("dist", F.sqrt(dx * dx + dy * dy))
     )
-    # ONE hash aggregation does dedup + top-k: a tile seen via several
-    # ring cells collapses in collect_set (identical (dist, image_id)
-    # structs), array_sort gives the (dist asc, image_id asc) total
-    # order, slice keeps k. One exchange with map-side partial combine —
-    # vs the former dropDuplicates + window pair (two exchanges + a full
-    # per-partition sort). Per-point candidate sets are ring-bounded
-    # ((2R+1)² cells × tiles/cell), so the collected arrays stay small.
-    top = j.groupBy("point_id").agg(
-        F.slice(
-            F.array_sort(F.collect_set(F.struct(
-                F.col("dist").alias("dist"), F.col("image_id").alias("image_id")))),
-            1, k,
-        ).alias("top"))
+    if "cell_id" not in tiles.columns:
+        # Round-6 top-k: candidate pairs are DISTINCT by construction
+        # (ring_cells_bbox), so the per-point top-k is a plain
+        # row_number window with the (dist, image_id) total order —
+        # and Spark's WindowGroupLimit pushes a per-task partial top-k
+        # BELOW the exchange, so each map task locally keeps only k
+        # rows per point and the shuffle carries ~k·|points| rows
+        # instead of the full ring fanout. Candidate volume grows
+        # ~quadratically with scale (tiles/cell × points/cell): at sf1
+        # (200k tiles / 500k points, 114M candidates) the former
+        # collect_set aggregate spent ~16 s hash-inserting structs —
+        # the window-group-limit plan does the same top-k inside
+        # codegen'd sorts (measured 18.5 s → 7.8 s at sf1, parity at
+        # sf0.1).
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy("point_id").orderBy("dist", "image_id")
+        return (j.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("point_id", "image_id", "rank", "dist"))
+    # pre-exploded cell_id input: per-cell rings can emit the same
+    # (point, tile) pair via several cells — collect_set dedups while
+    # aggregating, with partial per-(point, input-partition) truncation
+    # (guide §2.3) so the exchange stays ~k·|points|·|partitions|. A
+    # duplicate can never evict a true candidate from a partial slice:
+    # the set dedups within the partition first.
+    struct_ = F.struct(F.col("dist").alias("dist"),
+                       F.col("image_id").alias("image_id"))
+    part = j.groupBy("point_id", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_set(struct_)), 1, k).alias("ptop"))
+    top = (part.select("point_id", F.explode("ptop").alias("t"))
+           .groupBy("point_id")
+           .agg(F.slice(F.array_sort(F.collect_set(F.col("t"))), 1, k).alias("top")))
     return top.select(
         "point_id", F.posexplode("top").alias("pos", "t")
     ).select(
