@@ -24,17 +24,6 @@ from rasters_spark import codec
 
 
 @pandas_udf(DoubleType())
-def _nearest_kernel(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
-                    prow: pd.Series, pcol: pd.Series) -> pd.Series:
-    out = np.empty(len(data), dtype=np.float64)
-    for i, (b, wi, hi, f, r, c) in enumerate(zip(data, w, h, fmt, prow, pcol)):
-        # O(1) offset read per pair — no whole-tile decode on the hot path
-        out[i] = codec.pixel_at(b, int(wi), int(hi), f, int(r), int(c))
-    # Arrow's pandas→arrow conversion maps NaN→null: NaN pixels surface as SQL NULL
-    return pd.Series(out)
-
-
-@pandas_udf(DoubleType())
 def _nearest_slice_kernel(sl: pd.Series, fmt: pd.Series) -> pd.Series:
     """Decode pre-sliced pixel payloads: 4 bytes (raw/i32), 1 byte (b1)
     or 9 bytes (q8 header+byte) per row — fully vectorized numpy, no
@@ -211,13 +200,6 @@ def pixel_value_sql(df: DataFrame, row_col: str, col_col: str,
               .drop(*([b, vminf, vmaxf] if need_hdr else [b])))
 
 
-def with_q8_header(df: DataFrame) -> DataFrame:
-    """Precompute the q8 header floats ONCE for callers that decode many
-    pixels per row (to_grid_conv's 4-16 taps): pixel_value_sql reuses
-    ``_q8hdr_vmin``/``_q8hdr_vmax`` instead of re-deriving the header
-    per tap. Drop the columns after the last decode."""
-    return (df.withColumn("_q8hdr_vmin", F.expr(_q8_header_float_sql(1)))
-              .withColumn("_q8hdr_vmax", F.expr(_q8_header_float_sql(5))))
 
 
 def slice_pixel(row_col: str, col_col: str):
